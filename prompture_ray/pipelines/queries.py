@@ -1,0 +1,426 @@
+"""Driver-contract queries: one entry per implemented operator (SURVEY §2),
+each runnable over a testdata sf dir, with a matching DuckDB oracle SQL.
+
+Every Ray implementation here is the engine operator applied to the
+pre-generated TPC-H-ish tables (TESTDATA.md); column names are chosen to
+match the oracle SQL exactly (the driver's compare sorts columns by name
+before hashing). Floating-point aggregates are rounded identically on both
+sides.
+
+Ray is initialised by the caller — nothing here calls ray.init().
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prompture_ray.specs import Suite
+from prompture_ray.stages.validate import ValidateBatch
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a SMALL result Dataset to an Arrow table with a stable
+    schema (an empty Dataset otherwise loses its column names)."""
+    df = ds.to_pandas()
+    if df.empty:
+        return schema.empty_table()
+    return pa.Table.from_pandas(df, preserve_index=False).cast(schema)
+
+
+DOC_SUITE = Suite.from_dict({
+    "meta": {"suite": "documents_v1"},
+    "checks": [
+        {"id": "chars-range", "column": "n_chars", "kind": "range",
+         "min": 100, "max": 450, "nullable": False},
+        {"id": "lang-enum", "column": "lang", "kind": "enum",
+         "values": ["en", "de", "fr", "es"], "nullable": False},
+    ],
+})
+
+# The same semantics in SQL (used to build verdict/violation oracles).
+_DOC_OK_CHARS = "(n_chars IS NOT NULL AND n_chars BETWEEN 100 AND 450)"
+_DOC_OK_LANG = "(lang IS NOT NULL AND lang IN ('en','de','fr','es'))"
+_DOC_REASON = (f"CASE WHEN NOT {_DOC_OK_CHARS} THEN 'range:n_chars' "
+               f"WHEN NOT {_DOC_OK_LANG} THEN 'enum:lang' END")
+
+
+# --------------------------------------------------------------------------
+# validation / verdict / report queries  (reference runner.py:28-44 shapes)
+# --------------------------------------------------------------------------
+
+def doc_violations(sf_dir: str):
+    """Violation rows over documents (check kernels → report rows)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    vb = ValidateBatch(DOC_SUITE, key_col="doc_id", mode="violations")
+    out = ds.map_batches(vb, batch_format="pyarrow")
+    return out.select_columns(["check_id", "row_key", "column", "reason",
+                               "observed"])
+
+
+DOC_VIOLATIONS_SQL = f"""
+SELECT 'chars-range' AS check_id, CAST(doc_id AS VARCHAR) AS row_key,
+       'n_chars' AS "column", 'range:n_chars' AS reason,
+       COALESCE(CAST(n_chars AS VARCHAR), 'null') AS observed
+FROM documents WHERE NOT {_DOC_OK_CHARS}
+UNION ALL
+SELECT 'lang-enum', CAST(doc_id AS VARCHAR), 'lang', 'enum:lang',
+       COALESCE(lang, 'null')
+FROM documents WHERE NOT {_DOC_OK_LANG}
+"""
+
+
+def doc_verdicts(sf_dir: str):
+    """Per-row ok + first-failure reason (QualityFilter.evaluate shape)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    vb = ValidateBatch(DOC_SUITE, key_col="doc_id", mode="verdict")
+    return ds.map_batches(vb, batch_format="pyarrow") \
+             .select_columns(["doc_id", "ok", "reason"])
+
+
+DOC_VERDICTS_SQL = f"""
+SELECT doc_id, ({_DOC_OK_CHARS} AND {_DOC_OK_LANG}) AS ok,
+       {_DOC_REASON} AS reason
+FROM documents
+"""
+
+
+def doc_filter_stats(sf_dir: str):
+    """dropped_by_reason counters (FilterStats, reference filters.py:172-192):
+    per-batch partial counts → groupby-sum (partial+final aggregation)."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    vb = ValidateBatch(DOC_SUITE, key_col="doc_id", mode="verdict")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = vb(t)
+        reasons = t["reason"].drop_null()
+        vc = reasons.value_counts()
+        return pa.table({"reason": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("reason").aggregate(Sum("n", alias_name="n"))
+
+
+DOC_FILTER_STATS_SQL = f"""
+SELECT {_DOC_REASON} AS reason, count(*) AS n
+FROM documents WHERE NOT ({_DOC_OK_CHARS} AND {_DOC_OK_LANG})
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# grouped aggregates / rollups  (reference formatters.py:8-73 rollup)
+# --------------------------------------------------------------------------
+
+def lang_counts(sf_dir: str):
+    from ray.data.aggregate import Count
+    return _read(sf_dir, "documents", ["lang"]) \
+        .groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+LANG_COUNTS_SQL = "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang"
+
+
+def chars_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Min, Max, Sum
+    return _read(sf_dir, "documents", ["lang", "n_chars"]) \
+        .groupby("lang").aggregate(
+            Count(alias_name="n_docs"),
+            Min("n_chars", alias_name="min_chars"),
+            Max("n_chars", alias_name="max_chars"),
+            Sum("n_chars", alias_name="sum_chars"))
+
+
+CHARS_STATS_SQL = """
+SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+FROM documents GROUP BY lang
+"""
+
+
+def token_stats_by_lang(sf_dir: str):
+    """Token counting (whitespace tokens) — vectorized regex count kernel."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t["text"], r"\S+")
+        return pa.table({"lang": t["lang"],
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    return ds.map_batches(tokens, batch_format="pyarrow") \
+             .groupby("lang").aggregate(
+                 Count(alias_name="n_docs"),
+                 Sum("n_tokens", alias_name="sum_tokens"))
+
+
+TOKEN_STATS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens
+FROM documents GROUP BY lang
+"""
+
+
+def q1_lineitem(sf_dir: str):
+    """TPC-H Q1-style pricing rollup — the canonical groupby-aggregate."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "l_quantity": t["l_quantity"],
+            "l_extendedprice": t["l_extendedprice"],
+            "disc_price": disc_price,
+        })
+
+    agg = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": pc.round(t["sum_qty"], 2),
+            "sum_base_price": pc.round(t["sum_base_price"], 2),
+            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def events_hourly(sf_dir: str):
+    """Tumbling-window aggregate: events per (event_type, hour)."""
+    from ray.data.aggregate import Count, Sum
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table({"event_type": t["event_type"], "hour": hour,
+                         "value": t["value"]})
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Count(alias_name="n"),
+            Sum("value", alias_name="sum_value"))
+
+    def final(t: pa.Table) -> pa.Table:
+        return t.set_column(t.column_names.index("sum_value"),
+                            "sum_value", pc.round(t["sum_value"], 4))
+
+    return agg.map_batches(final, batch_format="pyarrow")
+
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def events_range_violations(sf_dir: str):
+    """Range-check rollup per event_type (value outside [0, 300])."""
+    from ray.data.aggregate import Sum
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        bad = pc.invert(pc.and_(pc.greater_equal(t["value"], pa.scalar(0.0)),
+                                pc.less_equal(t["value"], pa.scalar(300.0))))
+        bad = pc.fill_null(bad, True)
+        et = t["event_type"].combine_chunks() if isinstance(t["event_type"], pa.ChunkedArray) else t["event_type"]
+        grouped = pa.table({"event_type": et, "bad": pc.cast(bad, pa.int64())}) \
+            .group_by("event_type").aggregate([("bad", "sum")])
+        return grouped.rename_columns(["event_type", "n_bad"])
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+             .groupby("event_type").aggregate(Sum("n_bad", alias_name="n_bad"))
+
+
+EVENTS_RANGE_SQL = """
+SELECT event_type,
+       sum(CASE WHEN value BETWEEN 0 AND 300 THEN 0 ELSE 1 END) AS n_bad
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------------
+# sorts / top-k
+# --------------------------------------------------------------------------
+
+def source_topk(sf_dir: str):
+    """Top-5 sources by count with deterministic tie-break (count desc,
+    source asc) — sort+limit after aggregate (reference hybrid.py:142-190)."""
+    from ray.data.aggregate import Count
+    agg = _read(sf_dir, "documents", ["source"]) \
+        .groupby("source").aggregate(Count(alias_name="n"))
+    return agg.sort(["n", "source"], descending=[True, False]).limit(5)
+
+
+SOURCE_TOPK_SQL = """
+SELECT source, count(*) AS n FROM documents
+GROUP BY source ORDER BY n DESC, source ASC LIMIT 5
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup (exact, distributed first-occurrence-wins)
+# --------------------------------------------------------------------------
+
+def dedup_first_events(sf_dir: str):
+    """Exact dedup of events on (user_id, event_type): first occurrence by
+    canonical order (min ts) wins; duplicate count reported — the
+    distributed form of the reference's first-wins dedup
+    (prompture/dataset/dedup.py:73-96; canonical order per SURVEY §7.4)."""
+    from ray.data.aggregate import Count, Min
+    return _read(sf_dir, "events", ["user_id", "event_type", "ts"]) \
+        .groupby(["user_id", "event_type"]).aggregate(
+            Min("ts", alias_name="first_ts"),
+            Count(alias_name="n_dupes"))
+
+
+DEDUP_FIRST_EVENTS_SQL = """
+SELECT user_id, event_type, min(ts) AS first_ts, count(*) AS n_dupes
+FROM events GROUP BY user_id, event_type
+"""
+
+
+def distinct_users(sf_dir: str):
+    """Exact distinct count via partial value-count combiner + groupby —
+    the shuffle-minimizing distinct pattern (SURVEY §2.5)."""
+    from prompture_ray.stages.table_checks import distinct_count
+    n = distinct_count(_read(sf_dir, "events", ["user_id"]), "user_id")
+    return pa.table({"n_users": pa.array([n], type=pa.int64())})
+
+
+DISTINCT_USERS_SQL = "SELECT count(DISTINCT user_id) AS n_users FROM events"
+
+
+# --------------------------------------------------------------------------
+# referential anti-join
+# --------------------------------------------------------------------------
+
+def ref_events_supplier(sf_dir: str):
+    """user_ids in events with no matching supplier (anti-join; broadcast
+    strategy at this scale, hash-partitioned beyond the threshold)."""
+    from prompture_ray.stages.table_checks import referential_missing
+    left = _read(sf_dir, "events", ["user_id"])
+    right = _read(sf_dir, "supplier", ["s_suppkey"])
+    out = referential_missing(left, right, "user_id", "s_suppkey")
+    return out.sort("user_id")
+
+
+REF_EVENTS_SUPPLIER_SQL = """
+SELECT user_id, count(*) AS n FROM events e
+WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = e.user_id)
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+def ref_orders_customer(sf_dir: str):
+    """orders whose o_custkey has no customer (expected clean → empty)."""
+    from prompture_ray.stages.table_checks import referential_missing
+    left = _read(sf_dir, "orders", ["o_custkey"])
+    right = _read(sf_dir, "customer", ["c_custkey"])
+    out = referential_missing(left, right, "o_custkey", "c_custkey")
+    return _collect(out, pa.schema([("o_custkey", pa.int64()),
+                                    ("n", pa.int64())]))
+
+
+REF_ORDERS_CUSTOMER_SQL = """
+SELECT o_custkey, count(*) AS n FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# uniqueness check
+# --------------------------------------------------------------------------
+
+def duplicate_custkeys_in_orders(sf_dir: str):
+    """Uniqueness check on orders.o_custkey → keys with >1 order."""
+    from prompture_ray.stages.table_checks import duplicate_keys
+    return duplicate_keys(_read(sf_dir, "orders", ["o_custkey"]), "o_custkey") \
+        .sort("o_custkey")
+
+
+DUP_CUSTKEYS_SQL = """
+SELECT o_custkey, count(*) AS n FROM orders
+GROUP BY o_custkey HAVING count(*) > 1 ORDER BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "doc_violations": doc_violations,
+    "doc_verdicts": doc_verdicts,
+    "doc_filter_stats": doc_filter_stats,
+    "lang_counts": lang_counts,
+    "chars_stats_by_lang": chars_stats_by_lang,
+    "token_stats_by_lang": token_stats_by_lang,
+    "q1_lineitem": q1_lineitem,
+    "events_hourly": events_hourly,
+    "events_range_violations": events_range_violations,
+    "source_topk": source_topk,
+    "dedup_first_events": dedup_first_events,
+    "distinct_users": distinct_users,
+    "ref_events_supplier": ref_events_supplier,
+    "ref_orders_customer": ref_orders_customer,
+    "duplicate_custkeys_in_orders": duplicate_custkeys_in_orders,
+}
+
+ORACLE = {
+    "doc_violations": DOC_VIOLATIONS_SQL,
+    "doc_verdicts": DOC_VERDICTS_SQL,
+    "doc_filter_stats": DOC_FILTER_STATS_SQL,
+    "lang_counts": LANG_COUNTS_SQL,
+    "chars_stats_by_lang": CHARS_STATS_SQL,
+    "token_stats_by_lang": TOKEN_STATS_SQL,
+    "q1_lineitem": Q1_SQL,
+    "events_hourly": EVENTS_HOURLY_SQL,
+    "events_range_violations": EVENTS_RANGE_SQL,
+    "source_topk": SOURCE_TOPK_SQL,
+    "dedup_first_events": DEDUP_FIRST_EVENTS_SQL,
+    "distinct_users": DISTINCT_USERS_SQL,
+    "ref_events_supplier": REF_EVENTS_SUPPLIER_SQL,
+    "ref_orders_customer": REF_ORDERS_CUSTOMER_SQL,
+    "duplicate_custkeys_in_orders": DUP_CUSTKEYS_SQL,
+}
