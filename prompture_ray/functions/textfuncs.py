@@ -1,0 +1,211 @@
+"""Scalar/batch text functions reimplementing the reference's normalizers,
+parsers and filters as vectorized kernels (SURVEY §2.8).
+
+Reference semantics:
+- ``normalize_text``: casefold → strip punctuation → collapse whitespace
+  (reference prompture/dataset/dedup.py:54-65 ``_normalise``)
+- ``parse_boolean``: multilingual truthy/falsy sets + indicator fallback
+  (reference prompture/extraction/tools.py:101-156)
+- ``parse_shorthand_number``: currency prefixes, %, k/m/b suffixes
+  (reference prompture/extraction/tools.py:206-265)
+- ``as_list``: split on ``,;|`` (reference tools.py:159-178)
+- ``strip_think_tags`` / ``clean_json_text``: fence/think stripping
+  (reference tools.py:1023-1099)
+- ``luhn_valid``: card-number checksum (reference security/redaction.py)
+- PII patterns (reference prompture/security/redaction.py:63-126)
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ---------------------------------------------------------------------------
+# normalization (dedup key)
+# ---------------------------------------------------------------------------
+_PUNCT_RE = r"[^\w\s]"
+_WS_RE = r"\s+"
+
+
+def normalize_strings(col: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized ``_normalise``: casefold, strip punctuation, collapse
+    whitespace, trim. Arrow kernels end to end."""
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, _PUNCT_RE, "")
+    out = pc.replace_substring_regex(out, _WS_RE, " ")
+    out = pc.utf8_trim_whitespace(out)
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+def normalize_text(s: str) -> str:
+    """Scalar twin of normalize_strings (used by oracles/tests)."""
+    s = s.casefold()
+    s = re.sub(_PUNCT_RE, "", s)
+    s = re.sub(_WS_RE, " ", s)
+    return s.strip()
+
+
+# ---------------------------------------------------------------------------
+# boolean / number / list parsers
+# ---------------------------------------------------------------------------
+TRUTHY = {"true", "yes", "y", "1", "si", "sí", "oui", "ja", "da", "hai",
+          "on", "enabled", "t"}
+FALSY = {"false", "no", "n", "0", "non", "nein", "nee", "off", "disabled",
+         "f", "none", "null"}
+_TRUTHY_INDICATORS = ("yes", "true", "correct", "affirmative")
+
+
+def parse_boolean(value) -> bool | None:
+    if isinstance(value, bool):
+        return value
+    if value is None:
+        return None
+    s = str(value).strip().lower()
+    if s in TRUTHY:
+        return True
+    if s in FALSY:
+        return False
+    return any(t in s for t in _TRUTHY_INDICATORS) or None
+
+
+def parse_boolean_batch(col) -> pa.Array:
+    lowered = pc.utf8_trim_whitespace(pc.utf8_lower(pc.cast(col, pa.string())))
+    t = pc.is_in(lowered, value_set=pa.array(sorted(TRUTHY)))
+    f = pc.is_in(lowered, value_set=pa.array(sorted(FALSY)))
+    return pc.if_else(t, pa.scalar(True),
+                      pc.if_else(f, pa.scalar(False), pa.scalar(None, pa.bool_())))
+
+
+_CURRENCY_RE = re.compile(r"^[\s]*[$€£¥₹]")
+_SHORTHAND_RE = re.compile(
+    r"^\s*([$€£¥₹]?\s*-?[\d,]+(?:\.\d+)?)\s*([kKmMbB%]?)\s*$")
+_SUFFIX = {"k": 1e3, "m": 1e6, "b": 1e9}
+
+
+def parse_shorthand_number(value) -> float | None:
+    """'$1,200' → 1200.0; '1.2k' → 1200.0; '12%' → 0.12."""
+    if isinstance(value, (int, float)):
+        return float(value)
+    if value is None:
+        return None
+    m = _SHORTHAND_RE.match(str(value))
+    if not m:
+        return None
+    num = float(re.sub(r"[$€£¥₹,\s]", "", m.group(1)))
+    suf = m.group(2).lower()
+    if suf == "%":
+        return num / 100.0
+    return num * _SUFFIX.get(suf, 1.0)
+
+
+def as_list(value) -> list:
+    """Scalar/str → list, splitting on , ; | (reference tools.py:159-178)."""
+    if value is None:
+        return []
+    if isinstance(value, (list, tuple)):
+        return list(value)
+    return [p.strip() for p in re.split(r"[,;|]", str(value)) if p.strip()]
+
+
+# ---------------------------------------------------------------------------
+# LLM-text cleanup (think tags, fences, first JSON span)
+# ---------------------------------------------------------------------------
+_THINK_RE = re.compile(r"<think>.*?</think>", re.DOTALL | re.IGNORECASE)
+_FENCE_RE = re.compile(r"```(?:json|JSON)?\s*(.*?)```", re.DOTALL)
+
+
+def strip_think_tags(text: str) -> str:
+    return _THINK_RE.sub("", text).strip()
+
+
+def clean_json_text(text: str) -> str:
+    """Strip think tags + markdown fences, take the first {...} span."""
+    text = strip_think_tags(text)
+    m = _FENCE_RE.search(text)
+    if m:
+        text = m.group(1)
+    start = text.find("{")
+    if start >= 0:
+        depth = 0
+        for i in range(start, len(text)):
+            if text[i] == "{":
+                depth += 1
+            elif text[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    return text[start:i + 1]
+    return text.strip()
+
+
+def strip_think_batch(col) -> pa.Array:
+    return pc.replace_substring_regex(col, r"(?s)<think>.*?</think>", "")
+
+
+# ---------------------------------------------------------------------------
+# Luhn + PII patterns
+# ---------------------------------------------------------------------------
+def luhn_valid(number: str) -> bool:
+    digits = [int(d) for d in re.sub(r"\D", "", number)]
+    if len(digits) < 12:
+        return False
+    total = 0
+    for i, d in enumerate(reversed(digits)):
+        if i % 2 == 1:
+            d *= 2
+            if d > 9:
+                d -= 9
+        total += d
+    return total % 10 == 0
+
+
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "card": r"\b(?:\d[ -]?){13,19}\b",
+}
+
+
+def redact_batch(col, patterns: dict[str, str] | None = None,
+                 token: str = "[REDACTED:{kind}]") -> pa.Array:
+    """Vectorized PII redaction: chained replace_substring_regex
+    (reference redaction.py regex sweep)."""
+    out = col
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        out = pc.replace_substring_regex(out, pat, token.format(kind=kind))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# marker scan (injection / refusal detection)
+# ---------------------------------------------------------------------------
+INJECTION_MARKERS = [
+    "ignore previous instructions", "ignore all previous instructions",
+    "disregard the above", "system prompt", "you are now",
+    "forget your instructions", "new instructions:",
+]
+REFUSAL_MARKERS = [
+    "i cannot help with", "i can't help with", "i'm unable to",
+    "as an ai", "i cannot assist", "no puedo ayudar",
+]
+
+
+def marker_scan_batch(col, markers: list[str]) -> pa.Array:
+    """True where any marker phrase occurs (case-normalized substring scan,
+    longest-first like the reference, prompture/security/injection.py:371-373).
+    Vectorized as an alternation regex over the normalized column."""
+    lowered = pc.utf8_lower(col)
+    pat = "|".join(re.escape(m) for m in
+                   sorted(markers, key=len, reverse=True))
+    hit = pc.match_substring_regex(lowered, pat)
+    if isinstance(hit, pa.ChunkedArray):
+        hit = hit.combine_chunks()
+    return hit

@@ -33,6 +33,7 @@ driver only folds per-partition results.
 from __future__ import annotations
 
 import json
+import pickle
 import time
 import uuid
 from pathlib import Path
@@ -43,7 +44,11 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from prompture_ray.specs import Suite
-from prompture_ray.stages.validate import ValidateBatch
+from prompture_ray.stages.validate import ValidateBatch, VIOLATION_SCHEMA
+
+
+def viol_schema() -> pa.Schema:
+    return VIOLATION_SCHEMA
 from prompture_ray.stages.stats import (
     StatsAccumulator, load_baseline, score_drift,
 )
@@ -55,25 +60,95 @@ PARTIAL_SCHEMA = pa.schema([
     pa.field("ok_rows", pa.int64()),
     pa.field("viol_json", pa.string()),
     pa.field("sketches", pa.binary()),
+    pa.field("key_hashes", pa.binary()),
     pa.field("elapsed_ms", pa.float64()),
 ])
 
+# broadcast anti-join is used when the right side has at most this many
+# keys (8 bytes/hash → 160 MB); beyond it the referential check falls back
+# to the hash-partitioned groupby anti-join (stages.table_checks)
+REF_BROADCAST_MAX = 20_000_000
+# fused uniqueness folds per-partition hash arrays on the driver; beyond
+# this row count use the groupby path instead (hashes no longer fit)
+UNIQUE_FUSED_MAX = 500_000_000
+
+
+def _col_hashes(batch: pa.Table, col: str) -> "np.ndarray":
+    arr = batch[col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    from prompture_ray.functions.sketches import hash64
+    return hash64(np.asarray(arr.to_pylist(), dtype=object))
+
 
 class ValidateAndSink:
-    """Fused validate + violation-sink + sketch-partial stage.
+    """Fused validate + violation-sink + sketch + uniqueness/referential
+    partial stage — ONE linear scan carries the whole suite.
 
-    Passed as a callable class to ``map_batches`` so spec compilation runs
-    once per worker. Violations are written under
-    ``violations/pid=<pid>/<uuid>.parquet`` (idempotent by pid: incomplete
-    pids are wiped on resume before this stage reruns them).
+    - row checks: vectorized masks → verdicts + violation rows
+    - stats checks: per-batch sketch partials
+    - unique checks: per-batch uint64 key-hash blobs (driver folds per
+      partition; exact up to 64-bit hash collision)
+    - referential checks (broadcast mode): membership test against a
+      sorted hash array shipped once via ``ray.put``; misses become
+      inline violation rows
+
+    Violations are written under ``violations/pid=<pid>/`` (idempotent by
+    pid: incomplete pids are wiped on resume before rerun).
     """
 
     def __init__(self, suite: Suite, out_dir: str, key_col: str,
-                 path_to_pid: dict[str, int]):
+                 path_to_pid: dict[str, int],
+                 ref_broadcasts: list[tuple] = (),   # [(CheckSpec, ObjectRef)]
+                 unique_checks: list = ()):          # [CheckSpec]
         self.vb = ValidateBatch(suite, key_col=key_col)
         self.stats_checks = [c for c in suite.table_checks if c.kind == "stats"]
         self.out_dir = out_dir
+        self.key_col = key_col
         self.path_to_pid = path_to_pid
+        self.ref_broadcasts = list(ref_broadcasts)
+        self.unique_checks = list(unique_checks)
+        self._ref_arrays: dict[str, "np.ndarray"] = {}
+
+    def _ref_violations(self, batch: pa.Table) -> tuple[pa.Table | None, dict]:
+        import ray
+        parts, by_reason = [], {}
+        for check, ref in self.ref_broadcasts:
+            if check.id not in self._ref_arrays:
+                self._ref_arrays[check.id] = ray.get(ref)
+            sorted_hashes = self._ref_arrays[check.id]
+            arr = batch[check.column]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            valid = arr.drop_null()
+            if len(valid) == 0:
+                continue
+            from prompture_ray.functions.sketches import hash64
+            h = hash64(np.asarray(valid.to_pylist(), dtype=object))
+            if len(sorted_hashes):
+                idx = np.clip(np.searchsorted(sorted_hashes, h), 0,
+                              len(sorted_hashes) - 1)
+                missing = sorted_hashes[idx] != h
+            else:
+                missing = np.ones(len(h), dtype=bool)
+            n = int(missing.sum())
+            if n == 0:
+                continue
+            bad_vals = pc.cast(valid.filter(pa.array(missing)), pa.string())
+            parts.append(pa.table({
+                "check_id": pa.array([check.id] * n),
+                "row_key": bad_vals,
+                "column": pa.array([check.column] * n),
+                "ok": pa.array([False] * n),
+                "reason": pa.array([check.reason()] * n),
+                "observed": pc.utf8_slice_codeunits(bad_vals, 0, 80),
+            }, schema=viol_schema()))
+            by_reason[check.reason()] = n
+        out = pa.concat_tables(parts) if parts else None
+        return out, by_reason
 
     def _process_group(self, batch: pa.Table, path: str) -> dict:
         t0 = time.perf_counter()
@@ -81,24 +156,33 @@ class ValidateAndSink:
         masks = self.vb.masks(batch)
         ok, _ = self.vb.verdict_columns(batch, masks)
         viol = self.vb.violations(batch, masks)
+        ok_rows = int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
+
+        ref_viol, _ = self._ref_violations(batch)
+        if ref_viol is not None:
+            viol = pa.concat_tables([viol, ref_viol])
         if viol.num_rows:
             vdir = Path(self.out_dir) / "violations" / f"pid={pid}"
             vdir.mkdir(parents=True, exist_ok=True)
-            viol = viol.append_column(
+            out_viol = viol.append_column(
                 "partition_id", pa.array([pid] * viol.num_rows, type=pa.int32()))
-            pq.write_table(viol, vdir / f"{uuid.uuid4().hex}.parquet")
+            pq.write_table(out_viol, vdir / f"{uuid.uuid4().hex}.parquet")
+
         acc = StatsAccumulator(self.stats_checks)
         acc.update(batch)
-        reasons = viol["reason"].to_pylist()
-        by_reason: dict[str, int] = {}
-        for r in reasons:
-            by_reason[r] = by_reason.get(r, 0) + 1
+        key_hashes = {c.id: _col_hashes(batch, c.column).tobytes()
+                      for c in self.unique_checks}
+
+        counts: dict[str, int] = {}
+        for r in viol["reason"].to_pylist():
+            counts[r] = counts.get(r, 0) + 1
         return {
             "path": path,
             "rows": batch.num_rows,
-            "ok_rows": int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0),
-            "viol_json": json.dumps(by_reason, sort_keys=True),
+            "ok_rows": ok_rows,
+            "viol_json": json.dumps(counts, sort_keys=True),
             "sketches": acc.dumps(),
+            "key_hashes": pickle.dumps(key_hashes) if key_hashes else None,
             "elapsed_ms": (time.perf_counter() - t0) * 1e3,
         }
 
@@ -148,6 +232,11 @@ def run_suite(
     run_id = run_id or uuid.uuid4().hex[:12]
     t_start = time.perf_counter()
 
+    phases: dict[str, float] = {}
+
+    def _phase(name: str, t0: float) -> None:
+        phases[name] = round(time.perf_counter() - t0, 3)
+
     fragments = list_fragments(input_dir)
     if not fragments:
         raise FileNotFoundError(f"no parquet fragments under {input_dir}")
@@ -167,17 +256,98 @@ def run_suite(
 
     stats_dir = out / "stats"
     stats_dir.mkdir(exist_ok=True)
+
+    unique_checks = [c for c in suite.table_checks if c.kind == "unique"]
+    ref_checks = [c for c in suite.table_checks if c.kind == "referential"]
+    total_rows_estimate = sum(pq.read_metadata(f).num_rows for f in fragments)
+    fuse_unique = total_rows_estimate <= UNIQUE_FUSED_MAX
+
+    # referential right sides: build sorted hash arrays (parallel narrow
+    # pass over the small side) and broadcast once via ray.put — the
+    # anti-join then rides the main scan with zero shuffle. Right sides
+    # bigger than REF_BROADCAST_MAX fall back to the hash-partitioned
+    # groupby anti-join after the scan.
+    ref_broadcasts, ref_fallback = [], []
+    t_ph = time.perf_counter()
+    if pending and ref_checks:
+        import ray
+        for c in ref_checks:
+            ref_path = (ref_tables or {}).get(c.ref_table)
+            if ref_path is None:
+                ref_fallback.append(c)
+                continue
+            rpaths = (list_fragments(ref_path) if Path(ref_path).is_dir()
+                      else [ref_path])
+            n_right = sum(pq.read_metadata(p).num_rows for p in rpaths)
+            if n_right > REF_BROADCAST_MAX:
+                ref_fallback.append(c)
+                continue
+            rcol = c.ref_column or c.column
+            if n_right <= 500_000:
+                # small right side: hash on the driver (a Ray execution's
+                # fixed cost would dominate the actual work)
+                parts = [_col_hashes(pq.read_table(p, columns=[rcol]), rcol)
+                         for p in rpaths]
+                merged = (np.sort(np.concatenate(parts)) if parts
+                          else np.empty(0, dtype=np.uint64))
+            else:
+                # few large blocks: hashing 6k strings is ~3ms, so hundreds
+                # of tiny file-blocks would be pure task overhead
+                n_cpu = int(ray.cluster_resources().get("CPU", 8))
+                right = rd.read_parquet(
+                    rpaths, columns=[rcol],
+                    override_num_blocks=min(max(8, n_cpu), len(rpaths)))
+
+                def _hash_batch(t: pa.Table, _col=rcol) -> pa.Table:
+                    h = _col_hashes(t, _col)
+                    return pa.table({"h": pa.array([h.tobytes()],
+                                                   type=pa.binary())})
+
+                blobs = [row["h"] for row in
+                         right.map_batches(_hash_batch, batch_format="pyarrow")
+                              .take_all()]
+                merged = (np.sort(np.concatenate(
+                    [np.frombuffer(b, dtype=np.uint64) for b in blobs]))
+                    if blobs else np.empty(0, dtype=np.uint64))
+            ref_broadcasts.append((c, ray.put(merged)))
+    elif ref_checks:
+        ref_fallback = []  # nothing pending: counts already in the manifest
+    _phase("ref_broadcast_build", t_ph)
+
+    t_ph = time.perf_counter()
     if pending:
         pending_paths = [f for _, f in pending]
         expected = {f: pq.read_metadata(f).num_rows for f in pending_paths}
-        ds = rd.read_parquet(pending_paths, include_paths=True)
+        # one block per fragment (or per ~128MB for large fragments):
+        # Ray's default SplitBlocks interacts badly with include_paths
+        # (measured 6× slower read); explicit sizing also keeps block
+        # boundaries aligned with checkpoint partitions.
+        total_bytes = sum(Path(f).stat().st_size for f in pending_paths)
+        n_blocks = max(len(pending_paths), total_bytes // (128 << 20))
+        ds = rd.read_parquet(pending_paths, include_paths=True,
+                             override_num_blocks=n_blocks)
         if needs_extract:
             from prompture_ray.functions.extract_html import HtmlExtractor
-            ds = ds.map_batches(
-                HtmlExtractor, batch_format="pyarrow", batch_size=256,
-                concurrency=extract_concurrency or (2, 8))
+            # Default: STATELESS TASK POOL. Extraction state (compiled
+            # regexes, parser class) lives at module level, so tasks pay no
+            # per-task init; task-pool map_batches also lets Ray fuse
+            # read→extract→validate into one pipelined task chain, which
+            # measured ~2× faster than a separate actor pool here (an
+            # over-sized pool additionally starves the other stages).
+            # Pass extract_concurrency to force an actor pool instead
+            # (e.g. when extraction grows genuinely expensive per-actor
+            # state such as an ML model).
+            if extract_concurrency is None:
+                ds = ds.map_batches(HtmlExtractor(), batch_format="pyarrow",
+                                    batch_size=1024)
+            else:
+                ds = ds.map_batches(HtmlExtractor, batch_format="pyarrow",
+                                    batch_size=1024,
+                                    concurrency=extract_concurrency)
         partials = ds.map_batches(
-            ValidateAndSink(suite, str(out), key_col, path_to_pid),
+            ValidateAndSink(suite, str(out), key_col, path_to_pid,
+                            ref_broadcasts=ref_broadcasts,
+                            unique_checks=unique_checks if fuse_unique else []),
             batch_format="pyarrow", batch_size=batch_size)
 
         # streaming driver fold + incremental per-fragment checkpointing.
@@ -186,12 +356,15 @@ def run_suite(
         # fragment without its stats (memory stays bounded: only fragments
         # currently in flight hold an accumulator).
         seen: dict[str, dict] = {}
+        fold_s = 0.0
         for pb in partials.iter_batches(batch_size=64, batch_format="pyarrow"):
+            t_fold = time.perf_counter()
             for row in pb.to_pylist():
                 path = row["path"]
                 st = seen.setdefault(path, {
                     "rows": 0, "ok_rows": 0, "by_reason": {},
-                    "elapsed_ms": 0.0, "acc": StatsAccumulator(stats_checks)})
+                    "elapsed_ms": 0.0, "acc": StatsAccumulator(stats_checks),
+                    "hashes": {}})
                 st["rows"] += row["rows"]
                 st["ok_rows"] += row["ok_rows"]
                 st["elapsed_ms"] += row["elapsed_ms"]
@@ -199,12 +372,21 @@ def run_suite(
                     st["by_reason"][k] = st["by_reason"].get(k, 0) + v
                 if row["sketches"]:
                     st["acc"].merge_bytes(row["sketches"])
+                if row["key_hashes"]:
+                    for cid, blob in pickle.loads(row["key_hashes"]).items():
+                        st["hashes"].setdefault(cid, []).append(blob)
                 if st["rows"] >= expected[path]:
                     pid = path_to_pid[path]
                     if stats_checks:
                         tmp = stats_dir / f"pid-{pid:05d}.tmp"
                         tmp.write_bytes(st["acc"].dumps())
                         tmp.rename(stats_dir / f"pid-{pid:05d}.pkl")
+                    if st["hashes"]:
+                        tmp = stats_dir / f"hashes-{pid:05d}.tmp"
+                        tmp.write_bytes(pickle.dumps(
+                            {cid: b"".join(blobs)
+                             for cid, blobs in st["hashes"].items()}))
+                        tmp.rename(stats_dir / f"hashes-{pid:05d}.pkl")
                     manifest.write(pid, {
                         "status": "completed",
                         "input_fragments": [path],
@@ -215,50 +397,143 @@ def run_suite(
                         "elapsed_ms": round(st["elapsed_ms"], 3),
                     })
                     del seen[path]
+            fold_s += time.perf_counter() - t_fold
+        phases["driver_fold_in_scan"] = round(fold_s, 3)
+    _phase("main_scan", t_ph)
 
+    t_ph = time.perf_counter()
     # global stats = fold of per-partition sketch files of completed pids
     for pid in sorted(manifest.completed_pids()):
         p = stats_dir / f"pid-{pid:05d}.pkl"
         if p.exists():
             global_acc.merge_bytes(p.read_bytes())
 
-    # ---- table-level checks (narrow-column passes; cached across resumes)
+    # ---- table-level check results ---------------------------------------
     table_results_path = out / "table_checks.json"
     if table_results_path.exists() and resume and not pending:
         table_results = json.loads(table_results_path.read_text())
     else:
         table_results = {}
-        full = rd.read_parquet(fragments)
-        for c in suite.table_checks:
-            if c.kind == "unique":
-                from prompture_ray.stages.table_checks import duplicate_keys
-                dups = duplicate_keys(full, c.column).to_pandas()
+        # uniqueness (fused path): fold per-partition key-hash files
+        if unique_checks and fuse_unique:
+            merged_hashes: dict[str, list] = {c.id: [] for c in unique_checks}
+            for pid in sorted(manifest.completed_pids()):
+                p = stats_dir / f"hashes-{pid:05d}.pkl"
+                if not p.exists():
+                    continue
+                for cid, blob in pickle.loads(p.read_bytes()).items():
+                    if cid in merged_hashes:
+                        merged_hashes[cid].append(
+                            np.frombuffer(blob, dtype=np.uint64))
+            for c in unique_checks:
+                h = (np.concatenate(merged_hashes[c.id])
+                     if merged_hashes[c.id] else np.empty(0, np.uint64))
+                uniq, counts = np.unique(h, return_counts=True)
+                dup_mask = counts > 1
+                table_results[c.id] = {
+                    "kind": "unique", "column": c.column,
+                    "duplicate_keys": int(dup_mask.sum()),
+                    "duplicate_rows": int(len(h) - len(uniq)),
+                }
+                # duplicate rows become violations: one narrow pass filters
+                # the offending keys (only when duplicates exist)
+                n_dup = int(dup_mask.sum())
+                if n_dup:
+                    import ray
+                    dup_sorted = np.sort(uniq[dup_mask])
+                    dup_ref = ray.put(dup_sorted)
+
+                    def _dup_rows(t: pa.Table, _col=c.column,
+                                  _ref=dup_ref) -> pa.Table:
+                        import ray as _ray
+                        ds_ = _ray.get(_ref)
+                        arr = t[_col]
+                        if isinstance(arr, pa.ChunkedArray):
+                            arr = arr.combine_chunks()
+                        valid = arr.drop_null()
+                        if len(valid) == 0 or len(ds_) == 0:
+                            return pa.table({_col: pa.array([], type=pa.string())})
+                        from prompture_ray.functions.sketches import hash64
+                        hh = hash64(np.asarray(valid.to_pylist(), dtype=object))
+                        idx = np.clip(np.searchsorted(ds_, hh), 0, len(ds_) - 1)
+                        hit = ds_[idx] == hh
+                        return pa.table({_col: pc.cast(
+                            valid.filter(pa.array(hit)), pa.string())})
+
+                    import ray as _r
+                    _ncpu = int(_r.cluster_resources().get("CPU", 8))
+                    dup_vals = rd.read_parquet(
+                        fragments, columns=[c.column],
+                        override_num_blocks=min(max(8, _ncpu),
+                                                len(fragments))) \
+                        .map_batches(_dup_rows, batch_format="pyarrow") \
+                        .to_pandas()[c.column]
+                    vc = dup_vals.value_counts()
+                    vdir = out / "violations" / "table"
+                    vdir.mkdir(parents=True, exist_ok=True)
+                    keys = vc.index.astype(str).to_numpy()
+                    ns = vc.to_numpy()
+                    viol = pa.table({
+                        "check_id": pa.array([c.id] * len(vc)),
+                        "row_key": pa.array(list(keys), type=pa.string()),
+                        "column": pa.array([c.column] * len(vc)),
+                        "ok": pa.array([False] * len(vc)),
+                        "reason": pa.array([c.reason()] * len(vc)),
+                        "observed": pa.array([f"count={int(n)}" for n in ns],
+                                             type=pa.string()),
+                    }, schema=VIOLATION_SCHEMA)
+                    pq.write_table(
+                        viol.append_column("partition_id",
+                                           pa.array([-1] * len(vc), type=pa.int32())),
+                        vdir / f"{c.id}.parquet")
+                    table_results[c.id]["sample"] = [
+                        {c.column: k, "n": int(n)}
+                        for k, n in sorted(zip(keys, ns),
+                                           key=lambda kv: (-kv[1], kv[0]))[:10]]
+        elif unique_checks:
+            # scale fallback: hash-partitioned groupby
+            from prompture_ray.stages.table_checks import duplicate_keys
+            for c in unique_checks:
+                narrow = rd.read_parquet(fragments, columns=[c.column])
+                dups = duplicate_keys(narrow, c.column).to_pandas()
                 extra = int((dups["n"] - 1).sum()) if len(dups) else 0
                 table_results[c.id] = {
                     "kind": "unique", "column": c.column,
                     "duplicate_keys": int(len(dups)),
                     "duplicate_rows": extra,
-                    "sample": dups.sort_values(["n", c.column],
-                                               ascending=[False, True])
-                                   .head(10).to_dict("records"),
                 }
-            elif c.kind == "referential":
+
+        # referential: fused results live in the manifest reason counters;
+        # fallback checks run the partitioned anti-join now
+        totals_so_far = manifest.totals()
+        for c in ref_checks:
+            if c in ref_fallback:
                 from prompture_ray.stages.table_checks import referential_missing
                 ref_path = (ref_tables or {}).get(c.ref_table)
                 if ref_path is None:
-                    table_results[c.id] = {"kind": "referential",
-                                           "error": f"ref table {c.ref_table} not provided"}
+                    table_results[c.id] = {
+                        "kind": "referential",
+                        "error": f"ref table {c.ref_table} not provided"}
                     continue
-                right = rd.read_parquet(list_fragments(ref_path)
-                                        if Path(ref_path).is_dir() else ref_path)
-                missing = referential_missing(full, right, c.column,
+                narrow = rd.read_parquet(fragments, columns=[c.column])
+                right = rd.read_parquet(
+                    list_fragments(ref_path) if Path(ref_path).is_dir()
+                    else ref_path, columns=[c.ref_column or c.column])
+                missing = referential_missing(narrow, right, c.column,
                                               c.ref_column).to_pandas()
                 table_results[c.id] = {
                     "kind": "referential", "column": c.column,
                     "missing_keys": int(len(missing)),
                     "missing_rows": int(missing["n"].sum()) if len(missing) else 0,
                 }
+            else:
+                table_results[c.id] = {
+                    "kind": "referential", "column": c.column, "fused": True,
+                    "missing_rows": totals_so_far["violations_by_reason"]
+                    .get(c.reason(), 0),
+                }
         table_results_path.write_text(json.dumps(table_results, sort_keys=True))
+    _phase("table_checks", t_ph)
 
     # ---- report assembly (driver-side, tiny data) -----------------------
     totals = manifest.totals()
@@ -312,7 +587,7 @@ def run_suite(
         "results": results,
         "stats": stats_summaries,
         "drift": drift,
-        "run": {**totals, "wall_s": round(elapsed, 3),
+        "run": {**totals, "wall_s": round(elapsed, 3), "phases": phases,
                 "docs_per_s": round(totals["rows"] / elapsed, 1) if elapsed else None,
                 "checks_per_s": round(totals["rows"] * len(suite.row_checks) / elapsed, 1)
                 if elapsed else None},

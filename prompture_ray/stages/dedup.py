@@ -1,0 +1,438 @@
+"""Distributed deduplication: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Reference semantics (prompture/dataset/dedup.py):
+- exact: normalized key (``_normalise``, dedup.py:54-65), first occurrence
+  wins, empty keys dropped, ``(kept, removed_count)`` result (dedup.py:73-96)
+- shingle: char-5-shingles, Jaccard ≥ 0.8 vs any prior kept — O(n²) greedy
+  (dedup.py:127-169, "fast enough for ~50k items")
+- semantic: embedding cosine ≥ 0.92 vs prior kept (dedup.py:199-272)
+
+Distributed rewrite (the greedy "vs any prior kept" is inherently
+sequential; SURVEY §7.4 documents the deviation):
+- exact: content-hash → ``groupby(hash).map_groups(min by canonical
+  order)`` — first-wins under a DEFINED canonical order, deterministic
+  under any partitioning.
+- near-dup (minhash/simhash/embedding): signature per doc in a vectorized
+  ``map_batches`` → explode to (band_key, doc) rows → ``groupby(band_key)``
+  buckets → candidate pairs → verify (Jaccard estimate / hamming / cosine)
+  → connected components → keep the canonical min of each component.
+  Components are solved with driver union-find over the (small) verified
+  pair set; at larger scale swap in the iterative min-label-propagation
+  noted in ray_guide (the pair set, not the corpus, bounds driver memory —
+  ``max_pairs`` guards it).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prompture_ray.functions.sketches import (
+    MinHasher, hash64, simhash64, hamming_distance64,
+)
+from prompture_ray.functions.textfuncs import normalize_strings, normalize_text
+
+DEFAULT_SHINGLE_K = 5
+DEFAULT_JACCARD = 0.8
+DEFAULT_COSINE = 0.92
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+def add_content_hash(ds, col: str, out_col: str = "content_hash",
+                     normalize: bool = True):
+    """Vectorized content-hash column (int64 view of the 64-bit hash)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if normalize:
+            arr = normalize_strings(arr)
+        vals = np.asarray(arr.to_pylist(), dtype=object)
+        null_or_empty = np.array([v is None or v == "" for v in vals],
+                                 dtype=bool)
+        h = hash64(np.where(null_or_empty, "", vals)).astype(np.int64)
+        t = t.append_column(out_col, pa.array(h, type=pa.int64()))
+        return t.append_column(out_col + "_empty",
+                               pa.array(null_or_empty))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def dedup_exact(ds, col: str, order_col: str,
+                normalize: bool = True, hash_col: str = "content_hash"):
+    """First-occurrence-wins exact dedup under canonical order
+    ``order_col`` (the distributed form of dedup.py:73-96). Returns the
+    kept rows (original columns)."""
+    hashed = add_content_hash(ds, col, hash_col, normalize)
+    # empty keys are dropped outright (reference dedup.py:83-85)
+    hashed = hashed.map_batches(
+        lambda t: t.filter(pc.invert(t[hash_col + "_empty"])),
+        batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(order_col, kind="mergesort").head(1)
+
+    out = hashed.groupby(hash_col).map_groups(keep_first,
+                                              batch_format="pandas")
+    return out.drop_columns([hash_col, hash_col + "_empty"])
+
+
+def dedup_exact_stats(ds, col: str, normalize: bool = True):
+    """(total, kept, removed) counters — FilterStats-style summary
+    (reference filters.py:172-192 / dedup removed_count)."""
+    from ray.data.aggregate import Sum
+    hashed = add_content_hash(ds, col, "content_hash", normalize)
+
+    def partial(t: pa.Table) -> pa.Table:
+        n_empty = int(pc.sum(pc.cast(t["content_hash_empty"],
+                                     pa.int64())).as_py() or 0)
+        t = t.filter(pc.invert(t["content_hash_empty"]))
+        arr = t["content_hash"]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        vc = arr.value_counts()
+        out = pa.table({"content_hash": vc.field("values"),
+                        "n": pc.cast(vc.field("counts"), pa.int64())})
+        if n_empty:
+            # sentinel row carrying the empty-key count (content_hash null)
+            out = pa.concat_tables([out, pa.table({
+                "content_hash": pa.array([None], type=pa.int64()),
+                "n": pa.array([n_empty], type=pa.int64())})])
+        return out
+
+    agg = hashed.map_batches(partial, batch_format="pyarrow") \
+                .groupby("content_hash").aggregate(Sum("n", alias_name="n"))
+    df = agg.to_pandas()
+    if df.empty:  # empty input: map_batches never ran, no columns exist
+        return {"total": 0, "kept": 0, "removed": 0, "empty_dropped": 0}
+    empty_mask = df["content_hash"].isna()
+    empty = int(df.loc[empty_mask, "n"].sum())
+    real = df[~empty_mask]
+    total = int(df["n"].sum())
+    kept = int(len(real))
+    return {"total": total, "kept": kept,
+            "removed": int(total - empty - kept),
+            "empty_dropped": int(empty)}
+
+
+# ---------------------------------------------------------------------------
+# shingling / signatures (vectorized per batch)
+# ---------------------------------------------------------------------------
+def char_shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
+    """Hashes of the char-k-shingle set (reference dedup.py:104-115:
+    normalized text, set semantics)."""
+    if text is None:
+        return np.empty(0, dtype=np.uint64)
+    if len(text) < k:
+        shingles = [text] if text else []
+    else:
+        shingles = list({text[i:i + k] for i in range(len(text) - k + 1)})
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return hash64(np.asarray(shingles, dtype=object))
+
+
+def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
+    toks = text.split() if text else []
+    if len(toks) < n:
+        grams = [" ".join(toks)] if toks else []
+    else:
+        grams = list({" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)})
+    if not grams:
+        return np.empty(0, dtype=np.uint64)
+    return hash64(np.asarray(grams, dtype=object))
+
+
+class MinHashStage:
+    """Actor-pool stage: text column → minhash signature + LSH band keys.
+
+    Emits one row per (doc × band): ``{id, band, band_key, sig}`` — the
+    shingle→minhash→band→bucket pipeline (SURVEY §2.7). Permutation tables
+    are built once per actor in ``__init__``.
+    """
+
+    def __init__(self, text_col: str, id_col: str, n_perm: int = 128,
+                 n_bands: int = 16, shingle_k: int = DEFAULT_SHINGLE_K,
+                 normalize: bool = True):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.mh = MinHasher(n_perm=n_perm)
+        self.n_bands = n_bands
+        self.shingle_k = shingle_k
+        self.normalize = normalize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = t[self.text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self.normalize:
+            arr = normalize_strings(arr)
+        texts = arr.to_pylist()
+        ids = t[self.id_col].to_pylist()
+        out_id, out_band, out_key, out_sig = [], [], [], []
+        for i, txt in enumerate(texts):
+            sh = char_shingle_hashes(txt, self.shingle_k)
+            if sh.size == 0:
+                continue
+            sig = self.mh.sig(sh)
+            keys = self.mh.band_keys(sig, self.n_bands)
+            for b in range(self.n_bands):
+                out_id.append(ids[i])
+                out_band.append(b)
+                out_key.append(np.int64(keys[b].astype(np.int64)))
+                out_sig.append(sig.astype(np.int64).tobytes())
+        return pa.table({
+            "id": pa.array(out_id),
+            "band": pa.array(out_band, type=pa.int32()),
+            "band_key": pa.array(out_key, type=pa.int64()),
+            "sig": pa.array(out_sig, type=pa.binary()),
+        })
+
+
+def minhash_candidate_pairs(ds, text_col: str, id_col: str,
+                            n_perm: int = 128, n_bands: int = 16,
+                            shingle_k: int = DEFAULT_SHINGLE_K,
+                            threshold: float = DEFAULT_JACCARD,
+                            max_bucket: int = 200):
+    """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
+
+    shingle→minhash in map_batches → groupby (band, band_key) → pairwise
+    signature comparison inside each bucket (bucket size capped to bound
+    worst-case quadratic work; oversized buckets are heads — log+cap, no
+    silent drop of the whole bucket).
+    """
+    sigs = ds.map_batches(
+        MinHashStage(text_col, id_col, n_perm, n_bands, shingle_k),
+        batch_format="pyarrow", batch_size=2048)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = g.sort_values("id", kind="mergesort").head(max_bucket)
+        ids = g["id"].to_numpy()
+        mat = np.stack([np.frombuffer(b, dtype=np.int64)
+                        for b in g["sig"]])
+        a_idx, b_idx, est = [], [], []
+        for i in range(len(ids) - 1):
+            eq = (mat[i + 1:] == mat[i]).mean(axis=1)
+            hit = np.where(eq >= threshold)[0]
+            for j in hit:
+                a_idx.append(ids[i])
+                b_idx.append(ids[i + 1 + j])
+                est.append(eq[j])
+        return pd.DataFrame({"id_a": a_idx, "id_b": b_idx,
+                             "est_jaccard": np.asarray(est, dtype=np.float64)})
+
+    pairs = sigs.groupby(["band", "band_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    # dedupe pairs discovered in multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+def _components(pairs: pd.DataFrame) -> dict:
+    """Union-find over verified pairs → {id: component_root}."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            ra, rb = (ra, rb) if str(ra) <= str(rb) else (rb, ra)
+            parent[rb] = ra
+    return {x: find(x) for x in list(parent)}
+
+
+def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
+                  **kw):
+    """Near-dup dedup: keep the canonical min id of each duplicate
+    component. Returns (kept Dataset, stats dict)."""
+    import ray
+    pairs = minhash_candidate_pairs(ds, text_col, id_col, **kw).to_pandas()
+    if len(pairs) > max_pairs:
+        raise RuntimeError(
+            f"near-dup pair set too large for driver union-find "
+            f"({len(pairs)} > {max_pairs}); raise max_pairs or use "
+            f"label propagation")
+    comp = _components(pairs)
+    drop = {x for x, root in comp.items() if x != root}
+    drop_ref = ray.put(drop)
+
+    def keep(t: pa.Table) -> pa.Table:
+        d = ray.get(drop_ref)
+        ids = t[id_col].to_pylist()
+        mask = pa.array([i not in d for i in ids])
+        return t.filter(mask)
+
+    kept = ds.map_batches(keep, batch_format="pyarrow")
+    return kept, {"pairs": int(len(pairs)), "removed": len(drop),
+                  "components": len({r for r in comp.values()})}
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup
+# ---------------------------------------------------------------------------
+class SimHashStage:
+    """text → 64-bit simhash + 4×16-bit chunk keys for bucketing.
+
+    Two docs within Hamming distance 3 share at least one identical 16-bit
+    chunk (pigeonhole), so chunk-bucketing finds all such pairs."""
+
+    def __init__(self, text_col: str, id_col: str, normalize: bool = True):
+        self.text_col = text_col
+        self.id_col = id_col
+        self.normalize = normalize
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        arr = t[self.text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if self.normalize:
+            arr = normalize_strings(arr)
+        texts = arr.to_pylist()
+        ids = t[self.id_col].to_pylist()
+        out_id, out_chunk, out_key, out_sh = [], [], [], []
+        for i, txt in enumerate(texts):
+            toks = txt.split() if txt else []
+            if not toks:
+                continue
+            th = hash64(np.asarray(list(set(toks)), dtype=object))
+            sh = simhash64(th)
+            for cidx in range(4):
+                out_id.append(ids[i])
+                out_chunk.append(cidx)
+                out_key.append((sh >> (16 * cidx)) & 0xFFFF)
+                out_sh.append(np.int64(np.uint64(sh).astype(np.int64)))
+        return pa.table({
+            "id": pa.array(out_id),
+            "chunk": pa.array(out_chunk, type=pa.int32()),
+            "chunk_key": pa.array(out_key, type=pa.int32()),
+            "simhash": pa.array(out_sh, type=pa.int64()),
+        })
+
+
+def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
+                  max_bucket: int = 500):
+    """Pairs within Hamming ≤ max_hamming via chunk bucketing."""
+    sigs = ds.map_batches(SimHashStage(text_col, id_col),
+                          batch_format="pyarrow", batch_size=2048)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = g.sort_values("id", kind="mergesort").head(max_bucket)
+        ids = g["id"].to_numpy()
+        hs = g["simhash"].to_numpy().astype(np.int64).astype(np.uint64)
+        a_l, b_l, d_l = [], [], []
+        for i in range(len(ids) - 1):
+            d = hamming_distance64(hs[i + 1:], hs[i])
+            hit = np.where(d <= max_hamming)[0]
+            for j in hit:
+                a_l.append(ids[i])
+                b_l.append(ids[i + 1 + j])
+                d_l.append(int(d[j]))
+        return pd.DataFrame({"id_a": a_l, "id_b": b_l,
+                             "hamming": np.asarray(d_l, dtype=np.int64)})
+
+    pairs = sigs.groupby(["chunk", "chunk_key"]).map_groups(
+        bucket_pairs, batch_format="pandas")
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard verification (for candidate pairs)
+# ---------------------------------------------------------------------------
+def verify_jaccard_pairs(ds, pairs_df: pd.DataFrame, text_col: str,
+                         id_col: str, k: int = DEFAULT_SHINGLE_K,
+                         threshold: float = DEFAULT_JACCARD) -> pd.DataFrame:
+    """Exact Jaccard over char-k shingles for a candidate pair set —
+    fetches only the needed docs (broadcast id set → filter)."""
+    import ray
+    need = set(pairs_df["id_a"]) | set(pairs_df["id_b"])
+    need_ref = ray.put(need)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        n = ray.get(need_ref)
+        mask = pa.array([i in n for i in ids])
+        return t.select([id_col, text_col]).filter(mask)
+
+    docs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    text_of = dict(zip(docs[id_col], docs[text_col]))
+    out = []
+    for a, b in zip(pairs_df["id_a"], pairs_df["id_b"]):
+        sa = set(char_shingle_hashes(normalize_text(text_of.get(a, "") or ""), k))
+        sb = set(char_shingle_hashes(normalize_text(text_of.get(b, "") or ""), k))
+        j = len(sa & sb) / len(sa | sb) if (sa or sb) else 0.0
+        out.append(j)
+    pairs_df = pairs_df.copy()
+    pairs_df["jaccard"] = out
+    return pairs_df[pairs_df["jaccard"] >= threshold]
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+class HyperplaneLSH:
+    """Random-hyperplane sign buckets for embeddings (seed-pinned)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 11):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.normal(size=(n_planes, dim)).astype(np.float32)
+
+    def bucket(self, mat: np.ndarray) -> np.ndarray:
+        signs = (mat @ self.planes.T) > 0
+        return (signs * (1 << np.arange(signs.shape[1]))).sum(axis=1)
+
+
+def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
+                            threshold: float = DEFAULT_COSINE,
+                            n_planes: int = 10, max_bucket: int = 1000):
+    """Cosine ≥ threshold pairs via hyperplane-LSH bucketing + in-bucket
+    verification (reference dedup_semantic semantics, dedup.py:199-272)."""
+    state = {}
+
+    def sig(t: pa.Table) -> pa.Table:
+        mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        if "lsh" not in state:
+            state["lsh"] = HyperplaneLSH(mat.shape[1], n_planes)
+        norm = np.linalg.norm(mat, axis=1, keepdims=True)
+        norm[norm == 0] = 1.0
+        unit = mat / norm
+        return pa.table({
+            "id": t[id_col],
+            "bucket": pa.array(state["lsh"].bucket(unit).astype(np.int64)),
+            "vec": pa.array([v.astype(np.float32).tobytes() for v in unit],
+                            type=pa.binary()),
+        })
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = g.sort_values("id", kind="mergesort").head(max_bucket)
+        ids = g["id"].to_numpy()
+        mat = np.stack([np.frombuffer(b, dtype=np.float32) for b in g["vec"]])
+        simm = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        sims = simm[iu]
+        hit = sims >= threshold
+        return pd.DataFrame({"id_a": ids[iu[0][hit]],
+                             "id_b": ids[iu[1][hit]],
+                             "cosine": sims[hit].astype(np.float64)})
+
+    return sigs.groupby("bucket").map_groups(bucket_pairs,
+                                             batch_format="pandas")

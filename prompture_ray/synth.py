@@ -103,8 +103,12 @@ def _make_html(rng: np.random.RandomState, title: str, paras: list[str]) -> byte
     return raw
 
 
-def gen_partition(pid: int, n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]:
-    """Generate one partition → (web_pages table, warc_records table)."""
+def gen_partition(pid: int, n: int, seed: int = 42,
+                  words_scale: float = 1.0) -> tuple[pa.Table, pa.Table]:
+    """Generate one partition → (web_pages table, warc_records table).
+
+    ``words_scale`` multiplies the page-body length (bench uses > 1 for
+    more realistic page sizes; unit tests keep the default)."""
     rng = np.random.RandomState(seed * 1_000_003 + pid)
 
     domains = rng.choice(_DOMAINS, size=n, p=_DOMAIN_P)
@@ -139,7 +143,8 @@ def gen_partition(pid: int, n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]
     lang_null = (r >= 0.01) & (r < 0.015)
 
     # html + text (log-normal length distribution)
-    n_words = np.clip(np.exp(rng.normal(3.9, 0.6, size=n)), 10, 800).astype(int)
+    n_words = np.clip(np.exp(rng.normal(3.9, 0.6, size=n)) * words_scale,
+                      10, 4000).astype(int)
     htmls: list[bytes] = []
     texts: list[str | None] = []
     corrupt = rng.random_sample(n)
@@ -183,7 +188,8 @@ def gen_partition(pid: int, n: int, seed: int = 42) -> tuple[pa.Table, pa.Table]
 
 
 def generate(out_dir: str | Path, n_rows: int, n_parts: int = 8,
-             seed: int = 42, use_ray: bool | None = None) -> dict:
+             seed: int = 42, use_ray: bool | None = None,
+             words_scale: float = 1.0) -> dict:
     """Write pages/part-{pid}.parquet + warc/part-{pid}.parquet under out_dir.
 
     Idempotent: skips generation if a _SYNTH_DONE marker with matching
@@ -192,7 +198,7 @@ def generate(out_dir: str | Path, n_rows: int, n_parts: int = 8,
     """
     out = Path(out_dir)
     marker = out / "_SYNTH_DONE"
-    stamp = f"rows={n_rows} parts={n_parts} seed={seed} v=1"
+    stamp = f"rows={n_rows} parts={n_parts} seed={seed} ws={words_scale} v=1"
     if marker.exists() and marker.read_text() == stamp:
         return {"out_dir": str(out), "cached": True,
                 "pages": sorted(str(p) for p in (out / "pages").glob("*.parquet"))}
@@ -203,7 +209,7 @@ def generate(out_dir: str | Path, n_rows: int, n_parts: int = 8,
            for i in range(n_parts)]
 
     def _write(pid: int, n: int) -> None:
-        pages, warc = gen_partition(pid, n, seed)
+        pages, warc = gen_partition(pid, n, seed, words_scale)
         pq.write_table(pages, out / "pages" / f"part-{pid:05d}.parquet")
         pq.write_table(warc, out / "warc" / f"part-{pid:05d}.parquet")
 
@@ -217,12 +223,12 @@ def generate(out_dir: str | Path, n_rows: int, n_parts: int = 8,
         import ray
 
         @ray.remote(num_cpus=1)
-        def _task(pid: int, n: int, o: str, s: int) -> None:
-            pages, warc = gen_partition(pid, n, s)
+        def _task(pid: int, n: int, o: str, s: int, ws: float) -> None:
+            pages, warc = gen_partition(pid, n, s, ws)
             pq.write_table(pages, os.path.join(o, "pages", f"part-{pid:05d}.parquet"))
             pq.write_table(warc, os.path.join(o, "warc", f"part-{pid:05d}.parquet"))
 
-        ray.get([_task.remote(pid, per[pid], str(out), seed)
+        ray.get([_task.remote(pid, per[pid], str(out), seed, words_scale)
                  for pid in range(n_parts)])
     else:
         for pid in range(n_parts):

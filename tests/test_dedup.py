@@ -1,0 +1,102 @@
+"""Dedup semantics: exact first-wins, MinHash-LSH near-dup, SimHash,
+embedding cosine — against small constructed corpora with known duplicate
+structure (reference dedup.py:73-169,199-272 semantics)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages import dedup as dd
+
+
+def corpus():
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog near the river bank today"),
+        (1, "the QUICK brown fox, jumps over the lazy dog near the river bank today"),  # exact dup of 0 after normalize
+        (2, "The quick brown fox jumps over the lazy dog near the river bank yesterday"),  # near dup of 0
+        (3, "completely different content about distributed data processing engines"),
+        (4, "another unrelated document discussing arrow columnar formats and ray"),
+        (5, ""),                                          # empty → dropped in exact dedup
+        (6, "completely different content about distributed data processing engines"),  # exact dup of 3
+    ]
+    return pa.table({"doc_id": [r[0] for r in rows],
+                     "text": [r[1] for r in rows]})
+
+
+@pytest.fixture(scope="module")
+def ds(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(corpus())
+
+
+def test_dedup_exact_first_wins(ds):
+    kept = dd.dedup_exact(ds, "text", order_col="doc_id").to_pandas()
+    kept_ids = sorted(kept["doc_id"])
+    # 0/1 collapse → keep 0; 3/6 collapse → keep 3; 5 empty dropped
+    assert kept_ids == [0, 2, 3, 4]
+
+
+def test_dedup_exact_stats(ds):
+    s = dd.dedup_exact_stats(ds, "text")
+    assert s == {"total": 7, "kept": 4, "removed": 2, "empty_dropped": 1}
+
+
+def test_shingle_hashes_set_semantics():
+    a = dd.char_shingle_hashes("abcabc", 3)
+    assert len(a) == len(set(a.tolist()))  # sets, not multisets
+    assert dd.char_shingle_hashes("", 3).size == 0
+    assert dd.char_shingle_hashes("ab", 3).size == 1  # short text → whole text
+
+
+def test_minhash_candidates_find_near_dups(ds, ray_session):
+    pairs = dd.minhash_candidate_pairs(
+        ds, "text", "doc_id", threshold=0.6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got        # exact dup must be found
+    assert (0, 2) in got or (1, 2) in got   # near dup found
+    assert not any({3, 4} == set(p) for p in got)  # unrelated not paired
+
+
+def test_dedup_minhash_components(ds, ray_session):
+    kept, stats = dd.dedup_minhash(ds, "text", "doc_id", threshold=0.6)
+    kept_ids = set(kept.to_pandas()["doc_id"])
+    # component {0,1,2} keeps min id 0; {3,6} keeps 3
+    assert 0 in kept_ids and 3 in kept_ids
+    assert 1 not in kept_ids and 6 not in kept_ids
+    assert stats["removed"] >= 3
+
+
+def test_simhash_pairs(ds, ray_session):
+    pairs = dd.simhash_pairs(ds, "text", "doc_id", max_hamming=6).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert not any({0, 3} == set(p) for p in got)
+
+
+def test_verify_jaccard_exact(ds, ray_session):
+    cand = pd.DataFrame({"id_a": [0, 0], "id_b": [1, 3]})
+    verified = dd.verify_jaccard_pairs(ds, cand, "text", "doc_id",
+                                       threshold=0.8)
+    assert list(verified["id_b"]) == [1]   # 0-1 identical post-normalize; 0-3 unrelated
+    assert verified["jaccard"].iloc[0] == 1.0
+
+
+def test_embedding_neardup(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(0)
+    base = rng.normal(size=32)
+    rows = {
+        "vec_id": [0, 1, 2, 3],
+        "embedding": [base, base + rng.normal(scale=0.01, size=32),
+                      rng.normal(size=32), -base],
+    }
+    ds = rd.from_arrow(pa.table({
+        "vec_id": rows["vec_id"],
+        "embedding": pa.array([list(map(float, v)) for v in rows["embedding"]],
+                              type=pa.list_(pa.float32()))}))
+    pairs = dd.embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                       threshold=0.95).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 1) in got
+    assert not any({0, 3} == set(p) for p in got)

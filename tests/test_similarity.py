@@ -1,0 +1,75 @@
+"""Similarity search: brute-force cosine top-k (exact baseline), LSH
+variant (recall), RRF fusion."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def embedded(ray_session):
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(200, 16)).astype(np.float64)
+    return rd.from_arrow(pa.table({
+        "vec_id": list(range(200)),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              type=pa.list_(pa.float32())),
+    })), mat
+
+
+def brute_oracle(mat, q, k, exclude):
+    u = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    qq = q / np.linalg.norm(q)
+    sims = u @ qq
+    order = np.lexsort((np.arange(len(sims)), -sims))
+    out = [i for i in order if i != exclude][:k]
+    return out
+
+
+def test_knn_brute_force_matches_numpy_oracle(embedded):
+    ds, mat = embedded
+    queries = mat[[0, 5, 17]]
+    res = sim.knn_brute_force(ds, "embedding", "vec_id", queries,
+                              k=5, query_ids=[0, 5, 17]).to_pandas()
+    assert len(res) == 15
+    for qid in (0, 5, 17):
+        got = res[res["query_id"] == qid].sort_values(
+            ["cosine", "id"], ascending=[False, True])["id"].tolist()
+        # float32 round-trip of stored embeddings → compare against the
+        # same-precision oracle
+        mat32 = mat.astype(np.float32).astype(np.float64)
+        expect = brute_oracle(mat32, mat[qid], 5, qid)
+        assert got == expect, (qid, got, expect)
+
+
+def test_knn_lsh_recall(embedded):
+    ds, mat = embedded
+    qids = [0, 5, 17, 40, 99]
+    queries = mat[qids]
+    exact = sim.knn_brute_force(ds, "embedding", "vec_id", queries, k=5,
+                                query_ids=qids).to_pandas()
+    approx = sim.knn_lsh(ds, "embedding", "vec_id", queries, k=5,
+                         query_ids=qids, n_planes=4).to_pandas()
+    # recall over the probed buckets: each query finds itself's bucket, so
+    # at least SOME of the true top-5 should appear
+    hits = 0
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["id"])
+        a = set(approx[approx["query_id"] == qid]["id"])
+        hits += len(e & a)
+    assert hits >= 5  # ≥20% aggregate recall with 4 planes on random data
+
+
+def test_rrf_fusion():
+    l1 = pd.DataFrame({"id": ["a", "b", "c"]})
+    l2 = pd.DataFrame({"id": ["b", "a", "d"]})
+    out = sim.reciprocal_rank_fusion([l1, l2], k=60)
+    assert out["id"].tolist()[0] in ("a", "b")
+    assert set(out["id"]) == {"a", "b", "c", "d"}
+    # a and b tie-break deterministically: both rank (1,2) → equal score →
+    # lexicographic
+    assert out["id"].tolist()[:2] == ["a", "b"]

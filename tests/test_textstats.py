@@ -1,0 +1,72 @@
+"""Text analysis stages: token counts, quality features, language ID,
+fingerprints, filter stats."""
+
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "The quick brown fox jumps over the lazy dog and runs far away today",
+            "der hund und die katze sind nicht mit dem vogel ein haus",
+            "!!! ??? ...",
+            "le chat est dans la maison pour le moment avec une souris",
+        ],
+    }))
+
+
+def test_token_counts(docs):
+    out = ts.add_token_counts(docs, "text").to_pandas().sort_values("doc_id")
+    assert out["n_ws_tokens"].tolist() == [14, 12, 3, 12]
+    assert (out["n_bpe_tokens"] >= out["n_ws_tokens"]).all()
+
+
+def test_quality_features_and_score(docs):
+    out = ts.add_quality_score(docs, "text").to_pandas().sort_values("doc_id")
+    assert out.loc[out["doc_id"] == 2, "keep"].iloc[0] == False  # noqa: E712
+    assert out.loc[out["doc_id"] == 0, "keep"].iloc[0] == True   # noqa: E712
+    assert out.loc[out["doc_id"] == 2, "drop_reason"].iloc[0] in (
+        "drop:short_text", "drop:punct_heavy")
+    s = out.loc[out["doc_id"] == 0, "quality_score"].iloc[0]
+    assert 0 < s <= 1
+
+
+def test_filter_stats_shape(docs):
+    flagged = ts.add_quality_score(docs, "text")
+    stats = ts.filter_stats(flagged)
+    assert stats["total_in"] == 4
+    assert stats["total_out"] == 3
+    assert sum(stats["dropped_by_reason"].values()) == 1
+    assert 0 < stats["drop_rate"] < 1
+
+
+def test_langid(docs):
+    out = docs.map_batches(ts.LangIdStage("text"),
+                           batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id")
+    assert out["lang_pred"].tolist()[0] == "en"
+    assert out["lang_pred"].tolist()[1] in ("de", "nl")
+    assert out["lang_pred"].tolist()[3] == "fr"
+
+
+def test_fingerprint_stable_and_discriminative(docs, ray_session):
+    import ray.data as rd
+    fp = ts.fingerprint_docs(docs, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id")
+    fp2 = ts.fingerprint_docs(docs, "text", "doc_id").to_pandas() \
+        .sort_values("doc_id")
+    assert fp["fingerprint"].tolist() == fp2["fingerprint"].tolist()
+    vals = fp["fingerprint"].dropna().tolist()
+    assert len(set(vals)) == len(vals)  # distinct docs → distinct fingerprints
+    # identical doc → identical fingerprint
+    dup = rd.from_arrow(pa.table({
+        "doc_id": [10],
+        "text": ["The quick brown fox jumps over the lazy dog and runs far away today"]}))
+    fpd = ts.fingerprint_docs(dup, "text", "doc_id").to_pandas()
+    assert fpd["fingerprint"].iloc[0] == fp["fingerprint"].iloc[0]
