@@ -424,3 +424,327 @@ ORACLE = {
     "ref_orders_customer": REF_ORDERS_CUSTOMER_SQL,
     "duplicate_custkeys_in_orders": DUP_CUSTKEYS_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# dedup / text-analysis / similarity / windows / as-of (operator coverage)
+# --------------------------------------------------------------------------
+
+# DuckDB's RE2 \w is ASCII-only while Python's is unicode; the documents
+# text is ASCII so the two normalizations coincide on this data.
+_NORM_SQL = ("trim(regexp_replace(regexp_replace(lower(text), "
+             "'[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))")
+
+
+def dedup_exact_docs(sf_dir: str):
+    """Exact first-wins dedup on normalized text (distributed groupby form
+    of reference dedup.py:73-96); returns the kept doc_ids."""
+    from prompture_ray.stages.dedup import dedup_exact
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept = dedup_exact(ds, "text", order_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+DEDUP_EXACT_DOCS_SQL = f"""
+SELECT min(doc_id) AS doc_id FROM documents
+WHERE {_NORM_SQL} <> ''
+GROUP BY {_NORM_SQL}
+"""
+
+
+def doc_token_rows(sf_dir: str):
+    """Per-doc token/char counts (vectorized regex kernels)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ws_tokens": pc.cast(
+                pc.count_substring_regex(t["text"], r"\S+"), pa.int64()),
+            "text_len": pc.cast(pc.utf8_length(t["text"]), pa.int64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+DOC_TOKEN_ROWS_SQL = """
+SELECT doc_id, len(regexp_extract_all(text, '\\S+'))::BIGINT AS n_ws_tokens,
+       length(text)::BIGINT AS text_len
+FROM documents
+"""
+
+
+def quality_flags_docs(sf_dir: str):
+    """Quality filter verdicts with first-failure reasons (QualityFilter
+    semantics, reference filters.py:229-255)."""
+    from prompture_ray.stages.textstats import add_quality_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_quality_score(ds, "text")
+    return out.select_columns(["doc_id", "keep", "drop_reason"])
+
+
+QUALITY_FLAGS_SQL = """
+SELECT doc_id,
+       (NOT (len(regexp_extract_all(text, '\\S+')) < 5
+             OR len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                / greatest(length(text), 1) > 0.3)) AS keep,
+       CASE WHEN len(regexp_extract_all(text, '\\S+')) < 5
+            THEN 'drop:short_text'
+            WHEN len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+                 / greatest(length(text), 1) > 0.3
+            THEN 'drop:punct_heavy' END AS drop_reason
+FROM documents
+"""
+
+
+def knn_embeddings(sf_dir: str):
+    """Brute-force cosine top-3 of embeddings 0,1,2 vs the corpus
+    (broadcast query matrix + per-batch partial top-k)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    from prompture_ray.stages.similarity import knn_brute_force
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    queries = np.stack(qt.slice(0, 3)["embedding"].to_pylist()).astype(np.float64)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    res = knn_brute_force(ds, "embedding", "vec_id", queries, k=3,
+                          query_ids=[0, 1, 2])
+    out = res.to_pandas()[["query_id", "id"]].rename(columns={"id": "neighbor_id"})
+    return pa.table({"query_id": pa.array(out["query_id"], type=pa.int64()),
+                     "neighbor_id": pa.array(out["neighbor_id"], type=pa.int64())})
+
+
+KNN_EMBEDDINGS_SQL = """
+SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id
+FROM embeddings q, embeddings e
+WHERE q.vec_id IN (0, 1, 2) AND e.vec_id <> q.vec_id
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                    e.embedding::DOUBLE[]) DESC,
+             e.vec_id) <= 3
+"""
+
+
+def sessions_per_user(sf_dir: str):
+    """Session windows (30-min gap) per user — groupby.map_groups over the
+    sorted per-key log (stream-shaped operator, SURVEY §2.9)."""
+    from prompture_ray.stages.windows import session_counts
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return session_counts(ds, "user_id", "ts", gap="30min")
+
+
+SESSIONS_SQL = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions,
+       count(*)::BIGINT AS n_events
+FROM d GROUP BY user_id
+"""
+
+
+def asof_event_order(sf_dir: str):
+    """As-of join: for each event, the latest order date of that customer
+    at event time (broadcast as-of; bucketed merge_asof beyond threshold)."""
+    import pyarrow.parquet as pq
+    from prompture_ray.stages.joins import broadcast_asof_join
+    orders = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = broadcast_asof_join(ds, orders, key="user_id", ts="ts",
+                              right_key="o_custkey", right_ts="o_orderdate",
+                              value_cols=[], inner=True)
+    df = out.to_pandas()[["event_id", "o_orderdate"]] \
+            .rename(columns={"o_orderdate": "last_order_ts"})
+    return pa.table({
+        "event_id": pa.array(df["event_id"], type=pa.int64()),
+        "last_order_ts": pa.array(df["last_order_ts"],
+                                  type=pa.timestamp("us")),
+    })
+
+
+ASOF_SQL = """
+SELECT e.event_id, o.o_orderdate AS last_order_ts
+FROM events e ASOF JOIN orders o
+  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+"""
+
+
+# ---- rows-only operators (no SQL equivalent; driver records row counts) --
+
+def minhash_dedup_docs(sf_dir: str):
+    """MinHash-LSH near-dup dedup over documents → kept doc_ids."""
+    from prompture_ray.stages.dedup import dedup_minhash
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    kept, _stats = dedup_minhash(ds, "text", "doc_id", threshold=0.8)
+    return kept.select_columns(["doc_id"])
+
+
+def simhash_docs(sf_dir: str):
+    """64-bit SimHash per document (as int64)."""
+    from prompture_ray.stages.dedup import SimHashStage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sigs = ds.map_batches(SimHashStage("text", "doc_id"),
+                          batch_format="pyarrow", batch_size=2048)
+    import pandas as pd
+    df = sigs.to_pandas()
+    one = df[df["chunk"] == 0][["id", "simhash"]] \
+        .rename(columns={"id": "doc_id"})
+    return pa.table({"doc_id": pa.array(one["doc_id"], type=pa.int64()),
+                     "simhash": pa.array(one["simhash"], type=pa.int64())})
+
+
+def fingerprint_docs_q(sf_dir: str):
+    from prompture_ray.stages.textstats import fingerprint_docs
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint_docs(ds, "text", "doc_id")
+
+
+def langid_docs(sf_dir: str):
+    from prompture_ray.stages.textstats import LangIdStage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(LangIdStage("text"), batch_format="pyarrow",
+                          batch_size=1024, concurrency=2) \
+             .select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def embedding_neardup_docs(sf_dir: str):
+    """Cosine ≥ 0.92 near-dup pairs over the embeddings table."""
+    from prompture_ray.stages.dedup import embedding_neardup_pairs
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.92)
+
+
+def sketch_profile(sf_dir: str):
+    """Approximate profile: HLL cardinalities + KLL quantiles as rows
+    (mergeable-sketch tree reduction; estimates, so rows-only)."""
+    from prompture_ray.specs import Suite
+    from prompture_ray.stages.stats import StatsAccumulator
+    suite = Suite.from_dict({"meta": {}, "checks": [
+        {"id": "text-kll", "column": "text", "kind": "stats",
+         "sketches": ["kll"]},
+        {"id": "lang-top", "column": "lang", "kind": "stats",
+         "sketches": ["countmin", "topk"]},
+        {"id": "doc-card", "column": "doc_id", "kind": "stats",
+         "sketches": ["hll"]},
+    ]})
+    checks = suite.table_checks
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        acc = StatsAccumulator(checks)
+        acc.update(t)
+        return pa.table({"blob": pa.array([acc.dumps()], type=pa.binary())})
+
+    acc = StatsAccumulator(checks)
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for blob in b["blob"].to_pylist():
+            acc.merge_bytes(blob)
+    s = acc.summaries()
+    rows = []
+    rows.append(("doc_id_hll", float(s["doc-card"]["hll"]["estimate"])))
+    for q, v in s["text-kll"]["kll"]["quantiles"].items():
+        rows.append((f"text_len_q{q}", float(v)))
+    for lang, n in s["lang-top"]["topk"]["top"]:
+        rows.append((f"lang_top_{lang}", float(n)))
+    return pa.table({"stat": pa.array([r[0] for r in rows]),
+                     "value": pa.array([r[1] for r in rows],
+                                       type=pa.float64())})
+
+
+def media_features(sf_dir: str):
+    """Multimodal plumbing: deterministic fake decode over a synthetic
+    media table (image dims + feature vectors; real decoders stubbed)."""
+    import ray.data as rd
+    from prompture_ray.stages.multimodal import (
+        synth_media_table, ImageDecodeStage)
+    media = rd.from_arrow(synth_media_table(60))
+    imgs = media.filter(lambda r: r["kind"] == "image")
+    out = imgs.map_batches(ImageDecodeStage, batch_format="pyarrow",
+                           batch_size=8, concurrency=2).to_pandas()
+    return pa.table({
+        "media_id": pa.array(out["media_id"], type=pa.string()),
+        "width": pa.array(out["width"], type=pa.int32()),
+        "height": pa.array(out["height"], type=pa.int32()),
+    })
+
+
+def drift_events(sf_dir: str):
+    """Distribution drift: PSI/KS of event values in the second half of the
+    month vs the first half (pinned-baseline pattern, per event_type)."""
+    import datetime as dt
+    from prompture_ray.functions.sketches import Hist, psi, ks_from_hist
+    split = dt.datetime(2024, 1, 16)
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+    def partial(t: pa.Table):
+        first = t.filter(pc.less(t["ts"], pa.scalar(split)))
+        second = t.filter(pc.greater_equal(t["ts"], pa.scalar(split)))
+        out = []
+        for name, sub in (("base", first), ("live", second)):
+            for et in pc.unique(sub["event_type"]).to_pylist():
+                rows = sub.filter(pc.equal(sub["event_type"], et))
+                h = Hist(np.linspace(0, 500, 33))
+                h.update_array(rows["value"].to_numpy(zero_copy_only=False))
+                out.append({"side": name, "event_type": et,
+                            "counts": h.counts.tobytes()})
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {"side": pa.array([], type=pa.string()),
+             "event_type": pa.array([], type=pa.string()),
+             "counts": pa.array([], type=pa.binary())})
+
+    merged: dict = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            key = (row["side"], row["event_type"])
+            arr = np.frombuffer(row["counts"], dtype=np.int64)
+            merged[key] = merged.get(key, 0) + arr
+    rows = []
+    types = sorted({k[1] for k in merged})
+    for et in types:
+        base = merged.get(("base", et))
+        live = merged.get(("live", et))
+        if base is None or live is None:
+            continue
+        b_p = base / base.sum() if base.sum() else base
+        l_p = live / live.sum() if live.sum() else live
+        rows.append({"event_type": et,
+                     "psi": round(psi(b_p, l_p), 6),
+                     "ks": round(ks_from_hist(base, live), 6)})
+    import pandas as pd
+    return pd.DataFrame(rows)
+
+
+QUERIES.update({
+    "dedup_exact_docs": dedup_exact_docs,
+    "doc_token_rows": doc_token_rows,
+    "quality_flags_docs": quality_flags_docs,
+    "knn_embeddings": knn_embeddings,
+    "sessions_per_user": sessions_per_user,
+    "asof_event_order": asof_event_order,
+    "minhash_dedup_docs": minhash_dedup_docs,
+    "simhash_docs": simhash_docs,
+    "fingerprint_docs": fingerprint_docs_q,
+    "langid_docs": langid_docs,
+    "embedding_neardup_docs": embedding_neardup_docs,
+    "sketch_profile": sketch_profile,
+    "media_features": media_features,
+    "drift_events": drift_events,
+})
+
+ORACLE.update({
+    "dedup_exact_docs": DEDUP_EXACT_DOCS_SQL,
+    "doc_token_rows": DOC_TOKEN_ROWS_SQL,
+    "quality_flags_docs": QUALITY_FLAGS_SQL,
+    "knn_embeddings": KNN_EMBEDDINGS_SQL,
+    "sessions_per_user": SESSIONS_SQL,
+    "asof_event_order": ASOF_SQL,
+})

@@ -1,0 +1,148 @@
+"""Join strategies: broadcast hash join / semi / anti, as-of join.
+
+The reference has no relational join — only broadcast dict lookups
+(prompture/infra/model_rates.py:257-278) and the KG entity lookup
+(prompture/kg/core.py:63-76). These generalize that to datasets:
+
+- broadcast join: small side → ``ray.put`` once, vectorized lookup per
+  batch (no shuffle) — the default for dimension tables.
+- bucketed as-of join: both sides hash-bucketed on the key; per bucket a
+  ``pd.merge_asof`` over ts-sorted frames (ray_guide as-of pattern). Used
+  when the right side exceeds the broadcast threshold.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# broadcast hash join
+# ---------------------------------------------------------------------------
+
+
+def broadcast_join(ds, right_df: "pd.DataFrame", on: str, how: str = "inner",
+                   right_on: str | None = None):
+    """Map-side join against a broadcast small side (pandas merge per
+    batch). ``right_df`` ships through the object store ONCE."""
+    import ray
+    right_on = right_on or on
+    ref = ray.put(right_df)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        r = ray.get(ref)
+        return batch.merge(r, how=how, left_on=on, right_on=right_on)
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def broadcast_semi_join(ds, keys, on: str, anti: bool = False):
+    """Semi (or anti) join against a broadcast key collection."""
+    import ray
+    arr = np.sort(np.asarray(list(keys)))
+    ref = ray.put(arr)
+
+    def filt(batch: pd.DataFrame) -> pd.DataFrame:
+        k = ray.get(ref)
+        idx = np.searchsorted(k, batch[on].to_numpy())
+        idx = np.clip(idx, 0, len(k) - 1)
+        present = (k[idx] == batch[on].to_numpy()) if len(k) else \
+            np.zeros(len(batch), dtype=bool)
+        return batch[~present] if anti else batch[present]
+
+    return ds.map_batches(filt, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+def broadcast_asof_join(ds, right_df: "pd.DataFrame", key: str, ts: str,
+                        right_key: str | None = None, right_ts: str | None = None,
+                        value_cols: list[str] | None = None,
+                        inner: bool = True):
+    """As-of join with a broadcast right side: for each left row, the right
+    row with the greatest ``right_ts`` ≤ left ``ts`` among matching keys.
+
+    Right side is pre-sorted per key ONCE on the driver; each batch does a
+    per-key ``searchsorted`` — no shuffle. For a large right side use
+    ``bucketed_asof_join``.
+    """
+    import ray
+    right_key = right_key or key
+    right_ts = right_ts or ts
+    value_cols = value_cols or [c for c in right_df.columns
+                                if c not in (right_key, right_ts)]
+    prep: dict = {}
+    for k, g in right_df.sort_values(right_ts, kind="mergesort").groupby(right_key):
+        prep[k] = (g[right_ts].to_numpy(),
+                   {c: g[c].to_numpy() for c in [right_ts] + value_cols})
+    ref = ray.put(prep)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        out_cols: dict = {c: [] for c in [right_ts] + value_cols}
+        matched = np.zeros(len(batch), dtype=bool)
+        kv = batch[key].to_numpy()
+        tv = batch[ts].to_numpy()
+        for i in range(len(batch)):
+            entry = table.get(kv[i])
+            if entry is None:
+                for c in out_cols:
+                    out_cols[c].append(None)
+                continue
+            ts_arr, cols = entry
+            j = np.searchsorted(ts_arr, tv[i], side="right") - 1
+            if j < 0:
+                for c in out_cols:
+                    out_cols[c].append(None)
+                continue
+            matched[i] = True
+            for c in out_cols:
+                out_cols[c].append(cols[c][j])
+        out = batch.copy()
+        for c, vals in out_cols.items():
+            name = c if c not in out.columns else f"right_{c}"
+            out[name] = vals
+        return out[matched] if inner else out
+
+    return ds.map_batches(join, batch_format="pandas")
+
+
+def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
+                       right_key: str | None = None,
+                       right_ts: str | None = None,
+                       n_buckets: int = 32):
+    """Both-sides-large as-of join: hash-bucket on the key, per-bucket
+    ``pd.merge_asof`` over sorted frames (one narrow shuffle)."""
+    from prompture_ray.functions.sketches import hash64
+    right_key = right_key or key
+    right_ts = right_ts or ts
+
+    def tag(side, k):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            h = hash64(b[k].to_numpy())
+            b["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            b["__side"] = side
+            return b
+        return fn
+
+    tagged = left_ds.map_batches(tag("L", key), batch_format="pandas").union(
+        right_ds.map_batches(tag("R", right_key), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == "L"].drop(columns=["__bucket", "__side"])
+        right = g[g["__side"] == "R"].drop(columns=["__bucket", "__side"])
+        left = left.dropna(axis=1, how="all").sort_values(ts, kind="mergesort")
+        right = right.dropna(axis=1, how="all") \
+                     .sort_values(right_ts, kind="mergesort")
+        if left.empty or right.empty:
+            return left.iloc[0:0]
+        return pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
+                             left_by=key, right_by=right_key)
+
+    return tagged.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")

@@ -1,0 +1,93 @@
+"""Stream-shaped operators over an ordered, partitioned log (the `events`
+table): tumbling windows, session windows, running aggregates.
+
+Ray Data has no event-time window primitive (ray_guide: treat the input as
+a partitioned log; windows = ``groupby(key).map_groups`` over the sorted
+group). The ORDERING ASSUMPTION for every operator here: rows of one key
+fit in one group and are sorted by ``ts_col`` inside the UDF — correctness
+does not depend on input order, only on per-key grouping.
+
+Reference anchor: the reference's only streaming concern is in-order
+incremental parsing of one stream (prompture/extraction/streaming.py:272-297);
+these operators generalize that to keyed event-time logs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def tumbling_window(ds, ts_col: str, keys: list[str], unit: str = "hour",
+                    agg_col: str | None = None):
+    """Tumbling event-time window: floor ts to the unit inside map_batches
+    (no shuffle), then one grouped aggregate."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        w = pc.floor_temporal(t[ts_col], unit=unit)
+        cols = {k: t[k] for k in keys}
+        cols["window"] = w
+        if agg_col:
+            cols[agg_col] = t[agg_col]
+        return pa.table(cols)
+
+    aggs = [Count(alias_name="n")]
+    if agg_col:
+        aggs.append(Sum(agg_col, alias_name=f"sum_{agg_col}"))
+    return ds.map_batches(bucket, batch_format="pyarrow") \
+             .groupby(keys + ["window"]).aggregate(*aggs)
+
+
+def session_windows(ds, key_col: str, ts_col: str,
+                    gap: "pd.Timedelta | str" = "30min"):
+    """Session windows per key: a new session starts when the gap to the
+    previous event exceeds ``gap``. Returns one row per session:
+    (key, session_id, session_start, session_end, n_events)."""
+    gap_td = pd.Timedelta(gap)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col]
+        new = ts.diff() > gap_td
+        sid = new.cumsum()
+        out = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size"))
+        out = out.reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out.insert(1, "session_id", np.arange(len(out), dtype=np.int64))
+        return out
+
+    return ds.groupby(key_col).map_groups(sessions, batch_format="pandas")
+
+
+def session_counts(ds, key_col: str, ts_col: str,
+                   gap: "pd.Timedelta | str" = "30min"):
+    """(key, n_sessions, n_events) — compact sessionization rollup."""
+    gap_td = pd.Timedelta(gap)
+
+    def count_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].sort_values(kind="mergesort")
+        n_sessions = int((ts.diff() > gap_td).sum()) + 1
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]],
+                             "n_sessions": [n_sessions],
+                             "n_events": [len(g)]})
+
+    return ds.groupby(key_col).map_groups(count_sessions,
+                                          batch_format="pandas")
+
+
+def running_aggregate(ds, key_col: str, ts_col: str, value_col: str):
+    """Per-key running sum ordered by ts (reference-style stepwise
+    accumulation, core.py:1381-1440, keyed + distributed)."""
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort").copy()
+        g["running_sum"] = g[value_col].cumsum()
+        return g
+
+    return ds.groupby(key_col).map_groups(run, batch_format="pandas")
