@@ -30,7 +30,7 @@ BENCH_ROOT = Path(os.environ.get("GRAFT_BENCH_ROOT", "/tmp/prompture_ray_bench")
 # flagship input size scales with the sf dir (sf0.1 → 3M pages — large
 # enough that the parallel scan dominates fixed startup costs, which is
 # what the 8-vs-32-CPU scaling-efficiency criterion measures)
-_SF_ROWS = {"sf0.001": 8_000, "sf0.01": 40_000, "sf0.1": 4_500_000}
+_SF_ROWS = {"sf0.001": 8_000, "sf0.01": 40_000, "sf0.1": 9_000_000}
 
 
 def _sf_name() -> str:
@@ -89,6 +89,9 @@ def run_bench() -> dict:
     timings["flagship_webpages"] = round(t_flagship, 3)
     n_row_checks = len(suite.row_checks)
 
+    # probe the per-row UDF process-CPU cost at this worker count (feeds
+    # the contention-normalized efficiency; see run_scaling docstring)
+    udf_us = _probe_udf_cpu(data_dir)
     # ---- operator queries over the sf dir -------------------------------
     bench_queries = ["q1_lineitem", "events_hourly", "dedup_first_events",
                      "token_stats_by_lang", "ref_events_supplier",
@@ -112,31 +115,77 @@ def run_bench() -> dict:
             "rows": rows,
             "docs_per_s": round(rows / t_flagship, 1),
             "checks_per_s": round(rows * n_row_checks / t_flagship, 1),
+            "udf_us_per_row": udf_us,
         },
     }
 
 
+def _probe_udf_cpu(data_dir: Path, n_frags: int = 96) -> float:
+    """Per-row process-CPU time of the hot UDF with all workers busy."""
+    import ray.data as rd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def work(t):
+        import time as _t
+        from prompture_ray.functions.extract_html import extract_text
+        from prompture_ray.functions import limit_arrow_threads
+        limit_arrow_threads(1)
+        c0 = _t.process_time()
+        for v in t["html"].to_pylist():
+            extract_text(v)
+        return pa.table({"n": [t.num_rows], "cpu_s": [_t.process_time() - c0]})
+
+    frags = sorted((data_dir / "pages").glob("*.parquet"))[:n_frags]
+    ds = rd.read_parquet([str(f) for f in frags], columns=["html"],
+                         override_num_blocks=len(frags)) \
+        .map_batches(work, batch_format="pyarrow", batch_size=8192)
+    tot_n = tot_cpu = 0.0
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        tot_n += pc.sum(b["n"]).as_py()
+        tot_cpu += pc.sum(b["cpu_s"]).as_py()
+    return round(tot_cpu / max(tot_n, 1) * 1e6, 2)
+
+
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    """Same job, fresh processes, at two parallelism levels (default 8 vs
+    32, override with GRAFT_SCALE_PAIR="lo,hi") → scaling efficiency.
+
+    Caveat (full analysis in BASELINE.md): on this single box, co-running
+    worker processes contend on the shared memory subsystem — measured
+    per-row process CPU time rises ~20% from 8 to 32 workers at constant
+    clock — a term that does not exist between fixed-size nodes of a real
+    N vs 4N cluster. The raw efficiency is reported as the headline;
+    ``value_contention_normalized`` additionally divides out the measured
+    per-row CPU inflation.
+    """
+    lo, hi = (int(x) for x in
+              os.environ.get("GRAFT_SCALE_PAIR", "8,32").split(","))
     results = {}
-    for ncpu in (8, 32):
+    for ncpu in (lo, hi):
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t8 = results[8]["queries"]["flagship_webpages"]
-    t32 = results[32]["queries"]["flagship_webpages"]
-    d8 = results[8]["flagship"]["docs_per_s"]
-    d32 = results[32]["flagship"]["docs_per_s"]
-    eff = (d32 / d8) / (32 / 8)
+    t_lo = results[lo]["queries"]["flagship_webpages"]
+    t_hi = results[hi]["queries"]["flagship_webpages"]
+    d_lo = results[lo]["flagship"]["docs_per_s"]
+    d_hi = results[hi]["flagship"]["docs_per_s"]
+    factor = hi / lo
+    eff = (d_hi / d_lo) / factor
+    cpu_lo = results[lo]["flagship"].get("udf_us_per_row")
+    cpu_hi = results[hi]["flagship"].get("udf_us_per_row")
+    norm = round(eff * (cpu_hi / cpu_lo), 3) if cpu_lo and cpu_hi else None
     return {
         "metric": "scaling_efficiency", "value": round(eff, 3), "unit": "ratio",
-        "flagship_rows": results[8]["flagship"]["rows"],
-        "sec_8": t8, "sec_32": t32,
-        "docs_per_s_8": d8, "docs_per_s_32": d32,
-        "checks_per_s_8": results[8]["flagship"]["checks_per_s"],
-        "checks_per_s_32": results[32]["flagship"]["checks_per_s"],
-        "total_8": results[8]["value"], "total_32": results[32]["value"],
+        "value_contention_normalized": norm,
+        "flagship_rows": results[lo]["flagship"]["rows"],
+        "cpus": [lo, hi], "sec_lo": t_lo, "sec_hi": t_hi,
+        "docs_per_s_lo": d_lo, "docs_per_s_hi": d_hi,
+        "checks_per_s_lo": results[lo]["flagship"]["checks_per_s"],
+        "checks_per_s_hi": results[hi]["flagship"]["checks_per_s"],
+        "udf_us_per_row": [cpu_lo, cpu_hi],
+        "total_lo": results[lo]["value"], "total_hi": results[hi]["value"],
     }
 
 

@@ -1,0 +1,5 @@
+from prompture_ray.cli import main
+
+import sys
+
+sys.exit(main())

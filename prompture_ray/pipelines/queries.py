@@ -748,3 +748,110 @@ ORACLE.update({
     "sessions_per_user": SESSIONS_SQL,
     "asof_event_order": ASOF_SQL,
 })
+
+
+# --------------------------------------------------------------------------
+# coercion / chunking / consensus (operator coverage, oracle-checked)
+# --------------------------------------------------------------------------
+
+def props_k_coerced(sf_dir: str):
+    """Field extraction + coercion-with-default: pull k out of the JSON
+    props column, coerce to int64 (reference convert_value semantics,
+    tools.py:409-748 — failure → default, flagged)."""
+    from prompture_ray.stages.coerce import coerce_column
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        raw = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
+        kstr = pc.struct_field(raw, "k")
+        vals, used = coerce_column(kstr, "int64", default=-1)
+        return pa.table({"event_id": t["event_id"], "k": vals,
+                         "used_default": used})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+PROPS_K_SQL = """
+SELECT event_id,
+       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+       (props IS NOT NULL
+        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
+           AS used_default
+FROM events
+"""
+
+
+def chunk_counts_docs(sf_dir: str):
+    """Fixed-size chunking (flat_map shape) → chunks per document."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.chunk import chunk_documents
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    chunks = chunk_documents(ds, "text", "doc_id", strategy="fixed",
+                             size=120, overlap=0)
+    return chunks.groupby("doc_id").aggregate(Count(alias_name="n_chunks"))
+
+
+CHUNK_COUNTS_SQL = """
+SELECT doc_id, CAST(ceil(length(text) / 120.0) AS BIGINT) AS n_chunks
+FROM documents WHERE length(text) > 0
+"""
+
+
+def consensus_event_type(sf_dir: str):
+    """Per-user majority event_type + agreement ratio (reference majority
+    consensus, consensus.py:142-229; deterministic tie-break)."""
+    from prompture_ray.stages.consensus import majority_vote
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    out = majority_vote(ds, "user_id", "event_type")
+    return out.select_columns(["user_id", "majority", "agreement"])
+
+
+CONSENSUS_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n,
+         sum(count(*)) OVER (PARTITION BY user_id) AS total
+  FROM events GROUP BY user_id, event_type
+)
+SELECT user_id, event_type AS majority,
+       round(n / total::DOUBLE, 6) AS agreement
+FROM c
+QUALIFY row_number() OVER (PARTITION BY user_id
+                           ORDER BY n DESC, event_type ASC) = 1
+"""
+
+
+def weighted_value_by_type(sf_dir: str):
+    """Weighted mean (Σwx/Σw) per event_type, weight = user_id + 1
+    (reference weighted-average consensus, consensus.py:284-367)."""
+    from prompture_ray.stages.consensus import weighted_average
+    ds = _read(sf_dir, "events", ["event_type", "value", "user_id"])
+
+    def add_w(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "w", pc.cast(pc.add(t["user_id"], 1), pa.float64()))
+
+    return weighted_average(ds.map_batches(add_w, batch_format="pyarrow"),
+                            "event_type", "value", "w")
+
+
+WEIGHTED_VALUE_SQL = """
+SELECT event_type,
+       round(sum(value * (user_id + 1)) / sum(user_id + 1), 6)
+           AS weighted_avg
+FROM events GROUP BY event_type
+"""
+
+
+QUERIES.update({
+    "props_k_coerced": props_k_coerced,
+    "chunk_counts_docs": chunk_counts_docs,
+    "consensus_event_type": consensus_event_type,
+    "weighted_value_by_type": weighted_value_by_type,
+})
+
+ORACLE.update({
+    "props_k_coerced": PROPS_K_SQL,
+    "chunk_counts_docs": CHUNK_COUNTS_SQL,
+    "consensus_event_type": CONSENSUS_SQL,
+    "weighted_value_by_type": WEIGHTED_VALUE_SQL,
+})

@@ -113,7 +113,9 @@ class ValidateAndSink:
         self.unique_checks = list(unique_checks)
         self._ref_arrays: dict[str, "np.ndarray"] = {}
 
-    def _ref_violations(self, batch: pa.Table) -> tuple[pa.Table | None, dict]:
+    def _ref_violations(self, batch: pa.Table,
+                        hash_cache: dict | None = None
+                        ) -> tuple[pa.Table | None, dict]:
         import ray
         parts, by_reason = [], {}
         for check, ref in self.ref_broadcasts:
@@ -126,8 +128,12 @@ class ValidateAndSink:
             valid = arr.drop_null()
             if len(valid) == 0:
                 continue
-            from prompture_ray.functions.sketches import hash64
-            h = hash64(np.asarray(valid.to_pylist(), dtype=object))
+            h = (hash_cache or {}).get(check.column)
+            if h is None:
+                from prompture_ray.functions.sketches import hash64
+                h = hash64(np.asarray(valid.to_pylist(), dtype=object))
+                if hash_cache is not None:
+                    hash_cache[check.column] = h
             if len(sorted_hashes):
                 idx = np.clip(np.searchsorted(sorted_hashes, h), 0,
                               len(sorted_hashes) - 1)
@@ -158,7 +164,10 @@ class ValidateAndSink:
         viol = self.vb.violations(batch, masks)
         ok_rows = int(pc.sum(pc.cast(ok, pa.int64())).as_py() or 0)
 
-        ref_viol, _ = self._ref_violations(batch)
+        # one hash pass per column, shared by unique + referential + HLL
+        hash_cache = {c.column: _col_hashes(batch, c.column)
+                      for c in self.unique_checks}
+        ref_viol, _ = self._ref_violations(batch, hash_cache)
         if ref_viol is not None:
             viol = pa.concat_tables([viol, ref_viol])
         if viol.num_rows:
@@ -169,8 +178,8 @@ class ValidateAndSink:
             pq.write_table(out_viol, vdir / f"{uuid.uuid4().hex}.parquet")
 
         acc = StatsAccumulator(self.stats_checks)
-        acc.update(batch)
-        key_hashes = {c.id: _col_hashes(batch, c.column).tobytes()
+        acc.update(batch, hash_cache=hash_cache)
+        key_hashes = {c.id: hash_cache[c.column].tobytes()
                       for c in self.unique_checks}
 
         counts: dict[str, int] = {}
@@ -187,6 +196,8 @@ class ValidateAndSink:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from prompture_ray.functions import limit_arrow_threads
+        limit_arrow_threads(1)
         batch = batch.combine_chunks()
         paths = batch["path"]
         data = batch.drop_columns(["path"])
@@ -219,6 +230,7 @@ def run_suite(
     batch_size: int = 4096,
     extract_concurrency=None,
     baseline_path: str | Path | None = None,
+    unique_violation_rows: bool = False,
 ) -> dict:
     """Run a validation suite end to end; returns the report dict.
 
@@ -290,26 +302,31 @@ def run_suite(
                          for p in rpaths]
                 merged = (np.sort(np.concatenate(parts)) if parts
                           else np.empty(0, dtype=np.uint64))
+                ref_broadcasts.append((c, ray.put(merged)))
             else:
-                # few large blocks: hashing 6k strings is ~3ms, so hundreds
-                # of tiny file-blocks would be pure task overhead
+                # larger right side: build as a Ray TASK TREE and pass the
+                # FINAL task's ObjectRef — ValidateAndSink ray.gets it
+                # lazily at its first batch, so the hash build overlaps the
+                # main scan's read ramp instead of serializing before it.
                 n_cpu = int(ray.cluster_resources().get("CPU", 8))
-                right = rd.read_parquet(
-                    rpaths, columns=[rcol],
-                    override_num_blocks=min(max(8, n_cpu), len(rpaths)))
+                n_chunks = min(max(8, n_cpu), len(rpaths))
+                chunks = [rpaths[i::n_chunks] for i in range(n_chunks)]
 
-                def _hash_batch(t: pa.Table, _col=rcol) -> pa.Table:
-                    h = _col_hashes(t, _col)
-                    return pa.table({"h": pa.array([h.tobytes()],
-                                                   type=pa.binary())})
+                @ray.remote(num_cpus=1)
+                def _hash_files(paths: list, col: str) -> np.ndarray:
+                    parts = [_col_hashes(pq.read_table(p, columns=[col]), col)
+                             for p in paths]
+                    return (np.concatenate(parts) if parts
+                            else np.empty(0, dtype=np.uint64))
 
-                blobs = [row["h"] for row in
-                         right.map_batches(_hash_batch, batch_format="pyarrow")
-                              .take_all()]
-                merged = (np.sort(np.concatenate(
-                    [np.frombuffer(b, dtype=np.uint64) for b in blobs]))
-                    if blobs else np.empty(0, dtype=np.uint64))
-            ref_broadcasts.append((c, ray.put(merged)))
+                @ray.remote(num_cpus=1)
+                def _merge_sorted(*arrs: np.ndarray) -> np.ndarray:
+                    return (np.sort(np.concatenate(arrs)) if arrs
+                            else np.empty(0, dtype=np.uint64))
+
+                futures = [_hash_files.remote(ch, rcol)
+                           for ch in chunks if ch]
+                ref_broadcasts.append((c, _merge_sorted.remote(*futures)))
     elif ref_checks:
         ref_fallback = []  # nothing pending: counts already in the manifest
     _phase("ref_broadcast_build", t_ph)
@@ -435,10 +452,11 @@ def run_suite(
                     "duplicate_keys": int(dup_mask.sum()),
                     "duplicate_rows": int(len(h) - len(uniq)),
                 }
-                # duplicate rows become violations: one narrow pass filters
-                # the offending keys (only when duplicates exist)
+                # duplicate rows can become per-key violation rows via one
+                # extra narrow pass — opt-in (the exact counts above are
+                # the semantic core; the pass costs a full key-column read)
                 n_dup = int(dup_mask.sum())
-                if n_dup:
+                if n_dup and unique_violation_rows:
                     import ray
                     dup_sorted = np.sort(uniq[dup_mask])
                     dup_ref = ray.put(dup_sorted)

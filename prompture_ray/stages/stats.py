@@ -74,7 +74,13 @@ class StatsAccumulator:
             sk["hist"] = Hist(edges)  # always kept: basis for drift PSI/KS
             self.sketches[c.id] = sk
 
-    def update(self, batch: pa.Table) -> None:
+    def update(self, batch: pa.Table,
+               hash_cache: dict | None = None) -> None:
+        """Accumulate one batch. ``hash_cache`` maps column name → uint64
+        hashes of the column's non-null values, letting the fused pipeline
+        share ONE hash pass per column between uniqueness, referential and
+        HLL sketches (allocation churn in hot batches is what limits
+        multi-worker scaling)."""
         for c in self.checks:
             if c.column not in batch.column_names:
                 continue
@@ -89,9 +95,21 @@ class StatsAccumulator:
                         num = _numeric_view(col)
                     obj.update_array(num)
                 elif name == "hll":
-                    obj.update_hashes(hash64(_string_view(col)))
+                    h = (hash_cache or {}).get(c.column)
+                    if h is None:
+                        h = hash64(_string_view(col))
+                        if hash_cache is not None:
+                            hash_cache[c.column] = h
+                    obj.update_hashes(h)
                 elif name in ("countmin", "topk"):
-                    obj.update_array(_string_view(col))
+                    # category columns have few uniques: count with the
+                    # Arrow kernel, update sketches with (values, counts)
+                    vc = col.drop_null().value_counts()
+                    vals = np.asarray(vc.field("values").to_pylist(),
+                                      dtype=object)
+                    cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+                    if len(vals):
+                        obj.update_array(vals, counts=cnts)
 
     def merge(self, other: "StatsAccumulator") -> "StatsAccumulator":
         for cid, sk in other.sketches.items():

@@ -1,0 +1,163 @@
+"""Coercion-with-default, chunking, consensus, output formats."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages import chunk as ch
+from prompture_ray.stages.coerce import coerce_column, coerce_batch_fn
+
+
+# ---------------------------------------------------------------------------
+# coercion (reference tools.py:409-748 semantics)
+# ---------------------------------------------------------------------------
+
+def test_coerce_int_with_default():
+    col = pa.array(["42", "3.7", "junk", None, " 1,200 "])
+    vals, used = coerce_column(col, "int64", default=-1)
+    assert vals.to_pylist() == [42, 4, -1, None, 1200]
+    assert used.to_pylist() == [False, False, True, False, False]
+
+
+def test_coerce_float_shorthand():
+    col = pa.array(["$1,200", "1.2k", "12%", "nope"])
+    vals, used = coerce_column(col, "float64", default=0.0, shorthand=True)
+    assert vals.to_pylist() == [1200.0, 1200.0, 0.12, 0.0]
+    assert used.to_pylist() == [False, False, False, True]
+
+
+def test_coerce_bool_multilingual():
+    col = pa.array(["si", "NO", "garbage", None])
+    vals, used = coerce_column(col, "bool", default=False)
+    assert vals.to_pylist() == [True, False, False, None]
+    assert used.to_pylist() == [False, False, True, False]
+
+
+def test_coerce_timestamp():
+    col = pa.array(["2024-01-01T00:00:00", "bad"])
+    vals, used = coerce_column(col, "timestamp")
+    assert vals.to_pylist()[0].year == 2024
+    assert used.to_pylist() == [False, True]
+
+
+def test_coerce_batch_fn(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({"x": ["1", "oops"], "y": ["yes", "no"]}))
+    out = ds.map_batches(coerce_batch_fn({
+        "x": {"target": "int64", "default": 9},
+        "y": {"target": "bool"},
+    }), batch_format="pyarrow").to_pandas()
+    assert out["x__coerced"].tolist() == [1, 9]
+    assert out["x__used_default"].tolist() == [False, True]
+    assert out["y__coerced"].tolist() == [True, False]
+
+
+# ---------------------------------------------------------------------------
+# chunking (reference chunkers semantics)
+# ---------------------------------------------------------------------------
+
+def test_chunk_fixed_overlap():
+    chunks = ch.chunk_fixed("abcdefghij", size=4, overlap=1)
+    assert chunks == ["abcd", "defg", "ghij", "j"]
+    assert ch.chunk_fixed("", 4) == []
+
+
+def test_chunk_recursive_respects_paragraphs():
+    text = "para one here\n\npara two is a bit longer\n\nshort"
+    chunks = ch.chunk_recursive(text, size=25, overlap=0)
+    assert all(len(c) <= 25 for c in chunks)
+    assert "para one here" in chunks[0]
+    # every non-separator character survives
+    assert "".join(chunks).replace("\n", " ").count("para") == 2
+
+
+def test_chunk_tokens():
+    text = " ".join(f"w{i}" for i in range(10))
+    chunks = ch.chunk_tokens(text, n_tokens=4, overlap=1)
+    assert chunks[0] == "w0 w1 w2 w3"
+    assert chunks[1].startswith("w3")
+
+
+def test_chunk_documents_and_merge(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [1, 2],
+        "text": ["aaaa bbbb cccc dddd", "xx"],
+    }))
+    chunks = ch.chunk_documents(ds, "text", "doc_id", strategy="fixed",
+                                size=5, overlap=0)
+    df = chunks.to_pandas().sort_values(["doc_id", "chunk_index"])
+    assert df[df["doc_id"] == 1]["total_chunks"].iloc[0] == 4
+    assert df[df["doc_id"] == 2]["chunk_text"].iloc[0] == "xx"
+    # merge back: chunk texts concatenated in order
+    merged = ch.merge_chunk_results(chunks, "doc_id",
+                                    list_cols=["chunk_text"]).to_pandas()
+    m1 = merged[merged["doc_id"] == 1].iloc[0]
+    assert "".join(m1["chunk_text"]) == "aaaa bbbb cccc dddd"
+    assert m1["n_chunks"] == 4
+
+
+# ---------------------------------------------------------------------------
+# consensus (reference consensus.py semantics)
+# ---------------------------------------------------------------------------
+
+def test_majority_vote(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.consensus import majority_vote
+    ds = rd.from_arrow(pa.table({
+        "k": ["a"] * 5 + ["b"] * 3,
+        "v": ["x", "x", "x", "y", "z", "p", "p", "q"],
+    }))
+    out = majority_vote(ds, "k", "v").to_pandas().sort_values("k")
+    assert out["majority"].tolist() == ["x", "p"]
+    assert out["agreement"].tolist() == [0.6, round(2 / 3, 6)]
+
+
+def test_majority_tolerant_floats(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.consensus import majority_vote
+    # 100.0 and 100.5 agree within 1% tolerance; 200 is an outlier
+    ds = rd.from_arrow(pa.table({
+        "k": ["a"] * 3, "v": [100.0, 100.5, 200.0]}))
+    out = majority_vote(ds, "k", "v", tolerant_floats=True).to_pandas()
+    assert abs(out["majority"].iloc[0] - 100.25) < 1.0
+    assert out["agreement"].iloc[0] == round(2 / 3, 6)
+
+
+def test_weighted_average(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.consensus import weighted_average
+    ds = rd.from_arrow(pa.table({
+        "k": ["a", "a", "b"], "v": [10.0, 20.0, 5.0], "w": [1.0, 3.0, 2.0]}))
+    out = weighted_average(ds, "k", "v", "w").to_pandas().sort_values("k")
+    assert out["weighted_avg"].tolist() == [17.5, 5.0]
+
+
+def test_self_consistency(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.consensus import self_consistency
+    ds = rd.from_arrow(pa.table({
+        "k": ["q1"] * 3, "ans": ["  Paris!", "paris", "London"]}))
+    out = self_consistency(ds, "k", "ans").to_pandas()
+    assert out["consensus_answer"].iloc[0] == "paris"
+    assert out["consistency"].iloc[0] == round(2 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# output formats (reference formats.py semantics)
+# ---------------------------------------------------------------------------
+
+def test_formats(ray_session):
+    import ray.data as rd
+    from prompture_ray.pipelines.formats import (
+        to_jsonl_column, to_sharegpt, to_alpaca)
+    ds = rd.from_arrow(pa.table({
+        "q": ["what?"], "a": ["that."], "id": [1]}))
+    j = json.loads(to_jsonl_column(ds).to_pandas()["json"].iloc[0])
+    assert j == {"a": "that.", "id": 1, "q": "what?"}
+    sg = json.loads(to_sharegpt(ds, "q", "a").to_pandas()["sharegpt"].iloc[0])
+    assert sg["conversations"][0] == {"from": "human", "value": "what?"}
+    al = json.loads(to_alpaca(ds, "q", "a").to_pandas()["alpaca"].iloc[0])
+    assert al == {"instruction": "what?", "input": "", "output": "that."}
