@@ -209,3 +209,73 @@ def marker_scan_batch(col, markers: list[str]) -> pa.Array:
     if isinstance(hit, pa.ChunkedArray):
         hit = hit.combine_chunks()
     return hit
+
+
+# ---------------------------------------------------------------------------
+# truncated-JSON repair (reference streaming.py:80-180 parse_partial_json)
+# ---------------------------------------------------------------------------
+def parse_partial_json(text: str):
+    """Parse possibly-truncated JSON: bracket-stack scan, close unclosed
+    containers and retry, then trim to the last complete value boundary.
+    Returns a Python object or None (a failed parse is a verdict, not an
+    exception — SURVEY §4 row-level fallback semantics)."""
+    import json as _json
+
+    if not text:
+        return None
+    text = text.strip()
+    try:
+        return _json.loads(text)
+    except _json.JSONDecodeError:
+        pass
+
+    # bracket-stack scan (ignoring string contents / escapes)
+    stack = []
+    in_str = False
+    esc = False
+    last_complete = -1
+    for i, ch in enumerate(text):
+        if esc:
+            esc = False
+            continue
+        if ch == "\\":
+            esc = True
+            continue
+        if ch == '"':
+            in_str = not in_str
+            continue
+        if in_str:
+            continue
+        if ch in "{[":
+            stack.append(ch)
+        elif ch in "}]":
+            if stack:
+                stack.pop()
+            if not stack:
+                last_complete = i
+    # close-and-retry
+    candidate = text
+    if in_str:
+        candidate += '"'
+    candidate = candidate.rstrip()
+    if candidate.endswith((",", ":")):
+        candidate = candidate[:-1]
+    closers = "".join("}" if c == "{" else "]" for c in reversed(stack))
+    try:
+        return _json.loads(candidate + closers)
+    except _json.JSONDecodeError:
+        pass
+    # drop a dangling object key ('{"a": 1, "b":' → '{"a": 1') and retry
+    trimmed = re.sub(r',?\s*"[^"]*"?\s*:?\s*$', "", candidate)
+    if trimmed != candidate:
+        try:
+            return _json.loads(trimmed + closers)
+        except _json.JSONDecodeError:
+            pass
+    # trim-to-boundary retry
+    if last_complete >= 0:
+        try:
+            return _json.loads(text[: last_complete + 1])
+        except _json.JSONDecodeError:
+            pass
+    return None

@@ -855,3 +855,103 @@ ORACLE.update({
     "consensus_event_type": CONSENSUS_SQL,
     "weighted_value_by_type": WEIGHTED_VALUE_SQL,
 })
+
+
+# --------------------------------------------------------------------------
+# security scans + JSON repair (rows-only + oracle-checked)
+# --------------------------------------------------------------------------
+
+def injection_scan_docs(sf_dir: str):
+    """Prompt-injection marker scan over documents (reference
+    injection.py:375-449 normalized substring scan, vectorized).
+    SQL-checkable: the scan is an alternation-regex match."""
+    from prompture_ray.functions.textfuncs import (
+        marker_scan_batch, INJECTION_MARKERS)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "flagged": marker_scan_batch(t["text"],
+                                                      INJECTION_MARKERS)})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _injection_sql() -> str:
+    from prompture_ray.functions.textfuncs import INJECTION_MARKERS
+    import re as _re
+    pat = "|".join(_re.escape(m) for m in
+                   sorted(INJECTION_MARKERS, key=len, reverse=True))
+    pat = pat.replace("'", "''")
+    return (f"SELECT doc_id, regexp_matches(lower(text), '{pat}') AS flagged "
+            f"FROM documents")
+
+
+def redact_docs(sf_dir: str):
+    """PII redaction sweep (chained regex replace); returns rows whose
+    text CHANGED plus a count — rows-only (regex dialects differ)."""
+    from prompture_ray.functions.textfuncs import redact_batch
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        red = redact_batch(t["text"])
+        changed = pc.invert(pc.equal(red, t["text"]))
+        return pa.table({"doc_id": t["doc_id"], "changed": changed})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def json_repair_events(sf_dir: str):
+    """Truncated-JSON repair over deliberately-cut props strings
+    (reference parse_partial_json, streaming.py:80-180). Cuts the JSON at
+    a deterministic offset, repairs, and reports recovered k values."""
+    from prompture_ray.functions.textfuncs import parse_partial_json
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_pylist()
+        props = t["props"].to_pylist()
+        out_id, out_k, out_repaired = [], [], []
+        for i, p in zip(ids, props):
+            cut = p[: max(2, len(p) - (i % 5))] if p else p  # truncate 0-4 chars
+            obj = parse_partial_json(cut)
+            out_id.append(i)
+            out_k.append(None if not isinstance(obj, dict) else obj.get("k"))
+            out_repaired.append(obj is not None)
+        return pa.table({
+            "event_id": pa.array(out_id, type=pa.int64()),
+            "k": pa.array(out_k, type=pa.int64()),
+            "repaired": pa.array(out_repaired, type=pa.bool_()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def rrf_fusion_sources(sf_dir: str):
+    """Reciprocal-rank fusion of two rankings of sources (by doc count and
+    by total chars) — reference _fusion.py:28-70. Deterministic."""
+    from ray.data.aggregate import Count, Sum
+    from prompture_ray.stages.similarity import reciprocal_rank_fusion
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    by_count = ds.groupby("source").aggregate(Count(alias_name="n")) \
+        .sort(["n", "source"], descending=[True, False]).to_pandas() \
+        .rename(columns={"source": "id"})
+    by_chars = ds.groupby("source").aggregate(Sum("n_chars", alias_name="s")) \
+        .sort(["s", "source"], descending=[True, False]).to_pandas() \
+        .rename(columns={"source": "id"})
+    out = reciprocal_rank_fusion([by_count, by_chars], id_col="id", top=10)
+    return pa.table({"source": pa.array(out["id"], type=pa.string()),
+                     "rrf_score": pa.array(out["rrf_score"].round(6),
+                                           type=pa.float64())})
+
+
+QUERIES.update({
+    "injection_scan_docs": injection_scan_docs,
+    "redact_docs": redact_docs,
+    "json_repair_events": json_repair_events,
+    "rrf_fusion_sources": rrf_fusion_sources,
+})
+
+ORACLE.update({
+    "injection_scan_docs": _injection_sql(),
+})
