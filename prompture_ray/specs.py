@@ -26,6 +26,35 @@ ROW_KINDS = {"not_null", "type", "regex", "enum", "range", "length", "extract_ma
 TABLE_KINDS = {"unique", "referential", "stats"}
 KINDS = ROW_KINDS | TABLE_KINDS
 
+# -- user-extension surface (mirrors the reference's register_field /
+#    PairPredicate hooks, prompture/extraction/fields.py:403-442 and
+#    prompture/dataset/filters.py:30): a custom row-level check kind is a
+#    callable (CheckSpec, pa.Table) -> BooleanArray pass-mask, registered
+#    under a kind name usable in suite JSON.
+import threading as _threading
+
+_CUSTOM_KINDS: dict = {}
+_registry_lock = _threading.Lock()
+
+
+def register_check_kind(name: str, kernel) -> None:
+    """Register a custom row-level check kind (thread-safe, like the
+    reference's registry lock, fields.py:330-332)."""
+    with _registry_lock:
+        if name in ROW_KINDS or name in TABLE_KINDS:
+            raise ValueError(f"cannot override built-in kind {name!r}")
+        _CUSTOM_KINDS[name] = kernel
+
+
+def custom_kernel(name: str):
+    return _CUSTOM_KINDS.get(name)
+
+
+def reset_check_registry() -> None:
+    """Drop all custom kinds (reference reset_registry, fields.py:595-610)."""
+    with _registry_lock:
+        _CUSTOM_KINDS.clear()
+
 
 class SpecError(ValueError):
     pass
@@ -60,7 +89,7 @@ class CheckSpec:
     params: dict = field(default_factory=dict, hash=False, compare=False)
 
     def __post_init__(self) -> None:
-        if self.kind not in KINDS:
+        if self.kind not in KINDS and self.kind not in _CUSTOM_KINDS:
             raise SpecError(f"check {self.id!r}: unknown kind {self.kind!r}")
         if not self.id or not isinstance(self.id, str):
             raise SpecError("check id must be a non-empty string")
@@ -79,7 +108,7 @@ class CheckSpec:
 
     @property
     def is_row_level(self) -> bool:
-        return self.kind in ROW_KINDS
+        return self.kind in ROW_KINDS or self.kind in _CUSTOM_KINDS
 
     def reason(self, detail: str | None = None) -> str:
         """snake_case "<kind>:<detail>" reason tag (style of FilterDecision.drop,
@@ -162,10 +191,36 @@ class Suite:
         return {"meta": self.meta, "checks": out_checks}
 
 
-def load_suite(path: str | Path) -> Suite:
+_TEMPLATE_VALUES = {
+    # pinned for determinism (reference substitutes live values at read
+    # time, fields.py:24-56; a distributed run pins them per-run instead)
+    "current_year": "2026",
+    "current_date": "2026-08-17",
+}
+
+
+def substitute_templates(obj, values: dict | None = None):
+    """Recursively substitute ``{{var}}`` templates in a suite dict
+    (reference template substitution, prompture/extraction/fields.py:24-56,
+    with pinned values so every worker sees identical specs)."""
+    vals = {**_TEMPLATE_VALUES, **(values or {})}
+    if isinstance(obj, str):
+        out = obj
+        for k, v in vals.items():
+            out = out.replace("{{" + k + "}}", str(v))
+        return out
+    if isinstance(obj, dict):
+        return {k: substitute_templates(v, values) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [substitute_templates(v, values) for v in obj]
+    return obj
+
+
+def load_suite(path: str | Path, template_values: dict | None = None) -> Suite:
     """Load a suite JSON file (driver-side, config time)."""
     with open(path) as f:
-        return Suite.from_dict(json.load(f))
+        raw = json.load(f)
+    return Suite.from_dict(substitute_templates(raw, template_values))
 
 
 def default_webpages_suite(ref_warc: str | None = None) -> Suite:

@@ -144,6 +144,14 @@ def eval_check(check: CheckSpec, batch: pa.Table) -> pa.Array:
         eq = pc.fill_null(pc.equal(col, extracted), False)
         return pc.or_(eq, both_null)
 
+    from prompture_ray.specs import custom_kernel
+    kernel = custom_kernel(kind)
+    if kernel is not None:
+        mask = kernel(check, batch)
+        if isinstance(mask, pa.ChunkedArray):
+            mask = mask.combine_chunks()
+        return mask
+
     raise ValueError(f"not a row-level check: {check.id} ({kind})")
 
 
