@@ -264,8 +264,39 @@ class Bloom:
     def _positions(self, values) -> np.ndarray:
         h1 = hash64(values, "prompture_bl_h1")
         h2 = hash64(values, "prompture_bl_h2") | np.uint64(1)
+        return self._positions_from(h1, h2)
+
+    def _positions_from(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         d = np.arange(self.n_hashes, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + d * h2[None, :]) % np.uint64(self.n_bits)).astype(np.int64)
+        with np.errstate(over="ignore"):
+            return ((h1[None, :] + d * h2[None, :])
+                    % np.uint64(self.n_bits)).astype(np.int64)
+
+    @staticmethod
+    def _mix(h: np.ndarray) -> np.ndarray:
+        # splitmix64 finalizer: a second independent hash from a 64-bit hash
+        with np.errstate(over="ignore"):
+            z = (np.asarray(h, dtype=np.uint64) +
+                 np.uint64(0x9E3779B97F4A7C15))
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        """Add precomputed 64-bit hashes (second hash derived by mixing)."""
+        if len(h) == 0:
+            return
+        pos = self._positions_from(np.asarray(h, dtype=np.uint64),
+                                   self._mix(h) | np.uint64(1)).ravel()
+        np.bitwise_or.at(self.bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+
+    def contains_hashes(self, h: np.ndarray) -> np.ndarray:
+        if len(h) == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions_from(np.asarray(h, dtype=np.uint64),
+                                   self._mix(h) | np.uint64(1))
+        hit = (self.bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return hit.all(axis=0)
 
     def add_array(self, values) -> None:
         arr = np.asarray(values)

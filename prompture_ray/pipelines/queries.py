@@ -955,3 +955,21 @@ QUERIES.update({
 ORACLE.update({
     "injection_scan_docs": _injection_sql(),
 })
+
+
+def salted_chars_stats(sf_dir: str):
+    """Skew-safe grouped stats: salted two-phase aggregation over the
+    Zipfian lang key (north-star skew handling; stages/salted.py)."""
+    from prompture_ray.stages.salted import salted_groupby_stats
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return salted_groupby_stats(ds, "lang", "n_chars", n_salt=8)
+
+
+SALTED_CHARS_SQL = """
+SELECT lang, count(*) AS n, sum(n_chars) AS sum_v,
+       min(n_chars) AS min_v, max(n_chars) AS max_v
+FROM documents GROUP BY lang
+"""
+
+QUERIES["salted_chars_stats"] = salted_chars_stats
+ORACLE["salted_chars_stats"] = SALTED_CHARS_SQL

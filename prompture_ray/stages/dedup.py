@@ -436,3 +436,54 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
 
     return sigs.groupby("bucket").map_groups(bucket_pairs,
                                              batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter streaming dedup (shared mutable index — the one case where
+# the Dataset API can't express the semantics, SURVEY §2.3: a raw Ray
+# actor holds the seen-set)
+# ---------------------------------------------------------------------------
+def make_bloom_actor(n_bits: int = 1 << 24, n_hashes: int = 5):
+    """Create the shared Bloom actor (call once on the driver)."""
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class BloomSeen:
+        def __init__(self):
+            from prompture_ray.functions.sketches import Bloom
+            self.bloom = Bloom(n_bits, n_hashes)
+
+        def check_and_add(self, hashes: np.ndarray) -> np.ndarray:
+            """Returns mask of FIRST-SEEN rows; adds them to the filter.
+            Single actor → calls serialize → first-wins in arrival order.
+            Also dedups WITHIN the call (first index of each hash wins)."""
+            _, first_idx = np.unique(hashes, return_index=True)
+            within = np.zeros(len(hashes), dtype=bool)
+            within[first_idx] = True
+            fresh = within & ~self.bloom.contains_hashes(hashes)
+            self.bloom.add_hashes(hashes[fresh])
+            return fresh
+
+    return BloomSeen.remote()
+
+
+def bloom_dedup(ds, col: str, actor, normalize: bool = True):
+    """Approximate streaming dedup: drop rows whose key was already seen
+    by the shared Bloom actor. First occurrence wins in ARRIVAL order
+    (nondeterministic under parallelism — the deterministic alternative is
+    ``dedup_exact``); false positives drop at most fp-rate extra rows,
+    never duplicate. The prefilter pattern for 10^12-key dedup where the
+    exact groupby would shuffle everything."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        key_arr = normalize_strings(arr) if normalize else arr
+        vals = np.asarray(key_arr.to_pylist(), dtype=object)
+        h = hash64(vals)
+        fresh = ray.get(actor.check_and_add.remote(h))
+        return t.filter(pa.array(fresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -100,3 +100,26 @@ def test_embedding_neardup(ray_session):
     got = {tuple(sorted((a, b))) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     assert (0, 1) in got
     assert not any({0, 3} == set(p) for p in got)
+
+
+def test_bloom_dedup_actor(ds, ray_session):
+    from prompture_ray.stages.dedup import make_bloom_actor, bloom_dedup
+    actor = make_bloom_actor(1 << 16, 4)
+    kept = bloom_dedup(ds, "text", actor).to_pandas()
+    # duplicates (0/1 normalize-equal, 3/6 identical) collapse to one
+    # survivor each; empty text hashes to one key that also survives once
+    texts = kept["text"].tolist()
+    assert len(kept) == 5
+    from prompture_ray.functions.textfuncs import normalize_text
+    norms = [normalize_text(t) for t in texts]
+    assert len(set(norms)) == 5
+
+
+def test_bloom_hashed_roundtrip():
+    import numpy as np
+    from prompture_ray.functions.sketches import Bloom, hash64
+    bl = Bloom(1 << 14, 4)
+    h = hash64(np.array([f"k{i}" for i in range(500)], dtype=object))
+    bl.add_hashes(h[:300])
+    assert bl.contains_hashes(h[:300]).all()
+    assert bl.contains_hashes(h[300:]).mean() < 0.05

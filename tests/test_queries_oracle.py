@@ -43,3 +43,23 @@ def test_every_query_has_docstring_and_runs_keys():
     o = e.oracle_sql()
     assert set(o) <= set(q)          # every oracle key has a query
     assert len(q) >= 25
+
+
+def test_salted_groupby_matches_plain(ray_session):
+    """Salted two-phase aggregation must equal the direct groupby."""
+    import ray.data as rd
+    from prompture_ray.stages.salted import salted_groupby_stats
+    ds = rd.read_parquet(f"{SF}/documents.parquet",
+                         columns=["lang", "n_chars"])
+    salted = salted_groupby_stats(ds, "lang", "n_chars", n_salt=8) \
+        .to_pandas().sort_values("lang", ignore_index=True)
+    import duckdb
+    plain = duckdb.sql(
+        f"SELECT lang, count(*) AS n, sum(n_chars) AS sum_v, "
+        f"min(n_chars) AS min_v, max(n_chars) AS max_v "
+        f"FROM '{SF}/documents.parquet' GROUP BY lang ORDER BY lang"
+    ).fetchdf()
+    assert salted["n"].tolist() == plain["n"].tolist()
+    assert salted["sum_v"].tolist() == plain["sum_v"].tolist()
+    assert salted["min_v"].tolist() == plain["min_v"].tolist()
+    assert salted["max_v"].tolist() == plain["max_v"].tolist()
