@@ -34,10 +34,16 @@ def entry() -> Any:
     generate(root / "data", n_rows=4000, n_parts=4)
     suite = default_webpages_suite(ref_warc="warc_records")
     out = root / "out"
+    # pinned drift baseline from the first fragment (clean-enough slice)
+    baseline_path = root / "baseline.json"
+    if not baseline_path.exists():
+        from prompture_ray.stages.stats import create_baseline, save_baseline
+        first = sorted((root / "data" / "pages").glob("*.parquet"))[0]
+        save_baseline(create_baseline(pq.read_table(first)), baseline_path)
     # fresh verdicts each smoke run (resume tested elsewhere)
     run_suite(root / "data" / "pages", suite, out,
               ref_tables={"warc_records": str(root / "data" / "warc")},
-              resume=False, run_id="entry")
+              resume=False, run_id="entry", baseline_path=baseline_path)
     files = sorted((out / "violations").rglob("*.parquet"))
     if not files:
         return pd.DataFrame(columns=["check_id", "row_key", "column", "ok",

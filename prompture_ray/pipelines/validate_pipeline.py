@@ -597,12 +597,27 @@ def run_suite(
         if live_hist is not None:
             drift = score_drift(baseline, live_hist, live_freq)
 
+    # per-partition pass/fail verdict table (north-star output shape):
+    # full table → parquet; report carries a bounded preview
+    part_rows = [{
+        "partition_id": r["partition_id"],
+        "rows": r.get("rows", 0),
+        "ok_rows": r.get("ok_rows", 0),
+        "violations": r.get("violations", 0),
+        "pass": r.get("violations", 0) == 0,
+        "status": r.get("status"),
+    } for r in manifest.records()]
+    if part_rows:
+        pq.write_table(pa.Table.from_pylist(part_rows),
+                       out / "partition_verdicts.parquet")
+
     elapsed = time.perf_counter() - t_start
     report = {
         "meta": {**suite.meta, "run_id": run_id,
                  "input_dir": str(input_dir), "fragments": len(fragments),
                  "resumed_partitions": resumed_pids},
         "results": results,
+        "partitions": part_rows[:64],
         "stats": stats_summaries,
         "drift": drift,
         "run": {**totals, "wall_s": round(elapsed, 3), "phases": phases,

@@ -23,7 +23,12 @@ def run_dir(ray_session, webpages_small, tmp_path_factory):
 
 def test_report_shape(run_dir):
     out, report = run_dir
-    assert set(report) == {"meta", "results", "stats", "drift", "run"}
+    assert set(report) == {"meta", "results", "partitions", "stats", "drift",
+                           "run"}
+    assert len(report["partitions"]) == 4
+    for p in report["partitions"]:
+        assert p["rows"] == p["ok_rows"] + (p["rows"] - p["ok_rows"])
+        assert p["pass"] == (p["violations"] == 0)
     ids = {r["check_id"] for r in report["results"]}
     assert {"url-notnull", "url-regex", "ts-range", "lang-enum",
             "text-extract", "url-unique", "url-ref"} <= ids
