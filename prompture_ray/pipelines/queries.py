@@ -973,3 +973,28 @@ FROM documents GROUP BY lang
 
 QUERIES["salted_chars_stats"] = salted_chars_stats
 ORACLE["salted_chars_stats"] = SALTED_CHARS_SQL
+
+
+def orders_by_segment(sf_dir: str):
+    """Broadcast hash join (orders ⋈ customer on custkey) → orders per
+    market segment (reference broadcast-lookup pattern,
+    model_rates.py:257-278, generalized in stages/joins.py)."""
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.joins import broadcast_join
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ds = _read(sf_dir, "orders", ["o_custkey"])
+    joined = broadcast_join(ds, cust, on="o_custkey", right_on="c_custkey")
+    return joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"))
+
+
+ORDERS_BY_SEGMENT_SQL = """
+SELECT c.c_mktsegment, count(*) AS n_orders
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+QUERIES["orders_by_segment"] = orders_by_segment
+ORACLE["orders_by_segment"] = ORDERS_BY_SEGMENT_SQL

@@ -136,11 +136,15 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["__side"] == "L"].drop(columns=["__bucket", "__side"])
         right = g[g["__side"] == "R"].drop(columns=["__bucket", "__side"])
+        if left.empty or right.empty:
+            return left.iloc[0:0].dropna(axis=1, how="all")
         left = left.dropna(axis=1, how="all").sort_values(ts, kind="mergesort")
         right = right.dropna(axis=1, how="all") \
                      .sort_values(right_ts, kind="mergesort")
-        if left.empty or right.empty:
-            return left.iloc[0:0]
+        # unify timestamp resolutions (arrow→pandas may yield us vs ns)
+        left[ts] = pd.to_datetime(left[ts]).astype("datetime64[us]")
+        right[right_ts] = pd.to_datetime(right[right_ts]) \
+            .astype("datetime64[us]")
         return pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
                              left_by=key, right_by=right_key)
 

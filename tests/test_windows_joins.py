@@ -1,0 +1,98 @@
+"""Windows + join strategies: tumbling/session/running, broadcast vs
+bucketed as-of equivalence, semi/anti joins."""
+
+import datetime as dt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages import windows as w
+from prompture_ray.stages import joins as j
+
+
+def events_table():
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid, offsets in [(1, [0, 5, 70, 75]), (2, [10, 200])]:
+        for m in offsets:
+            rows.append({"user_id": uid, "ts": base + dt.timedelta(minutes=m),
+                         "value": float(m)})
+    return pa.Table.from_pylist(rows)
+
+
+@pytest.fixture(scope="module")
+def ev(ray_session):
+    import ray.data as rd
+    return rd.from_arrow(events_table())
+
+
+def test_tumbling_window(ev):
+    out = w.tumbling_window(ev, "ts", ["user_id"], unit="hour",
+                            agg_col="value").to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("window")
+    assert u1["n"].tolist() == [2, 2]        # minutes 0,5 | 70,75
+    assert u1["sum_value"].tolist() == [5.0, 145.0]
+
+
+def test_session_windows_and_counts(ev):
+    sess = w.session_windows(ev, "user_id", "ts", gap="30min").to_pandas()
+    u1 = sess[sess["user_id"] == 1]
+    assert len(u1) == 2
+    assert u1["n_events"].tolist() == [2, 2]
+    counts = w.session_counts(ev, "user_id", "ts", gap="30min").to_pandas() \
+        .sort_values("user_id")
+    assert counts["n_sessions"].tolist() == [2, 2]
+    assert counts["n_events"].tolist() == [4, 2]
+
+
+def test_running_aggregate(ev):
+    out = w.running_aggregate(ev, "user_id", "ts", "value").to_pandas()
+    u1 = out[out["user_id"] == 1].sort_values("ts")
+    assert u1["running_sum"].tolist() == [0.0, 5.0, 75.0, 150.0]
+
+
+def right_orders():
+    base = dt.datetime(2023, 12, 1)
+    return pd.DataFrame({
+        "user_id": [1, 1, 2, 3],
+        "ts": [base, base + dt.timedelta(days=40), base, base],
+        "val": ["a", "b", "c", "d"],
+    })
+
+
+def test_asof_broadcast_vs_bucketed_equal(ev, ray_session):
+    import ray.data as rd
+    right = right_orders()
+    bc = j.broadcast_asof_join(ev, right, key="user_id", ts="ts",
+                               value_cols=["val"], inner=True).to_pandas()
+    right_ds = rd.from_pandas(right.rename(columns={"ts": "rts"}))
+    bk = j.bucketed_asof_join(ev, right_ds, key="user_id", ts="ts",
+                              right_ts="rts", n_buckets=4).to_pandas()
+    bc_s = bc.sort_values(["user_id", "ts"], ignore_index=True)
+    bk_s = bk.dropna(subset=["rts"]).sort_values(["user_id", "ts"],
+                                                 ignore_index=True)
+    assert len(bc_s) == len(bk_s) == 6   # user 3 has no events; all u1/u2 match
+    assert bc_s["val"].tolist() == bk_s["val"].tolist()
+    # user 1 events (Jan 1) precede its second order (Dec 1 + 40d = Jan 10)
+    # → the as-of match is the FIRST order for every event
+    u1 = bc_s[bc_s["user_id"] == 1]
+    assert u1["val"].tolist() == ["a", "a", "a", "a"]
+
+
+def test_asof_no_match_excluded(ev):
+    right = right_orders()
+    right_future = right.copy()
+    right_future["ts"] = dt.datetime(2030, 1, 1)
+    out = j.broadcast_asof_join(ev, right_future, key="user_id", ts="ts",
+                                value_cols=["val"], inner=True).to_pandas()
+    assert len(out) == 0
+
+
+def test_semi_and_anti_join(ev):
+    semi = j.broadcast_semi_join(ev, keys=[1], on="user_id").to_pandas()
+    anti = j.broadcast_semi_join(ev, keys=[1], on="user_id",
+                                 anti=True).to_pandas()
+    assert set(semi["user_id"]) == {1} and len(semi) == 4
+    assert set(anti["user_id"]) == {2} and len(anti) == 2
