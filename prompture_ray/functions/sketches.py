@@ -82,7 +82,9 @@ class HLL:
 # KLL quantile sketch (simplified, deterministic compaction)
 # ---------------------------------------------------------------------------
 class KLL:
-    """KLL-style quantile sketch over float64 values.
+    """KLL-style quantile sketch over float64 values (after Karnin-Lang-
+    Liberty; cf. "KLL±: Approximate Quantile Sketches over Dynamic
+    Datasets", VLDB 2021 — see PAPERS.md).
 
     Levels of buffers; level i items have weight 2^i. Compaction keeps
     every other element of the sorted buffer, alternating the starting

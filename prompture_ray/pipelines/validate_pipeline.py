@@ -597,6 +597,20 @@ def run_suite(
         if live_hist is not None:
             drift = score_drift(baseline, live_hist, live_freq)
 
+    # violation exemplars for the report (reference report rows carry the
+    # offending input/response, runner.py:85-95): a few rows per reason
+    # from the first violation files — bounded read, never a full scan
+    samples: dict[str, list] = {}
+    vdirs = sorted((out / "violations").glob("pid=*"))[:4]
+    for vdir in vdirs:
+        for f in sorted(vdir.glob("*.parquet"))[:1]:
+            t = pq.read_table(f)
+            for row in t.slice(0, 200).to_pylist():
+                bucket = samples.setdefault(row["reason"], [])
+                if len(bucket) < 3:
+                    bucket.append({k: row[k] for k in
+                                   ("check_id", "row_key", "observed")})
+
     # per-partition pass/fail verdict table (north-star output shape):
     # full table → parquet; report carries a bounded preview
     part_rows = [{
@@ -617,6 +631,7 @@ def run_suite(
                  "input_dir": str(input_dir), "fragments": len(fragments),
                  "resumed_partitions": resumed_pids},
         "results": results,
+        "violation_samples": samples,
         "partitions": part_rows[:64],
         "stats": stats_summaries,
         "drift": drift,

@@ -7,6 +7,9 @@ Salting splits each hot key across S sub-keys: phase 1 aggregates per
 merges the S partials per key (tiny). Correct for any
 commutative/associative aggregate set; here count/sum/min/max.
 
+Skew-mitigation by key-splitting follows the approach of FP-Hadoop
+(VLDB 2015, see PAPERS.md) adapted to Ray Data two-phase aggregation.
+
 This composes with the partial-per-batch combiner: batches already
 pre-aggregate, so phase 1's shuffle moves at most
 ``distinct_keys × S × blocks`` rows.

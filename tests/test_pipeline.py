@@ -23,8 +23,12 @@ def run_dir(ray_session, webpages_small, tmp_path_factory):
 
 def test_report_shape(run_dir):
     out, report = run_dir
-    assert set(report) == {"meta", "results", "partitions", "stats", "drift",
-                           "run"}
+    assert set(report) == {"meta", "results", "violation_samples",
+                           "partitions", "stats", "drift", "run"}
+    assert report["violation_samples"]  # some reason has exemplar rows
+    for rows in report["violation_samples"].values():
+        assert 1 <= len(rows) <= 3
+        assert {"check_id", "row_key", "observed"} <= set(rows[0])
     assert len(report["partitions"]) == 4
     for p in report["partitions"]:
         assert p["rows"] == p["ok_rows"] + (p["rows"] - p["ok_rows"])
