@@ -255,16 +255,41 @@ def _components(pairs: pd.DataFrame) -> dict:
 
 
 def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
-                  **kw):
+                  components: str = "auto", **kw):
     """Near-dup dedup: keep the canonical min id of each duplicate
-    component. Returns (kept Dataset, stats dict)."""
+    component. Returns (kept Dataset, stats dict).
+
+    ``components``: "driver" = union-find over the collected pair set
+    (fast, bounded by ``max_pairs``); "distributed" = min-label
+    propagation entirely in Ray Data (no driver state — the 10^12-doc
+    path); "auto" picks driver below ``max_pairs`` and distributed above.
+    """
     import ray
-    pairs = minhash_candidate_pairs(ds, text_col, id_col, **kw).to_pandas()
+    pairs_ds = minhash_candidate_pairs(ds, text_col, id_col, **kw)
+    if components == "auto":
+        n_pairs = pairs_ds.count()
+        components = "driver" if n_pairs <= max_pairs else "distributed"
+    if components == "distributed":
+        comp_df = components_label_propagation(pairs_ds).to_pandas()
+        drop = {int(i) for i, c in zip(comp_df["id"], comp_df["component"])
+                if int(i) != int(c)}
+        n_pairs_stat = int(pairs_ds.count())
+        n_components = int(comp_df["component"].nunique())
+        drop_ref = ray.put(drop)
+
+        def keep_d(t: pa.Table) -> pa.Table:
+            d = ray.get(drop_ref)
+            ids = t[id_col].to_pylist()
+            return t.filter(pa.array([i not in d for i in ids]))
+
+        kept = ds.map_batches(keep_d, batch_format="pyarrow")
+        return kept, {"pairs": n_pairs_stat, "removed": len(drop),
+                      "components": n_components, "strategy": "distributed"}
+    pairs = pairs_ds.to_pandas()
     if len(pairs) > max_pairs:
         raise RuntimeError(
             f"near-dup pair set too large for driver union-find "
-            f"({len(pairs)} > {max_pairs}); raise max_pairs or use "
-            f"label propagation")
+            f"({len(pairs)} > {max_pairs}); use components='distributed'")
     comp = _components(pairs)
     drop = {x for x, root in comp.items() if x != root}
     drop_ref = ray.put(drop)
@@ -277,7 +302,8 @@ def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
 
     kept = ds.map_batches(keep, batch_format="pyarrow")
     return kept, {"pairs": int(len(pairs)), "removed": len(drop),
-                  "components": len({r for r in comp.values()})}
+                  "components": len({r for r in comp.values()}),
+                  "strategy": "driver"}
 
 
 # ---------------------------------------------------------------------------
@@ -487,3 +513,80 @@ def bloom_dedup(ds, col: str, actor, normalize: bool = True):
         return t.filter(pa.array(fresh))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (min-label propagation)
+# ---------------------------------------------------------------------------
+def components_label_propagation(pairs_ds, max_rounds: int = 10):
+    """Connected components over a pair Dataset (id_a, id_b) of INTEGER
+    node ids WITHOUT driver state: iterative min-label propagation via
+    groupby rounds — the scale path when the verified-pair set outgrows
+    the driver union-find (``dedup_minhash(components="auto")``).
+
+    Each round, every node takes the min of its own label and its
+    neighbors' labels. Labels are monotonically non-increasing, so
+    Σlabels is a convergence certificate: when a round leaves it
+    unchanged, components are final. Rounds ≈ component diameter
+    (LSH near-dup components are near-cliques → 2-3 rounds typical).
+
+    Returns a Dataset (id, component) for every node in ``pairs_ds``.
+    """
+    from ray.data.aggregate import Min
+
+    def explode(t: pa.Table) -> pa.Table:
+        a = pc.cast(t["id_a"], pa.int64())
+        b = pc.cast(t["id_b"], pa.int64())
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({"id": pa.concat_arrays([a, b]),
+                         "peer": pa.concat_arrays([b, a])})
+
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow")                     .materialize()
+
+    labels = edges.groupby("id").aggregate(Min("peer", alias_name="m"))         .map_batches(lambda t: pa.table({
+            "id": t["id"],
+            "label": pc.min_element_wise(t["id"], t["m"]),
+        }), batch_format="pyarrow").materialize()
+
+    prev = labels.sum("label")
+    for _ in range(max_rounds):
+        # message passing without a join primitive: union label rows
+        # (peer = null) with edge rows (label = null), group by id, and
+        # emit the group's label to every peer + itself.
+        tagged_labels = labels.map_batches(
+            lambda t: pa.table({
+                "id": t["id"],
+                "peer": pa.nulls(t.num_rows, pa.int64()),
+                "label": pc.cast(t["label"], pa.int64()),
+            }), batch_format="pyarrow")
+        tagged_edges = edges.map_batches(
+            lambda t: pa.table({
+                "id": t["id"], "peer": t["peer"],
+                "label": pa.nulls(t.num_rows, pa.int64()),
+            }), batch_format="pyarrow")
+
+        def send(g: pd.DataFrame) -> pd.DataFrame:
+            lab_rows = g["label"].dropna()
+            if lab_rows.empty:
+                return pd.DataFrame({"id": [], "label": []})
+            lab = int(lab_rows.min())
+            peers = g["peer"].dropna().astype("int64").tolist()
+            out_ids = peers + [int(g["id"].iloc[0])]
+            return pd.DataFrame({"id": out_ids, "label": [lab] * len(out_ids)})
+
+        msgs = tagged_labels.union(tagged_edges).groupby("id") \
+            .map_groups(send, batch_format="pandas")
+        labels = msgs.groupby("id").aggregate(
+            Min("label", alias_name="label")).materialize()
+        cur = labels.sum("label")
+        if cur == prev:
+            break
+        prev = cur
+
+    return labels.map_batches(
+        lambda t: pa.table({"id": t["id"],
+                            "component": pc.cast(t["label"], pa.int64())}),
+        batch_format="pyarrow")

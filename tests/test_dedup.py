@@ -123,3 +123,35 @@ def test_bloom_hashed_roundtrip():
     bl.add_hashes(h[:300])
     assert bl.contains_hashes(h[:300]).all()
     assert bl.contains_hashes(h[300:]).mean() < 0.05
+
+
+def test_label_propagation_matches_union_find(ray_session):
+    """Distributed components must equal driver union-find on a graph with
+    chains (diameter > 1), multiple components, and singleton pairs."""
+    import ray.data as rd
+    from prompture_ray.stages.dedup import (
+        components_label_propagation, _components)
+    pairs = pd.DataFrame({
+        "id_a": [1, 2, 3,   10, 11,   20,   30, 31, 32],
+        "id_b": [2, 3, 4,   11, 12,   21,   31, 32, 33],
+    })
+    dist = components_label_propagation(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(dist["id"].astype(int), dist["component"].astype(int)))
+    comp = _components(pairs)
+    want = {int(k): int(v) for k, v in comp.items()}
+    # same partitioning into components (roots may differ in principle,
+    # but both use min-id canonical roots here)
+    assert got == want
+    assert got[4] == 1 and got[12] == 10 and got[21] == 20 and got[33] == 30
+
+
+def test_dedup_minhash_distributed_equals_driver(ds, ray_session):
+    from prompture_ray.stages import dedup as dd2
+    kept_d, st_d = dd2.dedup_minhash(ds, "text", "doc_id", threshold=0.6,
+                                     components="driver")
+    kept_x, st_x = dd2.dedup_minhash(ds, "text", "doc_id", threshold=0.6,
+                                     components="distributed")
+    assert sorted(kept_d.to_pandas()["doc_id"]) == \
+        sorted(kept_x.to_pandas()["doc_id"])
+    assert st_d["removed"] == st_x["removed"]
+    assert st_x["strategy"] == "distributed"
