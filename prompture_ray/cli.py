@@ -99,6 +99,17 @@ def _print_rollup(report: dict) -> None:
         print(f"-- drift: {report['drift']}")
 
 
+def cmd_compact(args) -> int:
+    from prompture_ray.state.compact import compact_violations
+
+    ray = _init_ray(args.num_cpus)
+    try:
+        print(json.dumps(compact_violations(args.out_dir)))
+        return 0
+    finally:
+        ray.shutdown()
+
+
 def cmd_report(args) -> int:
     report = json.loads(Path(args.path).read_text())
     _print_rollup(report)
@@ -139,6 +150,11 @@ def main(argv=None) -> int:
     rep = sub.add_parser("report", help="pretty-print a report.json")
     rep.add_argument("path")
     rep.set_defaults(fn=cmd_report)
+
+    cp = sub.add_parser("compact", help="compact violation part files")
+    cp.add_argument("out_dir", help="a run's output directory")
+    cp.add_argument("--num-cpus", type=int)
+    cp.set_defaults(fn=cmd_compact)
 
     args = p.parse_args(argv)
     return args.fn(args)
