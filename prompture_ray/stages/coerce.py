@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from prompture_ray.functions.textfuncs import (
-    parse_boolean_batch, parse_shorthand_number, TRUTHY, FALSY,
+    parse_boolean_batch, parse_shorthand_number,
 )
 
 TYPE_DEFAULTS = {

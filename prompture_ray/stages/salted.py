@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 
 def salted_groupby_stats(ds, key: str, value: str, n_salt: int = 8):

@@ -12,7 +12,6 @@ tokenizer (prompture/rag/retrievers/hybrid.py:12-19).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import datetime as _dt
 import re
-from typing import Iterable
+
 
 import numpy as np
 import pyarrow as pa
