@@ -96,3 +96,40 @@ def test_semi_and_anti_join(ev):
                                  anti=True).to_pandas()
     assert set(semi["user_id"]) == {1} and len(semi) == 4
     assert set(anti["user_id"]) == {2} and len(anti) == 2
+
+
+def test_streaming_window_equals_batch(ray_session):
+    """Streaming actor-held windows must equal the batch groupby windows
+    on the real events table."""
+    import ray.data as rd
+    from prompture_ray.stages.streaming_windows import streaming_tumbling_window
+    from prompture_ray.stages.windows import tumbling_window
+
+    ds = rd.read_parquet("/root/testdata/sf0.001/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    stream = streaming_tumbling_window(ds, "user_id", "ts", "value",
+                                       window="1h", n_buckets=3)
+    batch = tumbling_window(ds, "ts", ["user_id"], unit="hour",
+                            agg_col="value").to_pandas() \
+        .rename(columns={"user_id": "key"}) \
+        .sort_values(["key", "window"], ignore_index=True)
+    assert len(stream) == len(batch)
+    assert stream["n"].tolist() == batch["n"].tolist()
+    assert np.allclose(stream["sum_value"], batch["sum_value"])
+
+
+def test_streaming_window_late_rows(ray_session):
+    import ray.data as rd
+    import datetime as dt
+    from prompture_ray.stages.streaming_windows import (
+        make_window_actors, streaming_tumbling_window)
+    # lateness bound respected: rows behind the watermark are dropped+counted
+    import ray
+    actors = make_window_actors(1, window_s=60, lateness_s=0)
+    import numpy as np
+    out1 = ray.get(actors[0].feed.remote(
+        np.array(["a"]), np.array([1000.0]), np.array([1.0])))
+    out2 = ray.get(actors[0].feed.remote(
+        np.array(["a"]), np.array([500.0]), np.array([1.0])))  # late
+    stats = ray.get(actors[0].stats.remote())
+    assert stats["late_dropped"] == 1
