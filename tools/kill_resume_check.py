@@ -23,7 +23,7 @@ ROOT = Path("/tmp/prompture_ray_killtest")
 
 RUN_CODE = """
 import ray, sys
-ray.init(address="local", num_cpus=4, include_dashboard=False, logging_level="ERROR")
+ray.init(address="local", num_cpus=2, include_dashboard=False, logging_level="ERROR")
 from ray.data import DataContext
 DataContext.get_current().enable_progress_bars = False
 from prompture_ray.specs import default_webpages_suite
@@ -44,7 +44,7 @@ def main() -> int:
     ROOT.mkdir(parents=True)
     # generate data in-process (no ray needed for 16 small parts)
     from prompture_ray.synth import generate
-    generate(ROOT / "data", n_rows=60000, n_parts=48, use_ray=False)
+    generate(ROOT / "data", n_rows=120000, n_parts=96, use_ray=False)
     pages, warc = str(ROOT / "data" / "pages"), str(ROOT / "data" / "warc")
 
     # reference: uninterrupted run
@@ -65,7 +65,7 @@ def main() -> int:
     deadline = time.time() + 120
     while time.time() < deadline:
         n = len(list(manifest_dir.glob("*.json"))) if manifest_dir.exists() else 0
-        if 4 <= n <= 40:
+        if 8 <= n <= 80:
             break
         if proc.poll() is not None:
             print("run finished before kill window; partitions too fast")
