@@ -73,3 +73,28 @@ def test_rrf_fusion():
     # a and b tie-break deterministically: both rank (1,2) → equal score →
     # lexicographic
     assert out["id"].tolist()[:2] == ["a", "b"]
+
+
+def test_knn_ivf_recall(embedded):
+    ds, mat = embedded
+    qids = [0, 5, 17, 40, 99]
+    exact = sim.knn_brute_force(ds, "embedding", "vec_id", mat[qids], k=5,
+                                query_ids=qids).to_pandas()
+    approx = sim.knn_ivf(ds, "embedding", "vec_id", mat[qids], k=5,
+                         query_ids=qids, n_lists=8, n_probe=3).to_pandas()
+    hits = 0
+    for qid in qids:
+        e = set(exact[exact["query_id"] == qid]["id"])
+        a = set(approx[approx["query_id"] == qid]["id"])
+        hits += len(e & a)
+    assert hits >= 10  # ≥40% aggregate recall with 3/8 lists probed
+
+
+def test_kmeans_deterministic():
+    import numpy as np
+    rng = np.random.RandomState(1)
+    s = rng.normal(size=(500, 16))
+    c1 = sim.kmeans_fit(s, 8)
+    c2 = sim.kmeans_fit(s, 8)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
