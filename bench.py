@@ -68,8 +68,9 @@ def run_bench() -> dict:
     generate(data_dir, n_rows=rows, n_parts=n_parts, words_scale=3.0)
 
     # warm page cache so we measure compute+shuffle, not first disk read
-    for p in (data_dir / "pages").glob("*.parquet"):
-        p.read_bytes()
+    for sub in ("pages", "warc"):
+        for p in (data_dir / sub).glob("*.parquet"):
+            p.read_bytes()
     # warm the Ray worker pool (untimed): the first Dataset execution in a
     # process pays worker-spawn + import costs that are not part of the
     # job being measured
