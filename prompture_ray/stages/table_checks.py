@@ -83,11 +83,42 @@ class _BroadcastAntiJoin:
         return t.filter(pa.array(missing))
 
 
+def build_bloom(ds, col: str, n_bits: int = 1 << 24, n_hashes: int = 5):
+    """Distributed Bloom build: per-batch key-hash blobs → driver folds
+    them into one filter via ``add_hashes`` (OR-merge equivalent). The
+    blobs are 8 bytes/row; the filter itself never ships between workers
+    during the build."""
+    import numpy as np
+    from prompture_ray.functions.sketches import Bloom, hash64
+
+    def blob(t: pa.Table) -> pa.Table:
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        h = (hash64(np.asarray(arr.to_pylist(), dtype=object))
+             if len(arr) else np.empty(0, dtype=np.uint64))
+        return pa.table({"h": pa.array([h.tobytes()], type=pa.binary())})
+
+    bloom = Bloom(n_bits, n_hashes)
+    for b in ds.map_batches(blob, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for raw in b["h"].to_pylist():
+            bloom.add_hashes(np.frombuffer(raw, dtype=np.uint64))
+    return bloom
+
+
 def referential_missing(left_ds, right_ds, key: str, right_key: str | None = None,
                         broadcast_threshold: int = BROADCAST_THRESHOLD,
-                        n_buckets: int = 64):
+                        n_buckets: int = 64, bloom_prefilter: bool = True):
     """Rows of ``left_ds`` (projected to ``key``) whose key has no match in
-    ``right_ds[right_key]``. Returns a Dataset with columns (key, n)."""
+    ``right_ds[right_key]``. Returns a Dataset with columns (key, n).
+
+    Partitioned path with ``bloom_prefilter``: a Bloom filter of the LEFT
+    keys drops right rows that cannot affect the anti-join result before
+    the shuffle (false positives only let extra right rows through —
+    exactness is preserved; the win is shuffle volume when the right side
+    dwarfs the overlap)."""
     right_key = right_key or key
     left = left_ds.select_columns([key])
     right = right_ds.select_columns([right_key])
@@ -109,6 +140,22 @@ def referential_missing(left_ds, right_ds, key: str, right_key: str | None = Non
         return partials.groupby(key).aggregate(Sum("n", alias_name="n"))
 
     # partitioned path: hash-bucket both sides, per-bucket set difference
+    if bloom_prefilter:
+        left_bloom = build_bloom(left, key)
+        bloom_ref = ray.put(left_bloom)
+
+        def right_filter(t: pa.Table) -> pa.Table:
+            bl = ray.get(bloom_ref)
+            arr = t[right_key]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            if len(arr) == 0:
+                return t
+            h = hash64(np.asarray(arr.to_pylist(), dtype=object))
+            return t.filter(pa.array(bl.contains_hashes(h)))
+
+        right = right.map_batches(right_filter, batch_format="pyarrow")
+
     def tag(side: str, col: str):
         def fn(t: pa.Table) -> pa.Table:
             arr = t[col]

@@ -156,6 +156,32 @@ class LangIdStage:
             for lang, words in LANG_MARKERS.items()
         }
 
+    @staticmethod
+    def _script_lang(txt: str) -> tuple[str | None, float]:
+        """Unicode-script shortcut for non-Latin languages: when a large
+        share of letters is CJK/kana/cyrillic/greek the stopword profiles
+        are useless — classify by script instead."""
+        n = len(txt)
+        if n == 0:
+            return None, 0.0
+        cjk = kana = cyr = 0
+        for ch in txt[:512]:
+            o = ord(ch)
+            if 0x4E00 <= o <= 0x9FFF:
+                cjk += 1
+            elif 0x3040 <= o <= 0x30FF:
+                kana += 1
+            elif 0x0400 <= o <= 0x04FF:
+                cyr += 1
+        base = min(n, 512)
+        if kana / base > 0.1:
+            return "ja", round(kana / base, 6)
+        if cjk / base > 0.3:
+            return "zh", round(cjk / base, 6)
+        if cyr / base > 0.3:
+            return "ru", round(cyr / base, 6)
+        return None, 0.0
+
     def __call__(self, t: pa.Table) -> pa.Table:
         texts = pc.utf8_lower(t[self.text_col]).to_pylist()
         langs, confs = [], []
@@ -163,6 +189,11 @@ class LangIdStage:
             if not txt:
                 langs.append(None)
                 confs.append(0.0)
+                continue
+            script_lang, script_conf = self._script_lang(txt)
+            if script_lang:
+                langs.append(script_lang)
+                confs.append(script_conf)
                 continue
             n_words = max(1, len(txt.split()))
             scores = {lang: len(p.findall(txt)) / n_words

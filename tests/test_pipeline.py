@@ -142,3 +142,23 @@ def test_drift_scoring(ray_session, webpages_small, tmp_path):
     assert d["text_len_psi"] < 0.01
     assert d["text_len_ks"] < 0.01
     assert d["cat_psi"] < 0.05
+
+
+def test_referential_partitioned_with_bloom(ray_session, webpages_small):
+    """Partitioned anti-join (forced via threshold=0) with Bloom prefilter
+    must equal the broadcast path exactly."""
+    import ray.data as rd
+    from prompture_ray.stages.table_checks import referential_missing
+
+    left = rd.read_parquet(str(webpages_small / "pages"), columns=["url"])
+    right = rd.read_parquet(str(webpages_small / "warc"), columns=["url"])
+    bc = referential_missing(left, right, "url").to_pandas()
+    part = referential_missing(
+        rd.read_parquet(str(webpages_small / "pages"), columns=["url"]),
+        rd.read_parquet(str(webpages_small / "warc"), columns=["url"]),
+        "url", broadcast_threshold=0, n_buckets=8,
+        bloom_prefilter=True).to_pandas()
+    a = bc.sort_values("url", ignore_index=True)
+    b = part.sort_values("url", ignore_index=True)
+    assert a["url"].tolist() == b["url"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()

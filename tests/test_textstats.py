@@ -70,3 +70,18 @@ def test_fingerprint_stable_and_discriminative(docs, ray_session):
         "text": ["The quick brown fox jumps over the lazy dog and runs far away today"]}))
     fpd = ts.fingerprint_docs(dup, "text", "doc_id").to_pandas()
     assert fpd["fingerprint"].iloc[0] == fp["fingerprint"].iloc[0]
+
+
+def test_langid_scripts(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["这是一个中文测试文档 机器学习 数据处理",
+                 "これは日本語のテストです データ処理",
+                 "это русский текст для проверки системы"],
+    }))
+    out = ds.map_batches(ts.LangIdStage("text"),
+                         batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id")
+    assert out["lang_pred"].tolist() == ["zh", "ja", "ru"]
