@@ -998,3 +998,25 @@ GROUP BY c.c_mktsegment
 
 QUERIES["orders_by_segment"] = orders_by_segment
 ORACLE["orders_by_segment"] = ORDERS_BY_SEGMENT_SQL
+
+
+def events_hourly_streaming(sf_dir: str):
+    """STREAMING tumbling windows (actor-held state + watermark,
+    stages/streaming_windows.py) — same result as the batch groupby
+    windows, so the SQL oracle checks the incremental path end to end."""
+    from prompture_ray.stages.streaming_windows import streaming_tumbling_window
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+    df = streaming_tumbling_window(ds, "event_type", "ts", "value",
+                                   window="1h", n_buckets=4)
+    df = df.rename(columns={"key": "event_type", "window": "hour"})
+    df["sum_value"] = df["sum_value"].round(4)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], type=pa.string()),
+        "hour": pa.array(df["hour"], type=pa.timestamp("us")),
+        "n": pa.array(df["n"], type=pa.int64()),
+        "sum_value": pa.array(df["sum_value"], type=pa.float64()),
+    })
+
+
+QUERIES["events_hourly_streaming"] = events_hourly_streaming
+ORACLE["events_hourly_streaming"] = EVENTS_HOURLY_SQL
