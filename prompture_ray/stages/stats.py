@@ -200,3 +200,88 @@ def score_drift(baseline: dict, live_hist: Hist, live_cat_freq: dict) -> dict:
     a = np.array([live_cat_freq.get(c, 0.0) for c in cats])
     out["cat_psi"] = round(psi(e, a), 6) if len(cats) else 0.0
     return out
+
+
+def score_drift_by_group(ds, group_col: str, value_col: str,
+                         baselines: dict[str, dict] | None = None,
+                         edges=None):
+    """Per-segment drift: one histogram per group value (partial per batch,
+    merged), scored PSI/KS against per-group baselines (or against the
+    all-groups pooled distribution when no baselines are given — the
+    'which segment shifted' diagnostic)."""
+    import pyarrow.compute as _pc
+
+    edges = DEFAULT_LEN_EDGES if edges is None else np.asarray(edges)
+
+    def partial(t: pa.Table):
+        out = []
+        col = t[group_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        for g in _pc.unique(col.drop_null()).to_pylist():
+            rows = t.filter(_pc.equal(t[group_col], g))
+            h = Hist(edges)
+            h.update_array(_numeric_view(
+                rows[value_col].combine_chunks()
+                if isinstance(rows[value_col], pa.ChunkedArray)
+                else rows[value_col]))
+            out.append({"g": str(g), "counts": h.counts.tobytes()})
+        return pa.Table.from_pylist(out) if out else pa.table(
+            {"g": pa.array([], type=pa.string()),
+             "counts": pa.array([], type=pa.binary())})
+
+    merged: dict[str, np.ndarray] = {}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            arr = np.frombuffer(row["counts"], dtype=np.int64)
+            merged[row["g"]] = merged.get(row["g"], 0) + arr
+
+    pooled = sum(merged.values()) if merged else np.zeros(len(edges) + 1,
+                                                          dtype=np.int64)
+    out = []
+    for g in sorted(merged):
+        live = merged[g]
+        if baselines and g in baselines:
+            base = np.asarray(baselines[g]["counts"], dtype=np.int64)
+        else:
+            base = pooled - live if baselines is None else None
+        if base is None or base.sum() == 0:
+            continue
+        b_p = base / base.sum()
+        l_p = live / live.sum() if live.sum() else live
+        out.append({"group": g, "psi": round(psi(b_p, l_p), 6),
+                    "ks": round(ks_from_hist(base, live), 6),
+                    "n": int(live.sum())})
+    import pandas as pd
+    return pd.DataFrame(out)
+
+
+def detect_heavy_hitters(ds, col: str, sample_frac: float = 0.05,
+                         threshold_frac: float = 0.05, seed: int = 9,
+                         depth: int = 5, width: int = 4096) -> list:
+    """Sampled count-min heavy-hitter detection (SURVEY §4 skew handling):
+    returns the key values whose sampled frequency exceeds
+    ``threshold_frac`` — the keys a salted shuffle should split."""
+    from prompture_ray.functions.sketches import CountMin, TopK
+    import pyarrow.compute as _pc
+
+    cm = CountMin(depth, width)
+    tk = TopK(k=32)
+    total = 0
+    sample = ds.random_sample(sample_frac, seed=seed)
+    for b in sample.iter_batches(batch_size=None, batch_format="pyarrow"):
+        col_arr = b[col]
+        if isinstance(col_arr, pa.ChunkedArray):
+            col_arr = col_arr.combine_chunks()
+        vc = col_arr.drop_null().value_counts()
+        vals = np.asarray(vc.field("values").to_pylist(), dtype=object)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False)
+        if len(vals):
+            cm.update_array(vals, counts=cnts)
+            tk.update_array(vals, counts=cnts)
+            total += int(cnts.sum())
+    if total == 0:
+        return []
+    return [v for v, c in tk.top(32)
+            if cm.estimate(v) / total >= threshold_frac]

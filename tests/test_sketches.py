@@ -125,3 +125,27 @@ def test_hist_merge_and_drift():
     assert sk.psi(whole.probs(), whole.probs()) < 1e-9
     assert sk.psi(whole.probs(), shifted.probs()) > 0.1
     assert sk.ks_from_hist(whole.counts, shifted.counts) > 0.1
+
+
+def test_grouped_drift_and_heavy_hitters(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    from prompture_ray.stages.stats import (
+        score_drift_by_group, detect_heavy_hitters)
+    rng = np.random.RandomState(0)
+    n = 6000
+    groups = np.where(rng.random_sample(n) < 0.7, "en",
+                      np.where(rng.random_sample(n) < 0.5, "de", "fr"))
+    vals = np.where(groups == "fr",
+                    rng.lognormal(6.5, 0.5, n),   # shifted segment
+                    rng.lognormal(5.0, 0.5, n))
+    ds = rd.from_arrow(pa.table({"lang": list(groups),
+                                 "v": vals.astype(float)}))
+    drift = score_drift_by_group(ds, "lang", "v")
+    by = dict(zip(drift["group"], drift["psi"]))
+    assert by["fr"] > by["en"]          # the shifted segment stands out
+    assert by["fr"] > 0.5
+
+    hot = detect_heavy_hitters(ds, "lang", sample_frac=0.5,
+                               threshold_frac=0.2)
+    assert "en" in hot and "fr" not in hot
