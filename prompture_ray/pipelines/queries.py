@@ -144,7 +144,7 @@ def chars_stats_by_lang(sf_dir: str):
 
 CHARS_STATS_SQL = """
 SELECT lang, count(*) AS n_docs, min(n_chars) AS min_chars,
-       max(n_chars) AS max_chars, sum(n_chars) AS sum_chars
+       max(n_chars) AS max_chars, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang
 """
 
@@ -167,7 +167,7 @@ def token_stats_by_lang(sf_dir: str):
 
 TOKEN_STATS_SQL = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(regexp_extract_all(text, '\\S+'))) AS sum_tokens
+       CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens
 FROM documents GROUP BY lang
 """
 
@@ -273,7 +273,7 @@ def events_range_violations(sf_dir: str):
 
 EVENTS_RANGE_SQL = """
 SELECT event_type,
-       sum(CASE WHEN value BETWEEN 0 AND 300 THEN 0 ELSE 1 END) AS n_bad
+       CAST(sum(CASE WHEN value BETWEEN 0 AND 300 THEN 0 ELSE 1 END) AS BIGINT) AS n_bad
 FROM events GROUP BY event_type
 """
 
@@ -966,7 +966,7 @@ def salted_chars_stats(sf_dir: str):
 
 
 SALTED_CHARS_SQL = """
-SELECT lang, count(*) AS n, sum(n_chars) AS sum_v,
+SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_v,
        min(n_chars) AS min_v, max(n_chars) AS max_v
 FROM documents GROUP BY lang
 """

@@ -52,6 +52,15 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
         return f"SCHEMA mismatch: ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}"
     if len(ray_df) != len(sql_df):
         return f"ROWCOUNT mismatch: ray={len(ray_df)} sql={len(sql_df)}"
+    # Driver-style dtype sensitivity: a DuckDB HUGEINT sum surfaces as float64
+    # in fetchdf while the Ray side is int64 — the driver's value-hash treats
+    # that as a mismatch, so we must too (don't coerce it away).
+    for c in sorted(ray_df.columns):
+        ka = ray_df[c].dtype.kind
+        kb = sql_df[c].dtype.kind
+        norm = lambda k: {"u": "i"}.get(k, k)
+        if norm(ka) != norm(kb) and not (len(ray_df) == 0):
+            return f"DTYPE mismatch in col {c}: ray={ray_df[c].dtype} sql={sql_df[c].dtype}"
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
