@@ -53,11 +53,29 @@ def strip_tags(html: str) -> str:
 
 # Fast path: regex tag split. Produces output byte-identical to
 # ``strip_tags`` whenever every "<" opens a real tag/comment (letters, /,
-# !, ?). Raw "<" in text (malformed HTML) falls back to the parser so the
+# !, ?). Raw "<" in text (malformed HTML), or a "<" left unconsumed by the
+# tag regex (e.g. an unterminated quote), falls back to the parser so the
 # two paths never disagree. ~3.5× faster and far fewer allocations than
 # HTMLParser — which matters at 32 concurrent workers where allocation-
 # heavy parsing contends on the memory subsystem.
-_TAG_RE = re.compile(r"<[/!?a-zA-Z][^>]*>")
+#
+# Quote handling mirrors HTMLParser's tolerant tag scan: a quote run counts
+# as an attribute value (and may contain ">") only when it directly follows
+# "=" — a bare quote elsewhere in the tag is ordinary tag junk and does NOT
+# hide a ">". This keeps <div data-x="1>2">text</div> -> "text" while
+# <a data=don't>x</a> still ends the tag at the first ">".
+# Branches are mutually exclusive at every position ("=" either starts a
+# quoted value or provably doesn't), so the scan is deterministic/linear —
+# no exponential backtracking on adversarial input.
+_TAG_RE = re.compile(
+    r"<[/!?a-zA-Z]"
+    r"(?:=\s*\"[^\"]*\""      # =-prefixed double-quoted value (">" allowed)
+    r"|=\s*'[^']*'"           # =-prefixed single-quoted value
+    r"|[^>=]"                 # ordinary tag byte
+    r"|=(?!\s*[\"'])"         # "=" not introducing a quoted value
+    r")*"
+    r">"
+)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
 _RAW_LT = re.compile(r"<(?![/!?a-zA-Z]|!--)")
 
@@ -66,7 +84,12 @@ def strip_tags_fast(html: str) -> str:
     html = _COMMENT_RE.sub("", html)
     if _RAW_LT.search(html):
         return strip_tags(html)
-    parts = [p for p in _TAG_RE.split(html) if p != ""]
+    parts = _TAG_RE.split(html)
+    if any("<" in p for p in parts):
+        # a "<" survived the split (unterminated tag/quote) — let the
+        # parser decide rather than guessing.
+        return strip_tags(html)
+    parts = [p for p in parts if p != ""]
     if any("&" in p for p in parts):
         from html import unescape
         parts = [unescape(p) for p in parts]

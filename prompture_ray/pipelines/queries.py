@@ -764,7 +764,10 @@ def props_k_coerced(sf_dir: str):
     def fn(t: pa.Table) -> pa.Table:
         raw = pc.extract_regex(t["props"], r'"k":\s*(?P<k>-?\d+)')
         kstr = pc.struct_field(raw, "k")
-        vals, used = coerce_column(kstr, "int64", default=-1)
+        # extraction miss on a PRESENT props row is a failed parse
+        # (default + flag); null props stays null unflagged
+        vals, used = coerce_column(kstr, "int64", default=-1,
+                                   valid_mask=pc.is_valid(t["props"]))
         return pa.table({"event_id": t["event_id"], "k": vals,
                          "used_default": used})
 
@@ -773,7 +776,9 @@ def props_k_coerced(sf_dir: str):
 
 PROPS_K_SQL = """
 SELECT event_id,
-       COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1) AS k,
+       CASE WHEN props IS NULL THEN NULL
+            ELSE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+       END AS k,
        (props IS NOT NULL
         AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
            AS used_default

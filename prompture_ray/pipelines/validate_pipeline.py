@@ -117,7 +117,7 @@ class ValidateAndSink:
                         hash_cache: dict | None = None
                         ) -> tuple[pa.Table | None, dict]:
         import ray
-        parts, by_reason = [], {}
+        parts, by_check = [], {}
         for check, ref in self.ref_broadcasts:
             if check.id not in self._ref_arrays:
                 self._ref_arrays[check.id] = ray.get(ref)
@@ -152,9 +152,9 @@ class ValidateAndSink:
                 "reason": pa.array([check.reason()] * n),
                 "observed": pc.utf8_slice_codeunits(bad_vals, 0, 80),
             }, schema=viol_schema()))
-            by_reason[check.reason()] = n
+            by_check[check.id] = n
         out = pa.concat_tables(parts) if parts else None
-        return out, by_reason
+        return out, by_check
 
     def _process_group(self, batch: pa.Table, path: str) -> dict:
         t0 = time.perf_counter()
@@ -175,16 +175,29 @@ class ValidateAndSink:
             vdir.mkdir(parents=True, exist_ok=True)
             out_viol = viol.append_column(
                 "partition_id", pa.array([pid] * viol.num_rows, type=pa.int32()))
-            pq.write_table(out_viol, vdir / f"{uuid.uuid4().hex}.parquet")
+            # deterministic file name per (fragment, batch content): a Ray
+            # task retry re-writes the SAME file instead of duplicating
+            # rows for downstream violation-parquet consumers
+            import hashlib
+            hsh = hashlib.sha1(
+                f"{path}|{batch.num_rows}|{viol.num_rows}".encode())
+            hsh.update(repr(viol["check_id"].to_pylist()).encode())
+            hsh.update(repr(viol["row_key"].to_pylist()).encode())
+            pq.write_table(out_viol, vdir / f"{hsh.hexdigest()[:20]}.parquet")
 
         acc = StatsAccumulator(self.stats_checks)
         acc.update(batch, hash_cache=hash_cache)
         key_hashes = {c.id: hash_cache[c.column].tobytes()
                       for c in self.unique_checks}
 
+        # counters keyed by check id, not reason() — two checks of the same
+        # (kind, column) must not conflate (vectorized value_counts, no
+        # per-row Python)
         counts: dict[str, int] = {}
-        for r in viol["reason"].to_pylist():
-            counts[r] = counts.get(r, 0) + 1
+        if viol.num_rows:
+            vc = viol["check_id"].combine_chunks().value_counts()
+            counts = dict(zip((v.as_py() for v in vc.field("values")),
+                              (int(n.as_py()) for n in vc.field("counts"))))
         return {
             "path": path,
             "rows": batch.num_rows,
@@ -379,14 +392,14 @@ def run_suite(
             for row in pb.to_pylist():
                 path = row["path"]
                 st = seen.setdefault(path, {
-                    "rows": 0, "ok_rows": 0, "by_reason": {},
+                    "rows": 0, "ok_rows": 0, "by_check": {},
                     "elapsed_ms": 0.0, "acc": StatsAccumulator(stats_checks),
                     "hashes": {}})
                 st["rows"] += row["rows"]
                 st["ok_rows"] += row["ok_rows"]
                 st["elapsed_ms"] += row["elapsed_ms"]
                 for k, v in json.loads(row["viol_json"]).items():
-                    st["by_reason"][k] = st["by_reason"].get(k, 0) + v
+                    st["by_check"][k] = st["by_check"].get(k, 0) + v
                 if row["sketches"]:
                     st["acc"].merge_bytes(row["sketches"])
                 if row["key_hashes"]:
@@ -409,8 +422,8 @@ def run_suite(
                         "input_fragments": [path],
                         "rows": st["rows"],
                         "ok_rows": st["ok_rows"],
-                        "violations": sum(st["by_reason"].values()),
-                        "violations_by_reason": st["by_reason"],
+                        "violations": sum(st["by_check"].values()),
+                        "violations_by_check": st["by_check"],
                         "elapsed_ms": round(st["elapsed_ms"], 3),
                     })
                     del seen[path]
@@ -547,8 +560,8 @@ def run_suite(
             else:
                 table_results[c.id] = {
                     "kind": "referential", "column": c.column, "fused": True,
-                    "missing_rows": totals_so_far["violations_by_reason"]
-                    .get(c.reason(), 0),
+                    "missing_rows": totals_so_far["violations_by_check"]
+                    .get(c.id, 0),
                 }
         table_results_path.write_text(json.dumps(table_results, sort_keys=True))
     _phase("table_checks", t_ph)
@@ -557,8 +570,7 @@ def run_suite(
     totals = manifest.totals()
     results = []
     for c in suite.row_checks:
-        bad = sum(v for k, v in totals["violations_by_reason"].items()
-                  if k == c.reason())
+        bad = totals["violations_by_check"].get(c.id, 0)
         results.append({
             "check_id": c.id, "column": c.column, "kind": c.kind,
             "total": totals["rows"], "violations": bad,
@@ -606,7 +618,7 @@ def run_suite(
         for f in sorted(vdir.glob("*.parquet"))[:1]:
             t = pq.read_table(f)
             for row in t.slice(0, 200).to_pylist():
-                bucket = samples.setdefault(row["reason"], [])
+                bucket = samples.setdefault(row["check_id"], [])
                 if len(bucket) < 3:
                     bucket.append({k: row[k] for k in
                                    ("check_id", "row_key", "observed")})

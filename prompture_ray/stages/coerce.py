@@ -27,11 +27,20 @@ TYPE_DEFAULTS = {
 
 
 def coerce_column(col, target: str, default=None,
-                  shorthand: bool = False) -> tuple[pa.Array, pa.Array]:
+                  shorthand: bool = False,
+                  valid_mask=None) -> tuple[pa.Array, pa.Array]:
     """Cast ``col`` (string-ish) to ``target`` type; rows that fail get
-    ``default`` (or the type default). Returns (values, used_default)."""
+    ``default`` (or the type default). Returns (values, used_default).
+
+    ``valid_mask`` optionally overrides "the input existed" — e.g. when
+    ``col`` is the output of an extraction over a source column, pass the
+    SOURCE's validity so extraction-miss-on-present-source counts as a
+    failed parse (default + flag) instead of a null input (null, no flag).
+    """
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if valid_mask is not None and isinstance(valid_mask, pa.ChunkedArray):
+        valid_mask = valid_mask.combine_chunks()
     if default is None:
         default = TYPE_DEFAULTS.get(target)
 
@@ -62,12 +71,13 @@ def coerce_column(col, target: str, default=None,
     else:
         raise ValueError(f"unsupported coercion target {target!r}")
 
-    used_default = pc.and_(pc.is_null(parsed), pc.is_valid(col))
+    src_valid = valid_mask if valid_mask is not None else pc.is_valid(col)
+    used_default = pc.and_(pc.is_null(parsed), src_valid)
     target_type = parsed.type
     if default is not None:
         filled = pc.fill_null(parsed, pa.scalar(default, type=target_type))
         # only fill rows where the INPUT existed; null input stays null
-        out = pc.if_else(pc.is_valid(col), filled, parsed)
+        out = pc.if_else(src_valid, filled, parsed)
     else:
         out = parsed
     return out, used_default

@@ -9,7 +9,7 @@ for a distributed batch run:
 - one JSON record per completed input partition under
   ``<out_dir>/manifest/<pid>.json``
 - record shape (FIXTURES.md §4): ``{run_id, partition_id, status,
-  input_fragments, rows, ok_rows, violations, violations_by_reason,
+  input_fragments, rows, ok_rows, violations, violations_by_check,
   elapsed_ms, ts}``
 - resume = list manifest → anti-join pending input fragments → rerun only
   those; partition outputs are keyed by pid so reruns are idempotent
@@ -93,7 +93,7 @@ class Manifest:
         """Merged metrics across completed partitions (the authoritative
         source for the run report)."""
         rows = ok = viol = 0
-        by_reason: dict[str, int] = {}
+        by_check: dict[str, int] = {}
         elapsed = 0.0
         for r in self.records():
             if r.get("status") != STATUS_COMPLETED:
@@ -102,9 +102,9 @@ class Manifest:
             ok += r.get("ok_rows", 0)
             viol += r.get("violations", 0)
             elapsed += r.get("elapsed_ms", 0.0)
-            for k, v in (r.get("violations_by_reason") or {}).items():
-                by_reason[k] = by_reason.get(k, 0) + v
+            for k, v in (r.get("violations_by_check") or {}).items():
+                by_check[k] = by_check.get(k, 0) + v
         return {"rows": rows, "ok_rows": ok, "violations": viol,
-                "violations_by_reason": by_reason,
+                "violations_by_check": by_check,
                 "partitions": len(self.completed_pids()),
                 "elapsed_ms_sum": elapsed}

@@ -35,6 +35,18 @@ def test_coerce_bool_multilingual():
     assert used.to_pylist() == [False, False, True, False]
 
 
+def test_coerce_valid_mask_extraction_miss():
+    """valid_mask: an extraction miss over a PRESENT source row counts as
+    a failed parse (default + flag); a null source row stays null."""
+    # extracted values: row0 hit, row1 miss-on-present-source, row2 null src
+    extracted = pa.array(["7", None, None])
+    src_valid = pa.array([True, True, False])
+    vals, used = coerce_column(extracted, "int64", default=-1,
+                               valid_mask=src_valid)
+    assert vals.to_pylist() == [7, -1, None]
+    assert used.to_pylist() == [False, True, False]
+
+
 def test_coerce_timestamp():
     col = pa.array(["2024-01-01T00:00:00", "bad"])
     vals, used = coerce_column(col, "timestamp")

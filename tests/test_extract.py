@@ -48,6 +48,31 @@ def test_nested_boilerplate_case_insensitive():
     assert "bad" not in extract_text(html)
 
 
+def test_quoted_gt_in_attribute():
+    """A '>' inside a quoted attribute value must not end the tag early
+    (fast path must agree with the stdlib-parser path)."""
+    from prompture_ray.functions.extract_html import strip_tags, strip_tags_fast
+
+    cases = [
+        '<div data-x="1>2">text</div>',
+        "<div data-x='1>2'>text</div>",
+        '<a href="u" title="a>b" id=c>x</a>',
+        '<a title = "a > b">x</a>',          # spaces around =
+        "<a data=don't>x</a> more'",          # unquoted value with apostrophe
+        '<p class="a\'b">mix</p>',            # quote of the other kind inside
+        '<a title="a<b">lt</a>',              # '<' inside quoted value
+    ]
+    for html in cases:
+        assert strip_tags_fast(html) == strip_tags(html), html
+    assert extract_text('<div data-x="1>2">text</div>') == "text"
+
+
+def test_unterminated_quote_falls_back():
+    from prompture_ray.functions.extract_html import strip_tags, strip_tags_fast
+    html = '<a href="unterminated x</a> tail'
+    assert strip_tags_fast(html) == strip_tags(html)
+
+
 def test_synth_roundtrip_byte_identical():
     """97% of synthesized rows must satisfy text == extract_text(html)."""
     from prompture_ray.synth import gen_partition

@@ -70,7 +70,7 @@ def test_manifest_records(run_dir):
     for r in recs:
         assert r["status"] == "completed"
         assert r["rows"] > 0
-        assert "violations_by_reason" in r
+        assert "violations_by_check" in r
     assert m.totals()["rows"] == 3000
 
 
@@ -114,7 +114,7 @@ def test_resume_no_recompute(ray_session, webpages_small, tmp_path):
     assert resumed["meta"]["resumed_partitions"] == [0, 1]
     # identical verdict totals vs the fresh run
     assert resumed["run"]["rows"] == full["run"]["rows"]
-    assert resumed["run"]["violations_by_reason"] == full["run"]["violations_by_reason"]
+    assert resumed["run"]["violations_by_check"] == full["run"]["violations_by_check"]
     key = lambda rs: sorted((r["check_id"], r["violations"]) for r in rs)
     assert key(resumed["results"]) == key(full["results"])
     # sketches rebuilt from per-partition files → same estimates

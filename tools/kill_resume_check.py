@@ -34,7 +34,7 @@ report = run_suite(sys.argv[1], suite, sys.argv[2],
                    run_id=sys.argv[4], batch_size=2048)
 import json
 print("REPORT " + json.dumps({"rows": report["run"]["rows"],
-                              "by": report["run"]["violations_by_reason"]}))
+                              "by": report["run"]["violations_by_check"]}))
 ray.shutdown()
 """
 
