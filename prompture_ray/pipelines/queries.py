@@ -1025,3 +1025,114 @@ def events_hourly_streaming(sf_dir: str):
 
 QUERIES["events_hourly_streaming"] = events_hourly_streaming
 ORACLE["events_hourly_streaming"] = EVENTS_HOURLY_SQL
+
+
+# --------------------------------------------------------------------------
+# nested JSON-Schema validation (reference validate_against_schema,
+# validator.py:10-31; conformance vocabulary of specs/schema_validation.json)
+# --------------------------------------------------------------------------
+
+PROPS_SCHEMA = {
+    "type": "object",
+    "properties": {"k": {"type": "integer", "minimum": 0, "maximum": 80}},
+    "required": ["k"],
+    "additionalProperties": False,
+}
+
+
+def props_schema_events(sf_dir: str):
+    """Validate the JSON props column against a JSON Schema (compiled once
+    per worker; stages/json_schema.py) → per-row verdict + first failing
+    path, the reference's core validator surface made columnar."""
+    from prompture_ray.stages.json_schema import json_schema_verdicts
+    ds = _read(sf_dir, "events", ["event_id", "props"])
+    return json_schema_verdicts(ds, "props", PROPS_SCHEMA,
+                                id_cols=("event_id",))
+
+
+PROPS_SCHEMA_SQL = """
+WITH e AS (
+  SELECT event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events)
+SELECT event_id,
+       (k IS NOT NULL AND k BETWEEN 0 AND 80) AS ok,
+       CAST(CASE WHEN k IS NULL OR k < 0 OR k > 80 THEN 1 ELSE 0 END
+            AS BIGINT) AS n_errors,
+       CASE WHEN k IS NULL THEN '$.k:required'
+            WHEN k < 0 THEN '$.k:minimum'
+            WHEN k > 80 THEN '$.k:maximum' END AS first_error
+FROM e
+"""
+
+
+NESTED_DOC_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "doc": {
+            "type": "object",
+            "properties": {
+                "lang": {"type": "string",
+                         "enum": ["en", "de", "fr", "es"]},
+                "n_chars": {"type": "integer", "minimum": 0},
+            },
+            "required": ["lang", "n_chars"],
+        },
+        "tags": {"type": "array", "items": {"type": "string"},
+                 "minItems": 1},
+    },
+    "required": ["doc", "tags"],
+}
+
+
+def nested_schema_docs(sf_dir: str):
+    """Nested-object/array schema validation end to end: build a nested
+    JSON document per row (deterministically corrupted: doc_id%7==0 drops
+    the required doc.lang, doc_id%11==0 stringifies doc.n_chars), validate
+    with the compiled validator. The JSON synthesis loop is the test
+    harness; the operator under test is validate_json_strings. zh docs are
+    genuine enum violations (enum lists 4 of the 5 data langs)."""
+    import json as _json
+    from prompture_ray.stages.json_schema import validate_json_strings
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        rows = []
+        for did, lang, src, nc in zip(
+                t["doc_id"].to_pylist(), t["lang"].to_pylist(),
+                t["source"].to_pylist(), t["n_chars"].to_pylist()):
+            doc: dict = {}
+            if did % 7 != 0:
+                doc["lang"] = lang
+            doc["n_chars"] = str(nc) if did % 11 == 0 else nc
+            rows.append(_json.dumps({"doc": doc, "tags": [src]}))
+        ok, nerr, first = validate_json_strings(
+            pa.array(rows, type=pa.string()), NESTED_DOC_SCHEMA)
+        return pa.table({"doc_id": t["doc_id"], "ok": ok,
+                         "n_errors": nerr, "first_error": first})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+NESTED_DOC_SQL = """
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 1
+              WHEN lang NOT IN ('en','de','fr','es') THEN 1
+              ELSE 0 END AS lang_err,
+         CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS nchars_err,
+         lang
+  FROM documents)
+SELECT doc_id,
+       (lang_err + nchars_err = 0) AS ok,
+       CAST(lang_err + nchars_err AS BIGINT) AS n_errors,
+       CASE WHEN doc_id % 7 = 0 THEN '$.doc.lang:required'
+            WHEN lang NOT IN ('en','de','fr','es') THEN '$.doc.lang:enum'
+            WHEN doc_id % 11 = 0 THEN '$.doc.n_chars:type' END AS first_error
+FROM d
+"""
+
+QUERIES["props_schema_events"] = props_schema_events
+ORACLE["props_schema_events"] = PROPS_SCHEMA_SQL
+QUERIES["nested_schema_docs"] = nested_schema_docs
+ORACLE["nested_schema_docs"] = NESTED_DOC_SQL

@@ -22,7 +22,8 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any
 
-ROW_KINDS = {"not_null", "type", "regex", "enum", "range", "length", "extract_match"}
+ROW_KINDS = {"not_null", "type", "regex", "enum", "range", "length",
+             "extract_match", "json_schema"}
 TABLE_KINDS = {"unique", "referential", "stats"}
 KINDS = ROW_KINDS | TABLE_KINDS
 
@@ -105,6 +106,13 @@ class CheckSpec:
             raise SpecError(f"check {self.id!r}: extract_match requires source")
         if self.kind == "referential" and not (self.ref_table and self.ref_column):
             raise SpecError(f"check {self.id!r}: referential requires ref_table+ref_column")
+        if self.kind == "json_schema":
+            if not isinstance(self.params.get("schema"), dict):
+                raise SpecError(f"check {self.id!r}: json_schema requires a "
+                                "'schema' dict")
+            # fail at spec time, not per batch, on unsupported vocabulary
+            from prompture_ray.stages.json_schema import compile_schema
+            compile_schema(self.params["schema"])
 
     @property
     def is_row_level(self) -> bool:
@@ -187,6 +195,7 @@ class Suite:
                 d["nullable"] = False
             if c.case_insensitive:
                 d["case_insensitive"] = True
+            d.update(c.params)
             out_checks.append(d)
         return {"meta": self.meta, "checks": out_checks}
 

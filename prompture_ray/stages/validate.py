@@ -129,6 +129,14 @@ def eval_check(check: CheckSpec, batch: pa.Table) -> pa.Array:
             mask = m2 if mask is None else pc.and_(mask, m2)
         return _null_policy(mask, col, check.nullable)
 
+    if kind == "json_schema":
+        # nested JSON-Schema validation of a JSON-string column (reference
+        # validate_against_schema, validator.py:10-31); compiled validator
+        # is memoized per process so tasks/actors pay compilation once
+        from prompture_ray.stages.json_schema import validate_json_strings
+        ok, _, _ = validate_json_strings(col, check.params["schema"])
+        return _null_policy(ok, col, check.nullable)
+
     if kind == "extract_match":
         # expects an `extracted_text` column appended by HtmlExtractor;
         # falls back to inline extraction (slow path) if absent.
