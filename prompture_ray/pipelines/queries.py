@@ -1136,3 +1136,86 @@ QUERIES["props_schema_events"] = props_schema_events
 ORACLE["props_schema_events"] = PROPS_SCHEMA_SQL
 QUERIES["nested_schema_docs"] = nested_schema_docs
 ORACLE["nested_schema_docs"] = NESTED_DOC_SQL
+
+
+# --------------------------------------------------------------------------
+# coercion breadth: list / uuid / date / union-in-order
+# (reference convert_value tree, tools.py:496-748)
+# --------------------------------------------------------------------------
+
+def coerce_mixed_docs(sf_dir: str):
+    """One pass exercising the four extended coercion targets over derived
+    inputs (deterministic corruption so the oracle can reproduce):
+    - list<int64> with per-item fallback (doc_id%5==0 injects a bad item)
+    - uuid canonicalization (doc_id%13==0 corrupts the hex)
+    - date parse (doc_id%9==0 injects junk)
+    - union (int64|string) try-in-order over a mixed column."""
+    import hashlib
+    from prompture_ray.stages.coerce import (
+        coerce_column, coerce_list_column, coerce_union_column)
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        dids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        ncs = t["n_chars"].to_pylist()
+        nums_raw, uuid_raw, date_raw, mixed_raw = [], [], [], []
+        for did, lang, nc in zip(dids, langs, ncs):
+            nums_raw.append(f"{nc},{did}" + (",x" if did % 5 == 0 else ""))
+            h = hashlib.md5(str(did).encode()).hexdigest()
+            uuid_raw.append(h[:-1] + "z" if did % 13 == 0 else h)
+            date_raw.append("not-a-date" if did % 9 == 0 else
+                            f"2026-{1 + did % 12:02d}-{1 + did % 28:02d}")
+            mixed_raw.append(str(nc) if did % 2 == 0 else lang)
+        nums, nums_used = coerce_list_column(
+            pa.array(nums_raw), "int64", item_default=-1)
+        nums_joined = pa.array(
+            ["|".join(str(x) for x in row) for row in nums.to_pylist()],
+            type=pa.string())
+        from prompture_ray.stages.coerce import NO_DEFAULT
+        uuid_c, uuid_used = coerce_column(pa.array(uuid_raw), "uuid",
+                                          default=NO_DEFAULT)
+        date_v, date_used = coerce_column(pa.array(date_raw), "date",
+                                          default=NO_DEFAULT)
+        date_c = pc.strftime(pc.cast(date_v, pa.timestamp("us")),
+                             format="%Y-%m-%d")
+        u_value, u_matched, _ = coerce_union_column(
+            pa.array(mixed_raw), ("int64", "string"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "nums_joined": nums_joined, "nums_used": nums_used,
+            "uuid_c": uuid_c, "uuid_used": uuid_used,
+            "date_c": date_c, "date_used": date_used,
+            "u_value": u_value, "u_matched": u_matched,
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+COERCE_MIXED_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chars AS VARCHAR) || '|' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 5 = 0 THEN '|-1' ELSE '' END AS nums_joined,
+       (doc_id % 5 = 0) AS nums_used,
+       CASE WHEN doc_id % 13 = 0 THEN NULL
+            ELSE substr(h,1,8)||'-'||substr(h,9,4)||'-'||substr(h,13,4)
+                 ||'-'||substr(h,17,4)||'-'||substr(h,21,12)
+       END AS uuid_c,
+       (doc_id % 13 = 0) AS uuid_used,
+       CASE WHEN doc_id % 9 = 0 THEN NULL
+            ELSE '2026-'||lpad(CAST(1 + doc_id % 12 AS VARCHAR),2,'0')
+                 ||'-'||lpad(CAST(1 + doc_id % 28 AS VARCHAR),2,'0')
+       END AS date_c,
+       (doc_id % 9 = 0) AS date_used,
+       CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR)
+            ELSE lang END AS u_value,
+       CASE WHEN doc_id % 2 = 0 THEN 'int64' ELSE 'string' END AS u_matched
+FROM d
+"""
+
+QUERIES["coerce_mixed_docs"] = coerce_mixed_docs
+ORACLE["coerce_mixed_docs"] = COERCE_MIXED_SQL

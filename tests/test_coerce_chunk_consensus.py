@@ -54,6 +54,51 @@ def test_coerce_timestamp():
     assert used.to_pylist() == [False, True]
 
 
+def test_coerce_date_and_uuid():
+    import datetime as dt
+    vals, used = coerce_column(pa.array(["2024-02-29", "2024-02-30",
+                                         "2024-01-02T10:00:00"]), "date")
+    assert vals.to_pylist() == [dt.date(2024, 2, 29), None,
+                                dt.date(2024, 1, 2)]
+    assert used.to_pylist() == [False, True, False]
+    vals, used = coerce_column(pa.array(
+        ["A0EEBC99-9C0B-4EF8-BB6D-6BB9BD380A11",
+         "a0eebc999c0b4ef8bb6d6bb9bd380a11", "junk"]), "uuid")
+    assert vals.to_pylist()[:2] == [
+        "a0eebc99-9c0b-4ef8-bb6d-6bb9bd380a11"] * 2
+    assert used.to_pylist() == [False, False, True]
+
+
+def test_coerce_list_column():
+    from prompture_ray.stages.coerce import coerce_list_column
+    col = pa.array(["1,2,x", '["4","5"]', None, "7", ""])
+    vals, used = coerce_list_column(col, "int64", item_default=-1)
+    assert vals.to_pylist() == [[1, 2, -1], [4, 5], None, [7], []]
+    assert used.to_pylist() == [True, False, False, False, False]
+
+
+def test_coerce_dict_column():
+    from prompture_ray.stages.coerce import coerce_dict_column
+    col = pa.array(['{"b":1,"a":2}', "[1]", "junk", None])
+    vals, used = coerce_dict_column(col)
+    assert vals.to_pylist() == ['{"a":2,"b":1}', None, None, None]
+    assert used.to_pylist() == [False, True, True, False]
+
+
+def test_coerce_union_in_order():
+    from prompture_ray.stages.coerce import coerce_union_column
+    col = pa.array(["42", "2024-01-02T03:04:05", "hello", None])
+    v, m, u = coerce_union_column(col, ("int64", "timestamp", "string"))
+    assert v.to_pylist() == ["42", "2024-01-02T03:04:05", "hello", None]
+    assert m.to_pylist() == ["int64", "timestamp", "string", None]
+    assert u.to_pylist() == [False, False, False, False]
+    # all members fail → default + flag (reference all-failed fallback)
+    v, m, u = coerce_union_column(pa.array(["zz"]), ("int64", "timestamp"),
+                                  default=-1)
+    assert v.to_pylist() == ["-1"] and m.to_pylist() == [None]
+    assert u.to_pylist() == [True]
+
+
 def test_coerce_batch_fn(ray_session):
     import ray.data as rd
     ds = rd.from_arrow(pa.table({"x": ["1", "oops"], "y": ["yes", "no"]}))
