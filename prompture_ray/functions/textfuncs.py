@@ -150,7 +150,7 @@ def strip_think_batch(col) -> pa.Array:
 # ---------------------------------------------------------------------------
 def luhn_valid(number: str) -> bool:
     digits = [int(d) for d in re.sub(r"\D", "", number)]
-    if len(digits) < 12:
+    if len(digits) < 13:  # reference redaction.py:144: <13 is never a card
         return False
     total = 0
     for i, d in enumerate(reversed(digits)):
@@ -162,25 +162,97 @@ def luhn_valid(number: str) -> bool:
     return total % 10 == 0
 
 
+# Category set and shapes follow the reference's PIIRedactor
+# (reference prompture/security/redaction.py:46-131: EMAIL PHONE
+# CREDIT_CARD SSN IBAN IPV4 IPV6 API_KEY URL_CREDENTIALS, with
+# Luhn-gated card candidates and length-gated IBANs). Patterns here are
+# RE2-safe (no lookarounds — pyarrow's regex kernels are RE2), so word
+# boundaries replace the reference's lookbehind guards. INSERTION ORDER
+# IS REDACTION ORDER: specific/high-precision kinds run before the loose
+# phone pattern so e.g. an SSN or IBAN is not half-eaten as a "phone".
 PII_PATTERNS = {
+    "url_creds": r"(?i)\b(?:https?|ftp|s3|ssh)://[^\s:/@]+:[^\s/@]+@[^\s]+",
+    "api_key": (
+        r"\b(?:sk-ant-[A-Za-z0-9_-]{20,}|sk-[A-Za-z0-9_-]{20,}"
+        r"|AIza[0-9A-Za-z_-]{30,}|(?:AKIA|ASIA)[0-9A-Z]{16}"
+        r"|gh[po]_[A-Za-z0-9]{30,}|xox[baprs]-[A-Za-z0-9-]{10,}"
+        r"|(?:sk|pk|rk)_(?:live|test)_[A-Za-z0-9]{20,})\b"
+    ),
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\+?\d[\d\s().-]{7,}\d",
+    "card": r"\b(?:\d[ -]?){12,18}\d\b",  # candidate only — Luhn-gated
+    "iban": r"\b[A-Z]{2}\d{2}[A-Z0-9]{11,30}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "ipv6": (r"\b(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}\b"
+             r"|\b(?:[0-9A-Fa-f]{1,4}:){1,7}:(?:[0-9A-Fa-f]{1,4})?"),
     "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
-    "card": r"\b(?:\d[ -]?){13,19}\b",
+    "phone": r"\+?\d[\d\s().-]{7,}\d",
 }
+
+_CARD_CANDIDATE = re.compile(PII_PATTERNS["card"])
+
+
+def _redact_cards_gated(col, token: str) -> "pa.Array":
+    """Replace only Luhn-VALID card candidates (reference redaction.py:134
+    — a 13-19-digit run failing Luhn is NOT a card and must survive).
+    Vectorized prefilter: only rows containing a candidate pay the
+    per-row re.sub; clean rows pass through untouched."""
+    has = pc.match_substring_regex(col, PII_PATTERNS["card"])
+    if not pc.any(pc.fill_null(has, False)).as_py():
+        return col if not isinstance(col, pa.ChunkedArray) else col.combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+
+    def sub_row(s):
+        return _CARD_CANDIDATE.sub(
+            lambda m: token if luhn_valid(m.group()) else m.group(), s)
+
+    has_np = pc.fill_null(has, False).to_numpy(zero_copy_only=False)
+    vals = col.to_pylist()
+    out = [sub_row(v) if (h and v is not None) else v
+           for v, h in zip(vals, has_np)]
+    return pa.array(out, type=pa.string())
 
 
 def redact_batch(col, patterns: dict[str, str] | None = None,
                  token: str = "[REDACTED:{kind}]") -> pa.Array:
-    """Vectorized PII redaction: chained replace_substring_regex
-    (reference redaction.py regex sweep)."""
+    """Vectorized PII redaction: chained replace_substring_regex in
+    PII_PATTERNS order, with the card kind Luhn-gated."""
     out = col
     for kind, pat in (patterns or PII_PATTERNS).items():
-        out = pc.replace_substring_regex(out, pat, token.format(kind=kind))
+        if kind == "card":
+            out = _redact_cards_gated(out, token.format(kind=kind))
+        else:
+            out = pc.replace_substring_regex(out, pat, token.format(kind=kind))
     if isinstance(out, pa.ChunkedArray):
         out = out.combine_chunks()
     return out
+
+
+def redact_with_counts(col, patterns: dict[str, str] | None = None,
+                       token: str = "[REDACTED:{kind}]"
+                       ) -> tuple[pa.Array, dict[str, pa.Array]]:
+    """Like ``redact_batch`` but also returns per-kind match counts
+    (the reference's RedactionResult.counts, redaction.py:190-205).
+    Counts are of what was actually REDACTED at each chain step (i.e.
+    computed on the text after earlier kinds were replaced)."""
+    out = col
+    counts: dict[str, pa.Array] = {}
+    for kind, pat in (patterns or PII_PATTERNS).items():
+        if kind == "card":
+            # candidates seen minus candidates surviving the Luhn gate
+            before = pc.count_substring_regex(out, pat)
+            out = _redact_cards_gated(out, token.format(kind=kind))
+            after = pc.count_substring_regex(out, pat)
+            counts[kind] = pc.cast(pc.subtract(before, after), pa.int64())
+        else:
+            counts[kind] = pc.cast(pc.count_substring_regex(out, pat),
+                                   pa.int64())
+            out = pc.replace_substring_regex(out, pat, token.format(kind=kind))
+    if isinstance(out, pa.ChunkedArray):
+        out = out.combine_chunks()
+    counts = {k: v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v
+              for k, v in counts.items()}
+    return out, counts
 
 
 # ---------------------------------------------------------------------------

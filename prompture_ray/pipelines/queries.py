@@ -893,17 +893,80 @@ def _injection_sql() -> str:
 
 
 def redact_docs(sf_dir: str):
-    """PII redaction sweep (chained regex replace); returns rows whose
-    text CHANGED plus a count — rows-only (regex dialects differ)."""
-    from prompture_ray.functions.textfuncs import redact_batch
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    """Full PII redaction surface, oracle-checked: PII of every category
+    (reference redaction.py:46-131) is PLANTED deterministically from
+    doc_id, redacted by the real chained-regex + Luhn-gated machinery,
+    and the oracle reconstructs the exact redacted string and per-kind
+    counts in SQL (no regex needed on the oracle side). doc_id%3==1
+    plants a Luhn-INVALID card: the card kind must NOT fire (the digit
+    run then legitimately matches the looser phone pattern)."""
+    from prompture_ray.functions.textfuncs import redact_with_counts
+    ds = _read(sf_dir, "documents", ["doc_id"])
 
     def fn(t: pa.Table) -> pa.Table:
-        red = redact_batch(t["text"])
-        changed = pc.invert(pc.equal(red, t["text"]))
-        return pa.table({"doc_id": t["doc_id"], "changed": changed})
+        texts = []
+        for did in t["doc_id"].to_pylist():
+            s = f"doc {did} user{did}@example.com"
+            if did % 3 == 0:
+                s += " card 4111111111111111"
+            elif did % 3 == 1:
+                s += " card 4111111111111112"
+            if did % 4 == 0:
+                s += " ip 10.1.2.3"
+            if did % 5 == 0:
+                s += " iban DE44500105175407324931"
+            if did % 6 == 0:
+                s += " ssn 123-45-6789"
+            if did % 7 == 0:
+                s += " key sk-aaaaaaaaaaaaaaaaaaaaaaaa"
+            if did % 8 == 0:
+                s += " creds http://bob:pw@host.com/x"
+            if did % 9 == 0:
+                s += " v6 2001:db8:85a3:0:0:8a2e:370:7334"
+            if did % 10 == 0:
+                s += " call +1 555-123-4567"
+            texts.append(s)
+        red, counts = redact_with_counts(pa.array(texts, type=pa.string()))
+        return pa.table({
+            "doc_id": t["doc_id"], "redacted": red,
+            "n_email": counts["email"], "n_card": counts["card"],
+            "n_iban": counts["iban"], "n_ssn": counts["ssn"],
+            "n_ipv4": counts["ipv4"], "n_ipv6": counts["ipv6"],
+            "n_api_key": counts["api_key"],
+            "n_url_creds": counts["url_creds"],
+            "n_phone": counts["phone"],
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+REDACT_DOCS_SQL = """
+SELECT doc_id,
+       'doc ' || CAST(doc_id AS VARCHAR) || ' [REDACTED:email]'
+       || CASE WHEN doc_id % 3 = 0 THEN ' card [REDACTED:card]'
+               WHEN doc_id % 3 = 1 THEN ' card [REDACTED:phone]'
+               ELSE '' END
+       || CASE WHEN doc_id % 4 = 0 THEN ' ip [REDACTED:ipv4]' ELSE '' END
+       || CASE WHEN doc_id % 5 = 0 THEN ' iban [REDACTED:iban]' ELSE '' END
+       || CASE WHEN doc_id % 6 = 0 THEN ' ssn [REDACTED:ssn]' ELSE '' END
+       || CASE WHEN doc_id % 7 = 0 THEN ' key [REDACTED:api_key]' ELSE '' END
+       || CASE WHEN doc_id % 8 = 0 THEN ' creds [REDACTED:url_creds]' ELSE '' END
+       || CASE WHEN doc_id % 9 = 0 THEN ' v6 [REDACTED:ipv6]' ELSE '' END
+       || CASE WHEN doc_id % 10 = 0 THEN ' call [REDACTED:phone]' ELSE '' END
+       AS redacted,
+       CAST(1 AS BIGINT) AS n_email,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_card,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_iban,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ssn,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ipv4,
+       CAST(CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_ipv6,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_api_key,
+       CAST(CASE WHEN doc_id % 8 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_url_creds,
+       CAST((CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END)
+            + (CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phone
+FROM documents
+"""
 
 
 def json_repair_events(sf_dir: str):
@@ -959,6 +1022,7 @@ QUERIES.update({
 
 ORACLE.update({
     "injection_scan_docs": _injection_sql(),
+    "redact_docs": REDACT_DOCS_SQL,
 })
 
 
