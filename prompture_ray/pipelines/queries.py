@@ -587,17 +587,19 @@ def minhash_dedup_docs(sf_dir: str):
 
 
 def simhash_docs(sf_dir: str):
-    """64-bit SimHash per document (as int64)."""
+    """64-bit SimHash per document (as int64). The chunk==0 projection is
+    filtered IN RAY (only 1/4 of the band rows cross to the driver)."""
     from prompture_ray.stages.dedup import SimHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    sigs = ds.map_batches(SimHashStage("text", "doc_id"),
-                          batch_format="pyarrow", batch_size=2048)
-    import pandas as pd
-    df = sigs.to_pandas()
-    one = df[df["chunk"] == 0][["id", "simhash"]] \
-        .rename(columns={"id": "doc_id"})
-    return pa.table({"doc_id": pa.array(one["doc_id"], type=pa.int64()),
-                     "simhash": pa.array(one["simhash"], type=pa.int64())})
+
+    def one_per_doc(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["chunk"], pa.scalar(0, pa.int32())))
+        return pa.table({"doc_id": pc.cast(t["id"], pa.int64()),
+                         "simhash": t["simhash"]})
+
+    return ds.map_batches(SimHashStage("text", "doc_id"),
+                          batch_format="pyarrow", batch_size=2048) \
+             .map_batches(one_per_doc, batch_format="pyarrow")
 
 
 def fingerprint_docs_q(sf_dir: str):
@@ -666,7 +668,9 @@ def media_features(sf_dir: str):
     from prompture_ray.stages.multimodal import (
         synth_media_table, ImageDecodeStage)
     media = rd.from_arrow(synth_media_table(60))
-    imgs = media.filter(lambda r: r["kind"] == "image")
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
     out = imgs.map_batches(ImageDecodeStage, batch_format="pyarrow",
                            batch_size=8, concurrency=2).to_pandas()
     return pa.table({
@@ -1283,3 +1287,45 @@ FROM d
 
 QUERIES["coerce_mixed_docs"] = coerce_mixed_docs
 ORACLE["coerce_mixed_docs"] = COERCE_MIXED_SQL
+
+
+# --------------------------------------------------------------------------
+# embedding near-dup KEPT SET (reference dedup_semantic, dedup.py:199-272)
+# --------------------------------------------------------------------------
+
+def dedup_semantic_docs(sf_dir: str):
+    """Kept-set semantic dedup, oracle-checked: for vec_id%10==0 a scaled
+    copy (same direction → cosine 1.0) is planted at vec_id+10000; the
+    LSH-bucket → components → keep-min-id pipeline must drop every planted
+    copy and keep every original, so the oracle is simply all original
+    vec_ids."""
+    import ray.data as rd
+    from prompture_ray.stages.dedup import dedup_semantic
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        add_id, add_vec = [], []
+        for i, v in zip(ids, vecs):
+            if i % 10 == 0:
+                add_id.append(i + 10000)
+                add_vec.append([x * 0.5 for x in v])
+        if not add_id:
+            return t
+        extra = pa.table({
+            "vec_id": pa.array(add_id, type=t.schema.field("vec_id").type),
+            "embedding": pa.array(add_vec,
+                                  type=t.schema.field("embedding").type)})
+        return pa.concat_tables([t, extra])
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    kept, stats = dedup_semantic(planted, "embedding", "vec_id",
+                                 threshold=0.92)
+    return kept.select_columns(["vec_id"])
+
+
+DEDUP_SEMANTIC_SQL = "SELECT vec_id FROM embeddings"
+
+QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
+ORACLE["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL

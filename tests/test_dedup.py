@@ -102,6 +102,73 @@ def test_embedding_neardup(ray_session):
     assert not any({0, 3} == set(p) for p in got)
 
 
+def test_dedup_semantic_kept_set_vs_bruteforce(ray_session):
+    """dedup_semantic (LSH buckets → components → keep min id) must equal
+    the reference's O(n²) greedy keep over the same cosine threshold for a
+    clique-structured corpus (reference dedup.py:199-272)."""
+    import ray.data as rd
+    rng = np.random.RandomState(7)
+    base_a = rng.normal(size=16)
+    base_b = rng.normal(size=16)
+    vecs = [base_a, base_a + rng.normal(scale=0.005, size=16),
+            base_a + rng.normal(scale=0.005, size=16),
+            base_b, base_b + rng.normal(scale=0.005, size=16),
+            rng.normal(size=16)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(len(vecs))),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    kept, stats = dd.dedup_semantic(ds, "embedding", "vec_id",
+                                    threshold=0.95)
+    kept_ids = sorted(kept.to_pandas()["vec_id"])
+
+    # O(n²) oracle: greedy keep-first over cosine ≥ threshold
+    unit = np.stack([np.asarray(v, dtype=np.float32) for v in vecs])
+    unit = unit / np.linalg.norm(unit, axis=1, keepdims=True)
+    oracle_kept = []
+    for i in range(len(vecs)):
+        if all(float(unit[i] @ unit[j]) < 0.95 for j in oracle_kept):
+            oracle_kept.append(i)
+    assert kept_ids == oracle_kept == [0, 3, 5]
+    assert stats["removed"] == 3 and stats["components"] == 2
+    assert stats["oversized_buckets"] == 0
+
+
+def test_oversized_bucket_counter(ray_session):
+    """A bucket over max_bucket must surface dropped-member counts in
+    stats_out instead of truncating silently."""
+    import ray.data as rd
+    rng = np.random.RandomState(3)
+    base = rng.normal(size=16)
+    # 12 near-identical vectors land in one LSH bucket
+    vecs = [base + rng.normal(scale=0.001, size=16) for _ in range(12)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(12)),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    stats: dict = {}
+    pairs = dd.embedding_neardup_pairs(ds, "embedding", "vec_id",
+                                       threshold=0.99, max_bucket=5,
+                                       stats_out=stats).to_pandas()
+    assert stats["oversized_buckets"] >= 1
+    assert stats["dropped_members"] >= 7
+    # pairs among the capped head still found, no null counter rows leak
+    assert pairs["id_a"].notna().all()
+    assert len(pairs) == 10  # C(5,2) within the capped head
+
+    # minhash path: same corpus of identical texts → one hot bucket
+    tds = rd.from_arrow(pa.table({
+        "doc_id": list(range(10)),
+        "text": ["identical text content for bucket overflow test"] * 10}))
+    mh_stats: dict = {}
+    mh_pairs = dd.minhash_candidate_pairs(
+        tds, "text", "doc_id", max_bucket=4,
+        stats_out=mh_stats).to_pandas()
+    assert mh_stats["oversized_buckets"] >= 1
+    assert mh_stats["dropped_members"] >= 6
+    assert mh_pairs["id_a"].notna().all()
+
+
 def test_bloom_dedup_actor(ds, ray_session):
     from prompture_ray.stages.dedup import make_bloom_actor, bloom_dedup
     actor = make_bloom_actor(1 << 16, 4)
