@@ -1329,3 +1329,90 @@ DEDUP_SEMANTIC_SQL = "SELECT vec_id FROM embeddings"
 
 QUERIES["dedup_semantic_docs"] = dedup_semantic_docs
 ORACLE["dedup_semantic_docs"] = DEDUP_SEMANTIC_SQL
+
+
+# --------------------------------------------------------------------------
+# BM25 sparse retrieval + hybrid fusion
+# (reference hybrid.py:12-19,130-190)
+# --------------------------------------------------------------------------
+
+def bm25_topk_docs(sf_dir: str):
+    """Okapi BM25 top-10 for the query 'hash join stream' — two streaming
+    passes (stats for query terms, then score + partial top-k)."""
+    from prompture_ray.stages.similarity import bm25_topk
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = bm25_topk(ds, "text", "doc_id", "hash join stream", k=10)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+        "bm25": pa.array(df["bm25"].round(6), type=pa.float64()),
+    })
+
+
+BM25_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+lens AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (SELECT count(*) AS n,
+                 sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+tf AS (SELECT doc_id, dl,
+         len(list_filter(tk, x -> x = 'hash'))   AS tf1,
+         len(list_filter(tk, x -> x = 'join'))   AS tf2,
+         len(list_filter(tk, x -> x = 'stream')) AS tf3
+       FROM lens),
+dfs AS (SELECT
+         (SELECT count(*) FROM tf WHERE tf1 > 0) AS df1,
+         (SELECT count(*) FROM tf WHERE tf2 > 0) AS df2,
+         (SELECT count(*) FROM tf WHERE tf3 > 0) AS df3),
+idf AS (SELECT
+         ln((n - df1 + 0.5) / (df1 + 0.5) + 1) AS idf1,
+         ln((n - df2 + 0.5) / (df2 + 0.5) + 1) AS idf2,
+         ln((n - df3 + 0.5) / (df3 + 0.5) + 1) AS idf3,
+         avgdl
+        FROM stats, dfs),
+scored AS (
+  SELECT doc_id,
+         idf1 * tf1 * 2.5 / (tf1 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+       + idf2 * tf2 * 2.5 / (tf2 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+       + idf3 * tf3 * 2.5 / (tf3 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+         AS score
+  FROM tf, idf
+  WHERE dl > 0)
+SELECT doc_id, round(score, 6) AS bm25
+FROM scored WHERE score > 0
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
+def hybrid_topk_docs(sf_dir: str):
+    """Hybrid dense+sparse retrieval: BM25('hash join stream') fused with
+    cosine knn of embedding vec_id=0 via alpha-weighted RRF (reference
+    HybridRetriever.retrieve shape). Rows-only: the dense side's float
+    ranking has no clean SQL form, but determinism is pinned by a pytest
+    oracle over a constructed corpus."""
+    import pyarrow.parquet as pq_
+    from prompture_ray.stages.similarity import hybrid_topk
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    # embeddings are row-aligned with documents; unify the id namespace
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"]) \
+        .map_batches(lambda t: t.rename_columns(["doc_id", "embedding"]),
+                     batch_format="pyarrow")
+    qv = np.asarray(
+        pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["embedding"]).slice(0, 1)
+        .column("embedding").to_pylist()[0], dtype=np.float64)
+    df = hybrid_topk(docs, "text", vecs, "embedding", "doc_id",
+                     "hash join stream", qv, k=10)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+        "hybrid_score": pa.array(df["hybrid_score"].round(6),
+                                 type=pa.float64()),
+    })
+
+
+QUERIES["bm25_topk_docs"] = bm25_topk_docs
+ORACLE["bm25_topk_docs"] = BM25_TOPK_SQL
+QUERIES["hybrid_topk_docs"] = hybrid_topk_docs

@@ -83,30 +83,31 @@ def broadcast_asof_join(ds, right_df: "pd.DataFrame", key: str, ts: str,
 
     def join(batch: pd.DataFrame) -> pd.DataFrame:
         table = ray.get(ref)
-        out_cols: dict = {c: [] for c in [right_ts] + value_cols}
-        matched = np.zeros(len(batch), dtype=bool)
-        kv = batch[key].to_numpy()
+        n = len(batch)
+        out_cols = {c: np.full(n, None, dtype=object)
+                    for c in [right_ts] + value_cols}
+        matched = np.zeros(n, dtype=bool)
         tv = batch[ts].to_numpy()
-        for i in range(len(batch)):
-            entry = table.get(kv[i])
+        # one vectorized searchsorted per KEY GROUP, not per row
+        for k, idx in batch.groupby(key, sort=False).indices.items():
+            entry = table.get(k)
             if entry is None:
-                for c in out_cols:
-                    out_cols[c].append(None)
                 continue
             ts_arr, cols = entry
-            j = np.searchsorted(ts_arr, tv[i], side="right") - 1
-            if j < 0:
-                for c in out_cols:
-                    out_cols[c].append(None)
-                continue
-            matched[i] = True
+            j = np.searchsorted(ts_arr, tv[idx], side="right") - 1
+            ok = j >= 0
+            rows, jj = idx[ok], j[ok]
+            matched[rows] = True
             for c in out_cols:
-                out_cols[c].append(cols[c][j])
+                out_cols[c][rows] = cols[c][jj]
         out = batch.copy()
         for c, vals in out_cols.items():
             name = c if c not in out.columns else f"right_{c}"
-            out[name] = vals
-        return out[matched] if inner else out
+            out[name] = pd.Series(vals, index=out.index)
+        out = out[matched] if inner else out
+        # object arrays → natural dtypes (datetime64/float/int) so the
+        # output schema matches the pre-vectorization list-append form
+        return out.infer_objects()
 
     return ds.map_batches(join, batch_format="pandas")
 

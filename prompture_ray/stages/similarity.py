@@ -19,6 +19,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from prompture_ray.stages.dedup import HyperplaneLSH
 
@@ -226,3 +227,142 @@ def knn_ivf(ds, vec_col: str, id_col: str, queries: np.ndarray,
 
     return partials.groupby("query_id").map_groups(final_topk,
                                                    batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# BM25 sparse retrieval + hybrid dense/sparse fusion
+# (reference prompture/rag/retrievers/hybrid.py:12-19,130-190 — lowercased
+# whitespace tokenizer, Okapi BM25 scoring, RRF fusion with alpha weight)
+# ---------------------------------------------------------------------------
+
+def bm25_tokenize(text: str) -> list[str]:
+    """Reference _tokenize (hybrid.py:12-19): lowercased whitespace split,
+    no stemming/stopwords."""
+    return text.lower().split() if text else []
+
+
+def bm25_corpus_stats(ds, text_col: str, terms: list[str]):
+    """One streaming pass → (n_docs, avgdl, {term: df}) for the QUERY
+    terms only (df for the full vocabulary is never needed — broadcast
+    the handful of query terms instead of shuffling a term table)."""
+    uniq = sorted(set(terms))
+
+    def partial(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        df = {u: 0 for u in uniq}
+        total_len = 0
+        n = 0
+        for txt in texts:
+            toks = bm25_tokenize(txt)
+            total_len += len(toks)
+            n += 1
+            s = set(toks)
+            for u in uniq:
+                if u in s:
+                    df[u] += 1
+        return pa.table({
+            "term": pa.array(uniq + ["__meta__"]),
+            "df": pa.array([df[u] for u in uniq] + [0], type=pa.int64()),
+            "n_docs": pa.array([0] * len(uniq) + [n], type=pa.int64()),
+            "total_len": pa.array([0] * len(uniq) + [total_len],
+                                  type=pa.int64()),
+        })
+
+    agg = {"n_docs": 0, "total_len": 0}
+    df_tot = {u: 0 for u in uniq}
+    for b in ds.map_batches(partial, batch_format="pyarrow") \
+               .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for term, df, nd, tl in zip(b["term"].to_pylist(),
+                                    b["df"].to_pylist(),
+                                    b["n_docs"].to_pylist(),
+                                    b["total_len"].to_pylist()):
+            if term == "__meta__":
+                agg["n_docs"] += nd
+                agg["total_len"] += tl
+            else:
+                df_tot[term] += df
+    n_docs = agg["n_docs"]
+    avgdl = agg["total_len"] / n_docs if n_docs else 0.0
+    return n_docs, avgdl, df_tot
+
+
+def bm25_topk(ds, text_col: str, id_col: str, query: str, k: int = 10,
+              k1: float = 1.5, b: float = 0.75):
+    """Okapi BM25 top-k for one query, fully distributed:
+
+    pass 1 — corpus stats for the query terms (broadcast terms, partial
+    fold); pass 2 — per-batch scoring + partial top-k; tiny driver merge.
+    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the always-positive Lucene
+    form). Deterministic tie-break (score desc, id asc); zero-score docs
+    are dropped like the reference (hybrid.py:130-137).
+
+    Returns a pandas DataFrame (id_col, bm25) of ≤ k rows.
+    """
+    import ray
+
+    terms = bm25_tokenize(query)
+    n_docs, avgdl, df_map = bm25_corpus_stats(ds, text_col, terms)
+    if n_docs == 0:
+        return pd.DataFrame({id_col: [], "bm25": []})
+    idf = {t: float(np.log((n_docs - df_map[t] + 0.5)
+                           / (df_map[t] + 0.5) + 1.0))
+           for t in set(terms)}
+    params_ref = ray.put((terms, idf, avgdl, k1, b))
+
+    def score(t: pa.Table) -> pa.Table:
+        q_terms, q_idf, q_avgdl, q_k1, q_b = ray.get(params_ref)
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        out_id, out_s = [], []
+        for i, txt in zip(ids, texts):
+            toks = bm25_tokenize(txt)
+            dl = len(toks)
+            if dl == 0:
+                continue
+            s = 0.0
+            norm = q_k1 * (1.0 - q_b + q_b * dl / q_avgdl)
+            for term in q_terms:
+                tf = toks.count(term)
+                if tf:
+                    s += q_idf[term] * tf * (q_k1 + 1.0) / (tf + norm)
+            if s > 0.0:
+                out_id.append(i)
+                out_s.append(s)
+        tb = pa.table({id_col: pa.array(out_id),
+                       "bm25": pa.array(out_s, type=pa.float64())})
+        # partial top-k per batch — only k rows leave each block
+        if tb.num_rows > k:
+            order = pc.sort_indices(
+                tb, sort_keys=[("bm25", "descending"), (id_col, "ascending")])
+            tb = tb.take(order[:k])
+        return tb
+
+    merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return merged.sort_values(["bm25", id_col], ascending=[False, True],
+                              kind="mergesort").head(k).reset_index(drop=True)
+
+
+def hybrid_topk(ds, text_col: str, vec_col_ds, vec_col: str, id_col: str,
+                query: str, query_vec: np.ndarray, k: int = 10,
+                alpha: float = 0.5, rrf_k: int = 60,
+                fetch_k: int | None = None) -> pd.DataFrame:
+    """Dense + sparse hybrid retrieval (reference HybridRetriever.retrieve,
+    hybrid.py:142-190): fetch_k = 3k candidates from each side, RRF each
+    list separately, weight dense by alpha and sparse by (1 - alpha),
+    sum, take top-k. Deterministic tie-break (score desc, id asc)."""
+    fetch_k = fetch_k or max(k * 3, k)
+    sparse = bm25_topk(ds, text_col, id_col, query, k=fetch_k)
+    dense = knn_brute_force(vec_col_ds, vec_col, id_col,
+                            np.asarray([query_vec]), k=fetch_k,
+                            query_ids=["q"], exclude_self=False).to_pandas()
+    dense = dense.sort_values(["cosine", "id"], ascending=[False, True],
+                              kind="mergesort")
+    fused: dict = {}
+    for rank, doc in enumerate(dense["id"].tolist(), start=1):
+        fused[doc] = fused.get(doc, 0.0) + alpha / (rrf_k + rank)
+    for rank, doc in enumerate(sparse[id_col].tolist(), start=1):
+        fused[doc] = fused.get(doc, 0.0) + (1.0 - alpha) / (rrf_k + rank)
+    out = pd.DataFrame(sorted(fused.items(),
+                              key=lambda kv: (-kv[1], str(kv[0]))),
+                       columns=[id_col, "hybrid_score"]).head(k)
+    return out.reset_index(drop=True)

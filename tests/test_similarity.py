@@ -98,3 +98,74 @@ def test_kmeans_deterministic():
     c2 = sim.kmeans_fit(s, 8)
     assert np.array_equal(c1, c2)
     assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_bm25_matches_naive_oracle(ray_session):
+    """Distributed two-pass BM25 must equal a single-process Okapi
+    implementation (idf = ln((N-df+.5)/(df+.5)+1), k1=1.5, b=0.75) on a
+    small corpus with known term structure."""
+    import math
+    import ray.data as rd
+    import pyarrow as pa
+
+    corpus = [
+        (0, "hash join over sorted runs"),
+        (1, "hash hash hash everywhere"),
+        (2, "merge join strategies"),
+        (3, "totally unrelated words here"),
+        (4, "streaming hash join pipeline"),
+        (5, ""),
+    ]
+    ds = rd.from_arrow(pa.table({"doc_id": [c[0] for c in corpus],
+                                 "text": [c[1] for c in corpus]}))
+    query = "hash join"
+    got = sim.bm25_topk(ds, "text", "doc_id", query, k=4)
+
+    # naive oracle
+    toks = [c[1].lower().split() for c in corpus]
+    N = len(corpus)
+    avgdl = sum(len(t) for t in toks) / N
+    k1, b = 1.5, 0.75
+    scores = {}
+    for (did, _), tk in zip(corpus, toks):
+        if not tk:
+            continue
+        s = 0.0
+        for term in query.split():
+            df = sum(1 for t in toks if term in t)
+            idf = math.log((N - df + 0.5) / (df + 0.5) + 1)
+            tf = tk.count(term)
+            if tf:
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(tk) / avgdl))
+        if s > 0:
+            scores[did] = s
+    expect = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    assert list(got["doc_id"]) == [d for d, _ in expect]
+    assert np.allclose(got["bm25"].to_numpy(), [s for _, s in expect])
+
+
+def test_hybrid_fuses_dense_and_sparse(ray_session):
+    """alpha=1 → pure dense ranking; alpha=0 → pure sparse ranking;
+    alpha=0.5 mixes both (reference HybridRetriever alpha semantics)."""
+    import ray.data as rd
+    import pyarrow as pa
+
+    docs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "text": ["hash join", "vector scan", "hash hash join join"]}))
+    vecs_mat = np.eye(3, 8)
+    vecs = rd.from_arrow(pa.table({
+        "doc_id": [0, 1, 2],
+        "embedding": pa.array([list(map(float, v)) for v in vecs_mat],
+                              type=pa.list_(pa.float32()))}))
+    qv = vecs_mat[1]  # dense side prefers doc 1
+
+    dense_first = sim.hybrid_topk(docs, "text", vecs, "embedding", "doc_id",
+                                  "hash join", qv, k=1, alpha=1.0)
+    assert list(dense_first["doc_id"]) == [1]
+    sparse_first = sim.hybrid_topk(docs, "text", vecs, "embedding", "doc_id",
+                                   "hash join", qv, k=1, alpha=0.0)
+    assert list(sparse_first["doc_id"]) in ([0], [2])  # a hash-join doc
+    mixed = sim.hybrid_topk(docs, "text", vecs, "embedding", "doc_id",
+                            "hash join", qv, k=3, alpha=0.5)
+    assert set(mixed["doc_id"]) == {0, 1, 2}
