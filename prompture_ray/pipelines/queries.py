@@ -1074,13 +1074,18 @@ ORACLE["orders_by_segment"] = ORDERS_BY_SEGMENT_SQL
 
 
 def events_hourly_streaming(sf_dir: str):
-    """STREAMING tumbling windows (actor-held state + watermark,
-    stages/streaming_windows.py) — same result as the batch groupby
-    windows, so the SQL oracle checks the incremental path end to end."""
-    from prompture_ray.stages.streaming_windows import streaming_tumbling_window
-    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
-    df = streaming_tumbling_window(ds, "event_type", "ts", "value",
-                                   window="1h", n_buckets=4)
+    """STREAMING tumbling windows, WORKER-ROUTED: one reader task per
+    parquet row group feeds keyed bucket actors directly (per-source
+    watermarks from row-group min stats — no global sort, no driver data
+    plane; stages/streaming_windows.py:streaming_tumbling_window_routed).
+    Same result as the batch groupby windows, so the SQL oracle checks
+    the incremental path end to end. The driver-fed form
+    (streaming_tumbling_window) remains as the single-feeder demo."""
+    from prompture_ray.stages.streaming_windows import (
+        streaming_tumbling_window_routed)
+    df = streaming_tumbling_window_routed(
+        f"{sf_dir}/events.parquet", "event_type", "ts", "value",
+        window="1h", n_buckets=4)
     df = df.rename(columns={"key": "event_type", "window": "hour"})
     df["sum_value"] = df["sum_value"].round(4)
     return pa.table({

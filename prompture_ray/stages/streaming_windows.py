@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def make_window_actors(n_buckets: int, window_s: int, lateness_s: int = 0):
@@ -115,6 +116,163 @@ def streaming_tumbling_window(ds, key_col: str, ts_col: str, value_col: str,
         results.extend(r)
     for r in ray.get([a.flush.remote() for a in actors]):
         results.extend(r)
+    df = pd.DataFrame(results,
+                      columns=["key", "window_start", "n", "sum_value"])
+    df["window"] = pd.to_datetime(df["window_start"], unit="s")
+    return df.drop(columns=["window_start"]) \
+             .sort_values(["key", "window"], ignore_index=True)
+
+
+# ---------------------------------------------------------------------------
+# worker-routed form: no driver data plane, no global sort
+# ---------------------------------------------------------------------------
+
+def make_routed_window_actors(n_buckets: int, window_s: int,
+                              lateness_s: int = 0):
+    """Bucket actors with PER-SOURCE watermarks: every source partition is
+    preregistered with a lower time bound (parquet min stat), a source's
+    contribution is its running max fed ts (or that lower bound before it
+    feeds; +inf once it ends), and the actor watermark is the MIN over
+    sources minus lateness. Windows therefore close as soon as every
+    source has provably moved past them — correct under ANY interleaving
+    of parallel source readers, with no global sort."""
+    import ray
+
+    @ray.remote(num_cpus=0.5)
+    class RoutedWindowBucket:
+        def __init__(self):
+            self.open: dict = {}
+            self.src_wm: dict = {}
+            self.late_dropped = 0
+            self.closed: list = []
+
+        def preregister(self, sources: dict) -> None:
+            """{source_id: min_ts_seconds lower bound}."""
+            for s, lo in sources.items():
+                self.src_wm[s] = float(lo)
+
+        def _watermark(self) -> float:
+            if not self.src_wm:
+                return -np.inf
+            return min(self.src_wm.values()) - lateness_s
+
+        def feed(self, src, keys, ts, vals) -> int:
+            wm = self._watermark()
+            starts = (ts // window_s) * window_s
+            for k, s, v, t in zip(keys, starts, vals, ts):
+                if t < wm:
+                    self.late_dropped += 1
+                    continue
+                st = self.open.setdefault((k, s), [0, 0.0])
+                st[0] += 1
+                st[1] += float(v)
+            if len(ts):
+                self.src_wm[src] = max(self.src_wm.get(src, -np.inf),
+                                       float(ts.max()))
+            self._close()
+            return len(ts)
+
+        def end_source(self, src) -> None:
+            self.src_wm[src] = np.inf
+            self._close()
+
+        def _close(self) -> None:
+            wm = self._watermark()
+            for (k, s), (n, tot) in list(self.open.items()):
+                if s + window_s <= wm:
+                    self.closed.append({"key": k, "window_start": int(s),
+                                        "n": n, "sum_value": tot})
+                    del self.open[(k, s)]
+
+        def drain(self) -> list[dict]:
+            out, self.closed = self.closed, []
+            return out
+
+        def stats(self) -> dict:
+            return {"open_windows": len(self.open),
+                    "late_dropped": self.late_dropped}
+
+    return [RoutedWindowBucket.remote() for _ in range(n_buckets)]
+
+
+def streaming_tumbling_window_routed(parquet_paths, key_col: str,
+                                     ts_col: str, value_col: str,
+                                     window: str = "1h",
+                                     lateness: str = "0s",
+                                     n_buckets: int = 4,
+                                     batch_rows: int = 8192) -> pd.DataFrame:
+    """Scale-shaped streaming windows: one Ray READER TASK per source
+    partition (parquet row group — an ordered log segment) feeds the
+    bucket actors directly from workers; the driver touches only
+    metadata and the closed-window results.
+
+    Source lower bounds come from parquet row-group statistics, so
+    watermarks can advance (and windows close) while later sources are
+    still unread — the Kafka-partition shape expressed over parquet.
+    Equality-tested against the batch ``tumbling_window`` oracle.
+    """
+    import pyarrow.parquet as pq
+    import ray
+    from prompture_ray.functions.sketches import hash64
+
+    window_s = int(pd.Timedelta(window).total_seconds())
+    lateness_s = int(pd.Timedelta(lateness).total_seconds())
+    actors = make_routed_window_actors(n_buckets, window_s, lateness_s)
+
+    if isinstance(parquet_paths, str):
+        parquet_paths = [parquet_paths]
+
+    # driver reads METADATA only: (path, row_group, min_ts) per source
+    sources: dict = {}
+    for path in parquet_paths:
+        meta = pq.ParquetFile(path)
+        ts_idx = meta.schema_arrow.get_field_index(ts_col)
+        for rg in range(meta.num_row_groups):
+            stats = meta.metadata.row_group(rg).column(ts_idx).statistics
+            if stats is not None and stats.has_min_max:
+                # floor to whole seconds — fed timestamps are integer
+                # seconds, so a fractional bound would mark the first
+                # rows of the source as late
+                lo = float(pd.Timestamp(stats.min).value // 10**9)
+            else:
+                lo = -np.inf  # no stats → conservative (close at end only)
+            sources[f"{path}#{rg}"] = lo
+    ray.get([a.preregister.remote(sources) for a in actors])
+
+    @ray.remote(num_cpus=1)
+    def feed_source(src_id: str, actor_handles):
+        path, rg = src_id.rsplit("#", 1)
+        pf = pq.ParquetFile(path)
+        n = 0
+        for rb in pf.iter_batches(batch_size=batch_rows,
+                                  row_groups=[int(rg)],
+                                  columns=[key_col, ts_col, value_col]):
+            b = pa.Table.from_batches([rb]).to_pandas()
+            keys = b[key_col].to_numpy()
+            ts = pd.to_datetime(b[ts_col]).astype("datetime64[ns]") \
+                .astype("int64").to_numpy() // 10**9
+            vals = b[value_col].to_numpy(dtype=np.float64)
+            buckets = (hash64(keys) % np.uint64(n_buckets)).astype(np.int64)
+            refs = []
+            for i in range(n_buckets):
+                m = buckets == i
+                if m.any():
+                    refs.append(actor_handles[i].feed.remote(
+                        src_id, keys[m], ts[m], vals[m]))
+            ray.get(refs)   # per-source feeds stay in order
+            n += len(b)
+        ray.get([a.end_source.remote(src_id) for a in actor_handles])
+        return n
+
+    feeders = [feed_source.remote(src, actors) for src in sources]
+    results: list[dict] = []
+    remaining = list(feeders)
+    while remaining:
+        _, remaining = ray.wait(remaining, timeout=0.5)
+        for part in ray.get([a.drain.remote() for a in actors]):
+            results.extend(part)   # stream results while feeding
+    for part in ray.get([a.drain.remote() for a in actors]):
+        results.extend(part)
     df = pd.DataFrame(results,
                       columns=["key", "window_start", "n", "sum_value"])
     df["window"] = pd.to_datetime(df["window_start"], unit="s")

@@ -133,3 +133,48 @@ def test_streaming_window_late_rows(ray_session):
         np.array(["a"]), np.array([500.0]), np.array([1.0])))  # late
     stats = ray.get(actors[0].stats.remote())
     assert stats["late_dropped"] == 1
+
+
+def test_routed_streaming_window_multi_source(ray_session, tmp_path):
+    """Worker-routed streaming windows over a MULTI-row-group parquet:
+    per-source watermarks (preregistered from row-group min stats) must
+    close windows correctly under parallel out-of-order source reads and
+    equal the batch tumbling_window result."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from prompture_ray.stages.streaming_windows import (
+        streaming_tumbling_window_routed)
+    from prompture_ray.stages.windows import tumbling_window
+
+    rng = np.random.RandomState(5)
+    n = 6000
+    ts = pd.Timestamp("2024-03-01") + pd.to_timedelta(
+        np.sort(rng.randint(0, 3600 * 24, size=n)), unit="s")
+    df = pd.DataFrame({
+        "user_id": rng.randint(0, 20, size=n),
+        "ts": ts,
+        "value": rng.uniform(0, 10, size=n).round(3),
+    })
+    path = str(tmp_path / "ev.parquet")
+    # 6 row groups → 6 independent ordered sources
+    pq.write_table(pa.Table.from_pandas(df), path, row_group_size=1000)
+    assert pq.ParquetFile(path).num_row_groups == 6
+
+    routed = streaming_tumbling_window_routed(
+        path, "user_id", "ts", "value", window="1h", n_buckets=3)
+
+    batch = tumbling_window(rd.from_pandas(df), "ts", ["user_id"],
+                            unit="hour", agg_col="value").to_pandas()
+    bm = {(k, pd.Timestamp(w)): (n_, round(s, 6)) for k, w, n_, s in
+          zip(batch["user_id"], batch["window"], batch["n"],
+              batch["sum_value"])}
+    rm = {(k, pd.Timestamp(w)): (n_, round(s, 6)) for k, w, n_, s in
+          zip(routed["key"], routed["window"], routed["n"],
+              routed["sum_value"])}
+    assert len(bm) == len(rm)
+    for kw, (n_, s) in rm.items():
+        assert bm[kw][0] == n_, kw
+        assert abs(bm[kw][1] - s) < 1e-6, kw
