@@ -52,7 +52,7 @@ def viol_schema() -> pa.Schema:
 from prompture_ray.stages.stats import (
     StatsAccumulator, load_baseline, score_drift,
 )
-from prompture_ray.state.checkpoint import Manifest
+from prompture_ray.state.checkpoint import Manifest, check_budget
 
 PARTIAL_SCHEMA = pa.schema([
     pa.field("path", pa.string()),
@@ -244,11 +244,18 @@ def run_suite(
     extract_concurrency=None,
     baseline_path: str | Path | None = None,
     unique_violation_rows: bool = False,
+    budget: dict | None = None,
 ) -> dict:
     """Run a validation suite end to end; returns the report dict.
 
     ``ref_tables`` maps a referential check's ``ref_table`` name to a
     parquet path/dir. Ray must already be initialised by the caller.
+
+    ``budget``: optional ceilings checked after every completed
+    partition (reference check_budget, tracker.py:604-698) — keys
+    ``max_rows / max_violations / max_violation_rate / max_elapsed_ms``;
+    crossing one raises BudgetExceededError (completed partitions stay
+    checkpointed, so a re-run with a raised budget resumes).
     """
     import ray.data as rd
 
@@ -386,6 +393,8 @@ def run_suite(
         # fragment without its stats (memory stays bounded: only fragments
         # currently in flight hold an accumulator).
         seen: dict[str, dict] = {}
+        # budget counters seeded from resumed partitions (cheap: manifest)
+        running = dict(manifest.totals()) if budget else {}
         fold_s = 0.0
         for pb in partials.iter_batches(batch_size=64, batch_format="pyarrow"):
             t_fold = time.perf_counter()
@@ -426,6 +435,11 @@ def run_suite(
                         "violations_by_check": st["by_check"],
                         "elapsed_ms": round(st["elapsed_ms"], 3),
                     })
+                    if budget:
+                        running["rows"] += st["rows"]
+                        running["violations"] += sum(st["by_check"].values())
+                        running["elapsed_ms_sum"] += st["elapsed_ms"]
+                        check_budget(running, **budget)
                     del seen[path]
             fold_s += time.perf_counter() - t_fold
         phases["driver_fold_in_scan"] = round(fold_s, 3)

@@ -20,6 +20,8 @@ Chunk rows carry ``(doc_id, chunk_index, total_chunks, chunk_text)``
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -84,8 +86,95 @@ def chunk_tokens(text: str, n_tokens: int = 256, overlap: int = 0) -> list[str]:
             for i in range(0, len(toks), step) if toks[i:i + n_tokens]]
 
 
+_MD_HEADER_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+
+
+def chunk_markdown(text: str, max_level: int = 6,
+                   return_each_line: bool = False) -> list[str]:
+    """Markdown-aware chunking (reference rag/chunkers/markdown.py:26-70):
+    split on ATX header boundaries up to ``max_level``; lines under one
+    header path merge into one chunk (or one chunk per line when
+    ``return_each_line``). Header lines delimit; content chunks are
+    emitted without them, like the reference's ``split_text``."""
+    if not text:
+        return []
+    chunks: list[str] = []
+    current: list[str] = []
+
+    def flush():
+        body = "\n".join(current).strip()
+        if body:
+            chunks.append(body)
+        current.clear()
+
+    for line in text.splitlines():
+        m = _MD_HEADER_RE.match(line)
+        if m and len(m.group(1)) <= max_level:
+            flush()
+        elif return_each_line:
+            if line.strip():
+                chunks.append(line.strip())
+        else:
+            current.append(line)
+    flush()
+    return chunks
+
+
+def chunk_semantic(text: str, buffer_size: int = 1,
+                   threshold_type: str = "percentile",
+                   threshold_amount: float = 95.0,
+                   min_chunk_size: int = 0, dim: int = 256) -> list[str]:
+    """Embedding-breakpoint chunking (reference rag/chunkers/semantic.py:
+    86-165): sentence split → windowed combine (±buffer_size) → embed
+    (char-trigram hashed embeddings — the in-repo embedder, no model
+    needed) → cosine distance between neighbors → breakpoints where the
+    distance exceeds the percentile / stddev / IQR threshold → join
+    sentences between breakpoints."""
+    from prompture_ray.functions.ngram_embed import ngram_embed
+
+    if not text or not text.strip():
+        return []
+    sentences = [s for s in _SENTENCE_SPLIT_RE.split(text.strip()) if s]
+    if len(sentences) <= 1:
+        return sentences
+    b = buffer_size
+    combined = [" ".join(sentences[max(0, i - b):i + b + 1])
+                for i in range(len(sentences))]
+    emb = ngram_embed(combined, dim=dim)  # rows already L2-normalized
+    sims = (emb[:-1] * emb[1:]).sum(axis=1)
+    distances = 1.0 - sims
+    if distances.size == 0:
+        return [" ".join(sentences)]
+    if threshold_type == "percentile":
+        thr = float(np.percentile(distances, threshold_amount))
+    elif threshold_type == "standard_deviation":
+        thr = float(distances.mean() + threshold_amount * distances.std())
+    elif threshold_type == "interquartile":
+        q1, q3 = np.percentile(distances, [25.0, 75.0])
+        thr = float(q3 + threshold_amount * (q3 - q1))
+    else:
+        raise ValueError(f"unknown threshold_type {threshold_type!r}")
+    breakpoints = [i for i, d in enumerate(distances) if d > thr]
+    chunks: list[str] = []
+    start = 0
+    for bp in breakpoints:
+        c = " ".join(sentences[start:bp + 1]).strip()
+        if c:
+            chunks.append(c)
+        start = bp + 1
+    tail = " ".join(sentences[start:]).strip()
+    if tail:
+        chunks.append(tail)
+    if min_chunk_size > 0:
+        chunks = [c for c in chunks if len(c) >= min_chunk_size] or chunks[:1]
+    return chunks
+
+
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
+
 CHUNKERS = {"fixed": chunk_fixed, "recursive": chunk_recursive,
-            "tokens": chunk_tokens}
+            "tokens": chunk_tokens, "markdown": chunk_markdown,
+            "semantic": chunk_semantic}
 
 
 def chunk_documents(ds, text_col: str, id_col: str, strategy: str = "recursive",

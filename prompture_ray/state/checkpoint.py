@@ -108,3 +108,46 @@ class Manifest:
                 "violations_by_check": by_check,
                 "partitions": len(self.completed_pids()),
                 "elapsed_ms_sum": elapsed}
+
+
+# ---------------------------------------------------------------------------
+# budget guard (reference check_budget / BudgetExceededError,
+# prompture/infra/tracker.py:604-698 — token/cost ceilings become
+# row/violation/wall-time ceilings in the data-plane engine)
+# ---------------------------------------------------------------------------
+
+class BudgetExceededError(RuntimeError):
+    """Raised when a run crosses a configured budget ceiling."""
+
+    def __init__(self, kind: str, value, limit):
+        self.kind = kind
+        self.value = value
+        self.limit = limit
+        super().__init__(f"budget exceeded: {kind}={value} > limit={limit}")
+
+
+def check_budget(totals: dict, *, max_rows: int | None = None,
+                 max_violations: int | None = None,
+                 max_violation_rate: float | None = None,
+                 max_elapsed_ms: float | None = None) -> None:
+    """Raise BudgetExceededError when the running totals cross a ceiling.
+
+    Call with a manifest ``totals()`` dict (or the fold's running
+    counters) after each completed partition — the distributed analog of
+    the reference's per-call budget check. All limits optional.
+    """
+    rows = totals.get("rows", 0)
+    viol = totals.get("violations", 0)
+    if max_rows is not None and rows > max_rows:
+        raise BudgetExceededError("rows", rows, max_rows)
+    if max_violations is not None and viol > max_violations:
+        raise BudgetExceededError("violations", viol, max_violations)
+    if max_violation_rate is not None and rows:
+        rate = viol / rows
+        if rate > max_violation_rate:
+            raise BudgetExceededError("violation_rate", round(rate, 6),
+                                      max_violation_rate)
+    if max_elapsed_ms is not None and \
+            totals.get("elapsed_ms_sum", 0.0) > max_elapsed_ms:
+        raise BudgetExceededError("elapsed_ms", totals["elapsed_ms_sum"],
+                                  max_elapsed_ms)

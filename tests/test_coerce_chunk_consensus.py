@@ -218,3 +218,83 @@ def test_formats(ray_session):
     assert sg["conversations"][0] == {"from": "human", "value": "what?"}
     al = json.loads(to_alpaca(ds, "q", "a").to_pandas()["alpaca"].iloc[0])
     assert al == {"instruction": "what?", "input": "", "output": "that."}
+
+
+def test_chunk_markdown():
+    from prompture_ray.stages.chunk import chunk_markdown
+    md = ("# Title\nintro text\n\n## Section A\nalpha\nbeta\n"
+          "## Section B\ngamma\n")
+    chunks = chunk_markdown(md)
+    assert chunks == ["intro text", "alpha\nbeta", "gamma"]
+    assert chunk_markdown("") == []
+    assert chunk_markdown("no headers\nat all") == ["no headers\nat all"]
+    lines = chunk_markdown(md, return_each_line=True)
+    assert "alpha" in lines and "beta" in lines
+
+
+def test_chunk_semantic_breakpoints():
+    from prompture_ray.stages.chunk import chunk_semantic
+    # two topic islands: fox sentences vs database sentences — the
+    # trigram-embedding distance spikes at the topic shift
+    text = ("the quick brown fox jumps high. the quick brown fox runs fast. "
+            "the brown fox naps now. database query planners optimize joins. "
+            "database engines scan columnar batches.")
+    chunks = chunk_semantic(text, threshold_type="percentile",
+                            threshold_amount=75.0)
+    assert len(chunks) >= 2
+    assert "".join(chunks).count("fox") == 3       # nothing lost
+    joined = " ".join(chunks)
+    for word in ("fox", "database"):
+        assert word in joined
+    # single sentence passes through
+    assert chunk_semantic("just one sentence") == ["just one sentence"]
+    assert chunk_semantic("") == []
+
+
+def test_chunk_documents_semantic_strategy(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.chunk import chunk_documents
+    ds = rd.from_items([{"doc_id": 0,
+                         "text": "aa bb cc. aa bb dd. zz yy xx. zz yy ww."}])
+    out = chunk_documents(ds, "text", "doc_id", strategy="semantic",
+                          threshold_amount=75.0).to_pandas()
+    assert out["total_chunks"].iloc[0] == len(out)
+    assert len(out) >= 1
+
+
+def test_budget_guard():
+    import pytest
+    from prompture_ray.state.checkpoint import (
+        BudgetExceededError, check_budget)
+    totals = {"rows": 1000, "violations": 50, "elapsed_ms_sum": 4000.0}
+    check_budget(totals, max_rows=2000, max_violations=100,
+                 max_violation_rate=0.1, max_elapsed_ms=10_000)
+    with pytest.raises(BudgetExceededError) as e:
+        check_budget(totals, max_rows=500)
+    assert e.value.kind == "rows"
+    with pytest.raises(BudgetExceededError):
+        check_budget(totals, max_violation_rate=0.01)
+    with pytest.raises(BudgetExceededError):
+        check_budget(totals, max_elapsed_ms=1000)
+
+
+def test_run_suite_budget(ray_session, tmp_path):
+    """Crossing a budget mid-run raises but keeps completed partitions
+    checkpointed (resumable stop, reference BudgetExceededError)."""
+    import pytest
+    from prompture_ray.synth import generate
+    from prompture_ray.specs import default_webpages_suite
+    from prompture_ray.pipelines.validate_pipeline import run_suite
+    from prompture_ray.state.checkpoint import BudgetExceededError
+    generate(str(tmp_path / "d"), n_rows=2000, n_parts=4)
+    suite = default_webpages_suite()
+    with pytest.raises(BudgetExceededError):
+        run_suite(str(tmp_path / "d" / "pages"), suite,
+                  str(tmp_path / "out"), budget={"max_rows": 600})
+    # at least one partition completed and is checkpointed
+    done = list((tmp_path / "out" / "manifest").glob("*.json"))
+    assert len(done) >= 1
+    # re-run with a raised budget resumes and completes
+    report = run_suite(str(tmp_path / "d" / "pages"), suite,
+                       str(tmp_path / "out"), budget={"max_rows": 10_000})
+    assert report["run"]["rows"] == 2000
