@@ -33,6 +33,24 @@ def hash64(values, hash_key: str = _HK_DEFAULT) -> np.ndarray:
     return pd.util.hash_array(arr, hash_key=key, categorize=False)
 
 
+def hash_arrow_column(arr) -> np.ndarray:
+    """hash64 of an Arrow column's non-null values — numeric columns go
+    through ``to_numpy`` (zero-copy, numeric hashing) instead of a Python
+    object round-trip. int64 and object hashes DIFFER, so every site that
+    cross-compares hashes of the same logical column (uniqueness sidecars,
+    referential broadcast sides) must use THIS helper, not ad-hoc hash64
+    calls."""
+    import pyarrow as pa
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = arr.drop_null()
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    if pa.types.is_integer(arr.type) or pa.types.is_floating(arr.type):
+        return hash64(arr.to_numpy(zero_copy_only=False))
+    return hash64(np.asarray(arr.to_pylist(), dtype=object))
+
+
 # ---------------------------------------------------------------------------
 # HyperLogLog
 # ---------------------------------------------------------------------------

@@ -74,14 +74,12 @@ UNIQUE_FUSED_MAX = 500_000_000
 
 
 def _col_hashes(batch: pa.Table, col: str) -> "np.ndarray":
-    arr = batch[col]
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    arr = arr.drop_null()
-    if len(arr) == 0:
-        return np.empty(0, dtype=np.uint64)
-    from prompture_ray.functions.sketches import hash64
-    return hash64(np.asarray(arr.to_pylist(), dtype=object))
+    # numeric key columns hash via zero-copy to_numpy, strings via object
+    # view — every site in this module that cross-compares these hashes
+    # (uniqueness sidecars, referential broadcast + violations, dup rows)
+    # goes through hash_arrow_column so the scheme stays consistent
+    from prompture_ray.functions.sketches import hash_arrow_column
+    return hash_arrow_column(batch[col])
 
 
 class ValidateAndSink:
@@ -130,8 +128,8 @@ class ValidateAndSink:
                 continue
             h = (hash_cache or {}).get(check.column)
             if h is None:
-                from prompture_ray.functions.sketches import hash64
-                h = hash64(np.asarray(valid.to_pylist(), dtype=object))
+                from prompture_ray.functions.sketches import hash_arrow_column
+                h = hash_arrow_column(valid)
                 if hash_cache is not None:
                     hash_cache[check.column] = h
             if len(sorted_hashes):
@@ -498,8 +496,9 @@ def run_suite(
                         valid = arr.drop_null()
                         if len(valid) == 0 or len(ds_) == 0:
                             return pa.table({_col: pa.array([], type=pa.string())})
-                        from prompture_ray.functions.sketches import hash64
-                        hh = hash64(np.asarray(valid.to_pylist(), dtype=object))
+                        from prompture_ray.functions.sketches import (
+                            hash_arrow_column)
+                        hh = hash_arrow_column(valid)
                         idx = np.clip(np.searchsorted(ds_, hh), 0, len(ds_) - 1)
                         hit = ds_[idx] == hh
                         return pa.table({_col: pc.cast(
