@@ -122,6 +122,43 @@ def strip_think_tags(text: str) -> str:
     return _THINK_RE.sub("", text).strip()
 
 
+_FENCED_BLOCK_RE = re.compile(r"```(\w+)?\s*\n([\s\S]*?)```", re.MULTILINE)
+
+
+def extract_fenced_blocks(text: str,
+                          languages=None) -> list[tuple[str, str]]:
+    """Every markdown-fenced code block as (language, content), in order
+    (reference extract_fenced_blocks, code_extraction.py:52-80): language
+    tag lowercased ('' when absent), body stripped, empty bodies dropped,
+    optional language filter."""
+    if not text:
+        return []
+    allowed = {l.lower() for l in languages} if languages is not None else None
+    out = []
+    for m in _FENCED_BLOCK_RE.finditer(text):
+        lang = (m.group(1) or "").lower()
+        body = m.group(2).strip()
+        if not body:
+            continue
+        if allowed is not None and lang not in allowed:
+            continue
+        out.append((lang, body))
+    return out
+
+
+def fenced_block_batch(col, language: str | None = None) -> "pa.Array":
+    """First fenced block body per row (filtered by language when given),
+    null when none — the columnar form for code-bearing text columns."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    langs = [language] if language else None
+    out = []
+    for v in col.to_pylist():
+        blocks = extract_fenced_blocks(v or "", languages=langs)
+        out.append(blocks[0][1] if blocks else None)
+    return pa.array(out, type=pa.string())
+
+
 def clean_json_text(text: str) -> str:
     """Strip think tags + markdown fences, take the first {...} span."""
     text = strip_think_tags(text)

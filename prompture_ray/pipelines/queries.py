@@ -1523,3 +1523,56 @@ FROM s
 
 QUERIES["marker_scores_docs"] = marker_scores_docs
 ORACLE["marker_scores_docs"] = MARKER_SCORES_SQL
+
+
+# --------------------------------------------------------------------------
+# entity store / mention resolution (reference KnowledgeGraph,
+# kg/core.py:15-182 — broadcast store + vectorized alias-aware lookup)
+# --------------------------------------------------------------------------
+
+def entity_resolution_docs(sf_dir: str):
+    """Resolve mention strings (case-varied nation names + junk) against
+    a broadcast EntityStore built from the nation table; oracle joins on
+    the same key arithmetic and reconstructs the id slugs."""
+    import duckdb as _dd
+    from prompture_ray.stages.entity_store import (
+        build_entity_store, resolve_mentions)
+    nations = _dd.connect().execute(
+        f"SELECT n_nationkey, n_name FROM '{sf_dir}/nation.parquet' "
+        f"ORDER BY n_nationkey").fetchdf()
+    store = build_entity_store(nations, name_col="n_name",
+                               default_type="nation")
+    store_ref = store.to_ref()
+    names = nations["n_name"].tolist()
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mentions(t: pa.Table) -> pa.Table:
+        out = []
+        for did in t["doc_id"].to_pylist():
+            if did % 10 == 0:
+                out.append(f"no-such-entity-{did}")
+            else:
+                nm = names[did % len(names)]
+                out.append(nm.lower() if did % 2 == 1 else nm)
+        return pa.table({"doc_id": t["doc_id"],
+                         "mention": pa.array(out, type=pa.string())})
+
+    return resolve_mentions(ds.map_batches(mentions, batch_format="pyarrow"),
+                            "mention", store_ref, type="nation")
+
+
+ENTITY_RESOLUTION_SQL = """
+SELECT d.doc_id,
+       CASE WHEN d.doc_id % 10 = 0
+              THEN 'no-such-entity-' || CAST(d.doc_id AS VARCHAR)
+            WHEN d.doc_id % 2 = 1 THEN lower(n.n_name)
+            ELSE n.n_name END AS mention,
+       CASE WHEN d.doc_id % 10 = 0 THEN NULL
+            ELSE 'nation:' || replace(lower(n.n_name), '_', '-')
+       END AS entity_id
+FROM documents d
+JOIN nation n ON n.n_nationkey = d.doc_id % (SELECT count(*) FROM nation)
+"""
+
+QUERIES["entity_resolution_docs"] = entity_resolution_docs
+ORACLE["entity_resolution_docs"] = ENTITY_RESOLUTION_SQL

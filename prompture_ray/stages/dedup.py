@@ -754,3 +754,66 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
         lambda t: pa.table({"id": t["id"],
                             "component": pc.cast(t["label"], pa.int64())}),
         batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# unified dedup dispatch (reference DedupConfig/apply_dedup shape,
+# dataset/dedup.py strategy enum)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass, field as _field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    """One config object → one dedup strategy, mirroring the reference's
+    strategy-enum dispatch. ``params`` forwards strategy-specific knobs
+    (threshold, n_perm, max_bucket, components, ...)."""
+
+    strategy: str            # exact | minhash | simhash | semantic | bloom
+    column: str              # text column (or embedding column for semantic)
+    id_col: str = "id"       # canonical-order / identity column
+    params: dict = _field(default_factory=dict)
+
+    STRATEGIES = ("exact", "minhash", "simhash", "semantic", "bloom")
+
+    def __post_init__(self):
+        if self.strategy not in self.STRATEGIES:
+            raise ValueError(
+                f"unknown dedup strategy {self.strategy!r}; "
+                f"one of {self.STRATEGIES}")
+
+
+def apply_dedup(ds, config: DedupConfig):
+    """Dispatch to the configured strategy. Returns (kept Dataset,
+    stats dict) for every strategy (simhash keeps via the shared
+    pairs→components→keep-min tail)."""
+    p = dict(config.params)
+    if config.strategy == "exact":
+        kept = dedup_exact(ds, config.column, order_col=config.id_col,
+                           **{k: v for k, v in p.items()
+                              if k in ("normalize", "hash_col")})
+        stats = dedup_exact_stats(ds, config.column,
+                                  p.get("normalize", True))
+        return kept, stats
+    if config.strategy == "minhash":
+        return dedup_minhash(ds, config.column, config.id_col, **p)
+    if config.strategy == "semantic":
+        return dedup_semantic(ds, config.column, config.id_col, **p)
+    if config.strategy == "simhash":
+        bucket_stats: dict = {}
+        pairs = simhash_pairs(ds, config.column, config.id_col,
+                              stats_out=bucket_stats,
+                              **{k: v for k, v in p.items()
+                                 if k in ("max_hamming", "max_bucket")})
+        kept, stats = _dedup_from_pairs(
+            ds, pairs, config.id_col,
+            p.get("max_pairs", 2_000_000), p.get("components", "auto"))
+        stats.update(bucket_stats)
+        return kept, stats
+    # bloom: approximate streaming first-wins (arrival order)
+    actor = p.get("actor") or make_bloom_actor(
+        p.get("n_bits", 1 << 24), p.get("n_hashes", 5))
+    kept = bloom_dedup(ds, config.column, actor,
+                       normalize=p.get("normalize", True))
+    return kept, {"strategy": "bloom", "approximate": True}

@@ -1,0 +1,180 @@
+"""Entity store + mention resolution (knowledge-graph surface).
+
+Distributed analog of the reference's ``KnowledgeGraph``/``EntityStore``
+(reference prompture/kg/core.py:15-182, stores.py): the entity table is
+the SMALL side — built once, broadcast via ``ray.put`` — and mention
+resolution is a vectorized per-batch lookup (exact, case-insensitive,
+alias-aware name → entity, optional type filter), the same broadcast
+pattern as the referential anti-join. Mutations become data-plane
+aggregations: ``upsert_entities_from_mentions`` turns the DISTINCT
+unresolved mentions of a corpus into new entity rows (groupby first-wins
+under canonical order — the distributed form of ``upsert_entity``'s
+merge, core.py:79-118).
+
+Relations are a plain (subject_id, predicate, object_id) table;
+``neighbors_of`` is a broadcast-filtered projection of it
+(core.py neighbors traversal).
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_SLUG_RE = re.compile(r"[^a-z0-9]+")
+
+
+def normalize_name(name: str | None) -> str:
+    """Case/accent/whitespace-insensitive resolution key
+    (reference find_entities' exact-case-insensitive matching)."""
+    if not name:
+        return ""
+    s = unicodedata.normalize("NFKD", name)
+    s = "".join(c for c in s if not unicodedata.combining(c))
+    return " ".join(s.lower().split())
+
+
+def make_entity_id(name: str, type: str = "thing") -> str:
+    """Deterministic id slug (reference Entity.make_id name+type slug)."""
+    slug = _SLUG_RE.sub("-", normalize_name(name)).strip("-")
+    return f"{type}:{slug}"
+
+
+class EntityStore:
+    """Driver-built, broadcastable entity lookup.
+
+    ``entities``: DataFrame with columns ``entity_id, name, type`` and
+    optionally ``aliases`` (list of strings). Name AND every alias map
+    to the entity; on collisions the lexicographically smallest
+    entity_id wins (deterministic stand-in for the reference's
+    most-recently-updated-wins, core.py:63-72).
+    """
+
+    def __init__(self, entities: pd.DataFrame):
+        self.entities = entities.reset_index(drop=True)
+        lookup: dict[tuple[str, str], str] = {}
+        typed: dict[str, str] = {}
+        for row in self.entities.sort_values("entity_id").itertuples():
+            names = [row.name] + list(getattr(row, "aliases", None) or [])
+            for nm in names:
+                key = (normalize_name(nm), row.type)
+                lookup.setdefault(key, row.entity_id)
+        for (nm, typ), eid in lookup.items():
+            typed.setdefault(nm, eid)  # untyped resolution: smallest id
+        self._by_name_type = lookup
+        self._by_name = typed
+
+    def resolve(self, name: str, type: str | None = None) -> str | None:
+        """Entity id for a mention, or None (reference resolve,
+        core.py:63-72)."""
+        key = normalize_name(name)
+        if type is not None:
+            return self._by_name_type.get((key, type))
+        return self._by_name.get(key)
+
+    def to_ref(self):
+        import ray
+        return ray.put(self)
+
+
+def build_entity_store(df: pd.DataFrame, name_col: str = "name",
+                       type_col: str | None = None,
+                       alias_cols: tuple[str, ...] = (),
+                       default_type: str = "thing") -> EntityStore:
+    """EntityStore from any small dataframe: one entity per row, id from
+    the name+type slug, extra columns as aliases."""
+    ents = pd.DataFrame({
+        "name": df[name_col].astype(str),
+        "type": (df[type_col].astype(str) if type_col else default_type),
+    })
+    ents["entity_id"] = [make_entity_id(n, t)
+                         for n, t in zip(ents["name"], ents["type"])]
+    ents["aliases"] = [[str(df[c].iloc[i]) for c in alias_cols]
+                       for i in range(len(df))]
+    return EntityStore(ents)
+
+
+def resolve_mentions(ds, mention_col: str, store_ref,
+                     type: str | None = None,
+                     out_col: str = "entity_id"):
+    """map_batches stage: mention column → entity_id column (null when
+    unresolved). The store ships through the object store ONCE."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+        store = ray.get(store_ref) if not isinstance(store_ref, EntityStore) \
+            else store_ref
+        arr = t[mention_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        out = [None if v is None else store.resolve(v, type)
+               for v in arr.to_pylist()]
+        return t.append_column(out_col, pa.array(out, type=pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def upsert_entities_from_mentions(ds, mention_col: str, store: EntityStore,
+                                  type: str = "thing") -> pd.DataFrame:
+    """Distributed upsert: DISTINCT unresolved mentions become new entity
+    rows (first surface form per normalized name wins under canonical
+    sort — the deterministic groupby form of upsert_entity's merge).
+    Returns the extended entity dataframe (build a new store from it)."""
+    store_ref = store.to_ref()
+    # untyped resolution: an existing entity of ANY type counts as
+    # resolved (new entities get ``type``)
+    resolved = resolve_mentions(ds, mention_col, store_ref, type=None)
+
+    def unresolved(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_null(t["entity_id"]))
+        arr = t[mention_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = arr.drop_null()
+        names = sorted({v for v in arr.to_pylist() if v and v.strip()})
+        return pa.table({"name": pa.array(names, type=pa.string())})
+
+    def first_form(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("surface", kind="mergesort").head(1)
+
+    raw = resolved.map_batches(unresolved, batch_format="pyarrow")
+    forms = raw.map_batches(
+        lambda t: pa.table({
+            "norm": pa.array([normalize_name(v)
+                              for v in t["name"].to_pylist()]),
+            "surface": t["name"]}),
+        batch_format="pyarrow")
+    new = forms.groupby("norm").map_groups(first_form,
+                                           batch_format="pandas").to_pandas()
+    new_rows = pd.DataFrame({
+        "name": new["surface"],
+        "type": type,
+        "entity_id": [make_entity_id(n, type) for n in new["surface"]],
+        "aliases": [[] for _ in range(len(new))],
+    })
+    return pd.concat([store.entities, new_rows], ignore_index=True)
+
+
+def neighbors_of(relations_ds, entity_ids, direction: str = "out"):
+    """Relations touching the given entity ids (reference neighbors
+    traversal): broadcast id set → vectorized membership filter over the
+    (subject_id, predicate, object_id) table."""
+    import ray
+    ids_ref = ray.put(set(entity_ids))
+    col = "subject_id" if direction == "out" else "object_id"
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        ids = _ray.get(ids_ref)
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        mask = pa.array([v in ids for v in arr.to_pylist()])
+        return t.filter(mask)
+
+    return relations_ds.map_batches(fn, batch_format="pyarrow")

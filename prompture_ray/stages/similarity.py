@@ -366,3 +366,67 @@ def hybrid_topk(ds, text_col: str, vec_col_ds, vec_col: str, id_col: str,
                               key=lambda kv: (-kv[1], str(kv[0]))),
                        columns=[id_col, "hybrid_score"]).head(k)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# MMR rerank (reference _mmr_select, rag/vectorstores/base.py:60-117)
+# ---------------------------------------------------------------------------
+
+def mmr_select(query_vec: np.ndarray, candidate_vecs: np.ndarray, k: int,
+               lambda_mult: float = 0.5) -> list[int]:
+    """Greedy maximal-marginal-relevance selection over a SMALL candidate
+    set (this is the rerank of an already-fetched top-N — a driver-side
+    op by nature, like the reference's). Returns indices in pick order.
+    mmr = λ·sim(query, c) − (1−λ)·max_sim(c, selected)."""
+    n = len(candidate_vecs)
+    if n == 0 or k <= 0:
+        return []
+    k = min(k, n)
+    cand = _unit(np.asarray(candidate_vecs, dtype=np.float64))
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    q = q / qn if qn else q
+    sim_q = cand @ q
+    selected = [int(np.argmax(sim_q))]
+    remaining = [i for i in range(n) if i != selected[0]]
+    sim_cc = cand @ cand.T
+    while remaining and len(selected) < k:
+        max_to_sel = sim_cc[np.ix_(remaining, selected)].max(axis=1)
+        scores = lambda_mult * sim_q[remaining] - (1 - lambda_mult) * max_to_sel
+        j = int(np.argmax(scores))
+        selected.append(remaining[j])
+        remaining.pop(j)
+    return selected
+
+
+def knn_mmr(ds, vec_col: str, id_col: str, query_vec: np.ndarray,
+            k: int = 5, fetch_k: int = 20, lambda_mult: float = 0.5):
+    """Diverse top-k: distributed brute-force fetch of fetch_k candidates
+    (partial top-k per block — corpus never materializes), then MMR over
+    that small set. Returns a pandas DataFrame (id, cosine, mmr_rank)."""
+    import ray
+
+    cand = knn_brute_force(ds, vec_col, id_col,
+                           np.asarray([query_vec]), k=fetch_k,
+                           query_ids=["q"], exclude_self=False).to_pandas()
+    cand = cand.sort_values(["cosine", "id"], ascending=[False, True],
+                            kind="mergesort").reset_index(drop=True)
+    if cand.empty:
+        return cand.assign(mmr_rank=[])
+    need = set(cand["id"])
+    need_ref = ray.put(need)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_pylist()
+        nd = ray.get(need_ref)
+        mask = pa.array([i in nd for i in ids])
+        return t.select([id_col, vec_col]).filter(mask)
+
+    vecs = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    vec_of = dict(zip(vecs[id_col], vecs[vec_col]))
+    mat = np.stack([np.asarray(vec_of[i], dtype=np.float64)
+                    for i in cand["id"]])
+    order = mmr_select(query_vec, mat, k, lambda_mult)
+    out = cand.iloc[order].reset_index(drop=True)
+    out["mmr_rank"] = np.arange(len(out))
+    return out.drop(columns=["query_id"])

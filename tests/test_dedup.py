@@ -222,3 +222,28 @@ def test_dedup_minhash_distributed_equals_driver(ds, ray_session):
         sorted(kept_x.to_pandas()["doc_id"])
     assert st_d["removed"] == st_x["removed"]
     assert st_x["strategy"] == "distributed"
+
+
+def test_apply_dedup_dispatch(ds, ray_session):
+    """Unified DedupConfig dispatch returns (kept, stats) per strategy
+    and rejects unknown strategies (reference config-enum shape)."""
+    cfg = dd.DedupConfig(strategy="exact", column="text", id_col="doc_id")
+    kept, stats = dd.apply_dedup(ds, cfg)
+    assert sorted(kept.to_pandas()["doc_id"]) == [0, 2, 3, 4]
+    assert stats["removed"] == 2
+
+    kept_mh, st_mh = dd.apply_dedup(ds, dd.DedupConfig(
+        strategy="minhash", column="text", id_col="doc_id",
+        params={"threshold": 0.6}))
+    ids = set(kept_mh.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids
+    assert "oversized_buckets" in st_mh
+
+    kept_sh, st_sh = dd.apply_dedup(ds, dd.DedupConfig(
+        strategy="simhash", column="text", id_col="doc_id",
+        params={"max_hamming": 6}))
+    ids = set(kept_sh.to_pandas()["doc_id"])
+    assert 0 in ids and 1 not in ids
+
+    with pytest.raises(ValueError):
+        dd.DedupConfig(strategy="nope", column="text")

@@ -169,3 +169,37 @@ def test_hybrid_fuses_dense_and_sparse(ray_session):
     mixed = sim.hybrid_topk(docs, "text", vecs, "embedding", "doc_id",
                             "hash join", qv, k=3, alpha=0.5)
     assert set(mixed["doc_id"]) == {0, 1, 2}
+
+
+def test_mmr_select_prefers_diversity():
+    # candidates: two near-identical vectors close to the query + one
+    # orthogonal-ish; MMR at low lambda must pick the diverse one second
+    q = np.array([1.0, 0.0, 0.0])
+    cands = np.array([[1.0, 0.0, 0.0],
+                      [0.999, 0.04, 0.0],
+                      [0.5, 0.86, 0.0]])
+    picked = sim.mmr_select(q, cands, k=2, lambda_mult=0.3)
+    assert picked[0] == 0              # most similar first
+    assert picked[1] == 2              # diversity beats the near-dup
+    # pure-relevance limit behaves like plain top-k
+    picked_rel = sim.mmr_select(q, cands, k=3, lambda_mult=1.0)
+    assert picked_rel == [0, 1, 2]
+    assert sim.mmr_select(q, cands, k=0) == []
+
+
+def test_knn_mmr(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    rng = np.random.RandomState(2)
+    base = rng.normal(size=16)
+    vecs = [base, base + rng.normal(scale=0.01, size=16),
+            rng.normal(size=16), rng.normal(size=16)]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": [0, 1, 2, 3],
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              type=pa.list_(pa.float32()))}))
+    out = sim.knn_mmr(ds, "embedding", "vec_id", base, k=2, fetch_k=4,
+                      lambda_mult=0.2)
+    assert out["id"].iloc[0] == 0          # exact match first
+    assert out["id"].iloc[1] in (2, 3)     # diverse pick over near-dup 1
+    assert list(out["mmr_rank"]) == [0, 1]

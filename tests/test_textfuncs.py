@@ -114,3 +114,22 @@ def test_marker_scan():
 ])
 def test_parse_partial_json(raw, expected):
     assert tf.parse_partial_json(raw) == expected
+
+
+def test_extract_fenced_blocks():
+    text = ("intro\n```html\n<b>x</b>\n```\nmiddle\n"
+            "```\nplain\n```\n```js\nvar a=1;\n```\n```css\n\n```")
+    blocks = tf.extract_fenced_blocks(text)
+    assert blocks == [("html", "<b>x</b>"), ("", "plain"),
+                      ("js", "var a=1;")]          # empty css body dropped
+    only = tf.extract_fenced_blocks(text, languages=["js"])
+    assert only == [("js", "var a=1;")]
+    assert tf.extract_fenced_blocks("") == []
+
+
+def test_fenced_block_batch():
+    col = pa.array(["```py\nx=1\n```", "no fence", None])
+    out = tf.fenced_block_batch(col).to_pylist()
+    assert out == ["x=1", None, None]
+    out_py = tf.fenced_block_batch(col, language="py").to_pylist()
+    assert out_py == ["x=1", None, None]
