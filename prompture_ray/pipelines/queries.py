@@ -12,6 +12,8 @@ Ray is initialised by the caller — nothing here calls ray.init().
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1576,3 +1578,38 @@ JOIN nation n ON n.n_nationkey = d.doc_id % (SELECT count(*) FROM nation)
 
 QUERIES["entity_resolution_docs"] = entity_resolution_docs
 ORACLE["entity_resolution_docs"] = ENTITY_RESOLUTION_SQL
+
+
+# --------------------------------------------------------------------------
+# persisted IVF ANN index (build once, partition-pruned search)
+# --------------------------------------------------------------------------
+
+def ann_index_knn(sf_dir: str):
+    """Search a PERSISTED IVF index (built once per sf dir under /tmp,
+    partitioned parquet by inverted list) with n_probe = n_lists, which
+    is exact — so the same cosine-top-k oracle as knn_embeddings checks
+    the whole build+prune+search path end to end."""
+    import os
+    import numpy as np
+    import pyarrow.parquet as pq_
+    from prompture_ray.stages.similarity import (
+        build_ivf_index, ivf_index_search)
+
+    index_dir = f"/tmp/prompture_ray_ivf/{Path(sf_dir).name}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        build_ivf_index(ds, "embedding", "vec_id", index_dir, n_lists=8)
+    qt = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    queries = np.stack(qt.slice(0, 3)["embedding"].to_pylist()) \
+        .astype(np.float64)
+    out = ivf_index_search(index_dir, queries, k=3, query_ids=[0, 1, 2],
+                           n_probe=8)
+    return pa.table({
+        "query_id": pa.array(out["query_id"], type=pa.int64()),
+        "neighbor_id": pa.array(out["id"], type=pa.int64()),
+    })
+
+
+QUERIES["ann_index_knn"] = ann_index_knn
+ORACLE["ann_index_knn"] = KNN_EMBEDDINGS_SQL

@@ -225,11 +225,66 @@ def substitute_templates(obj, values: dict | None = None):
     return obj
 
 
+#: JSON Schema for suite files themselves — validated by the engine's own
+#: compiled validator (stages/json_schema.py), the dogfooded analog of the
+#: reference's structural spec validator (tools.py:887-919).
+SUITE_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "meta": {"type": "object"},
+        "checks": {
+            "type": "array",
+            "minItems": 1,
+            "items": {
+                "type": "object",
+                "properties": {
+                    "id": {"type": "string", "minLength": 1},
+                    "column": {"type": "string"},
+                    "kind": {"type": "string", "minLength": 1},
+                    "nullable": {"type": "boolean"},
+                    "values": {"type": "array", "items": {"type": "string"}},
+                    "sketches": {"type": "array",
+                                 "items": {"type": "string"}},
+                },
+                "required": ["id", "kind"],
+            },
+        },
+    },
+    "required": ["checks"],
+}
+
+
+def validate_suite_dict(raw: dict) -> None:
+    """Structural validation of a suite dict before CheckSpec parsing —
+    errors carry the failing JSON path."""
+    from prompture_ray.stages.json_schema import compile_schema
+    errs = compile_schema(SUITE_SCHEMA)(raw)
+    if errs:
+        raise SpecError(f"invalid suite file: {', '.join(errs[:8])}")
+
+
 def load_suite(path: str | Path, template_values: dict | None = None) -> Suite:
     """Load a suite JSON file (driver-side, config time)."""
     with open(path) as f:
         raw = json.load(f)
-    return Suite.from_dict(substitute_templates(raw, template_values))
+    raw = substitute_templates(raw, template_values)
+    validate_suite_dict(raw)
+    return Suite.from_dict(raw)
+
+
+def load_plugins(module_paths) -> list[str]:
+    """Import plugin modules by dotted path (reference driver/plugin
+    registry discovery, the entry-point pattern without packaging):
+    each module registers its custom check kinds / chunkers at import
+    time (via ``register_check_kind`` / ``CHUNKERS``). Returns the
+    loaded module names; unknown modules raise ImportError."""
+    import importlib
+    loaded = []
+    for mp in ([module_paths] if isinstance(module_paths, str)
+               else module_paths):
+        importlib.import_module(mp)
+        loaded.append(mp)
+    return loaded
 
 
 def default_webpages_suite(ref_warc: str | None = None) -> Suite:

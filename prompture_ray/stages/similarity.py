@@ -338,6 +338,9 @@ def bm25_topk(ds, text_col: str, id_col: str, query: str, k: int = 10,
         return tb
 
     merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if merged.empty:  # zero matches anywhere: schema is lost, rebuild it
+        return pd.DataFrame({id_col: pd.Series([], dtype=object),
+                             "bm25": pd.Series([], dtype=float)})
     return merged.sort_values(["bm25", id_col], ascending=[False, True],
                               kind="mergesort").head(k).reset_index(drop=True)
 
@@ -430,3 +433,192 @@ def knn_mmr(ds, vec_col: str, id_col: str, query_vec: np.ndarray,
     out = cand.iloc[order].reset_index(drop=True)
     out["mmr_rank"] = np.arange(len(out))
     return out.drop(columns=["query_id"])
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index: build once, search many times with reads pruned to
+# the probed lists (the "no persisted index" scale gap from round 1)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
+                    n_lists: int = 16, sample_size: int = 4096,
+                    seed: int = 5) -> dict:
+    """Materialize an IVF index on disk:
+
+    - ``centroids.npy`` + ``meta.json`` (driver-side, tiny)
+    - corpus rewritten as parquet partitioned by inverted list
+      (``list=<k>/``), vectors unit-normalized and stored as
+      fixed-width binary — so a later search READS ONLY the probed
+      lists (partition pruning at the read, never a corpus scan).
+
+    Returns the meta dict. Build is one linear scan + a partitioned
+    write; resumable by re-running (overwrites per-partition files).
+    """
+    import json as _json
+    import os
+    import ray
+
+    sample = np.stack(
+        ds.random_sample(1.0, seed=seed).limit(sample_size)
+          .to_pandas()[vec_col].tolist()).astype(np.float64)
+    cent = kmeans_fit(sample, n_lists, seed=seed)
+    dim = cent.shape[1]
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cm = ray.get(cent_ref)
+        mat = _unit(np.stack(t[vec_col].to_pylist()).astype(np.float64))
+        lists = np.argmax(mat @ cm.T, axis=1).astype(np.int32)
+        return pa.table({
+            "id": t[id_col],
+            "list": pa.array(lists),
+            "vec": pa.array([v.astype(np.float32).tobytes() for v in mat],
+                            type=pa.binary()),
+        })
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["list"])
+    np.save(os.path.join(index_dir, "centroids.npy"), cent)
+    meta = {"n_lists": int(len(cent)), "dim": int(dim),
+            "id_col": id_col, "seed": seed}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ivf_index_search(index_dir: str, queries: np.ndarray, k: int = 5,
+                     query_ids=None, n_probe: int = 2,
+                     exclude_self: bool = True):
+    """Search a persisted IVF index: load centroids (tiny), pick the
+    union of every query's n_probe closest lists, ``read_parquet`` ONLY
+    those partition directories, then the usual broadcast-query partial
+    top-k. Same output schema as knn_brute_force; with
+    ``n_probe >= n_lists`` the result is exact."""
+    import json as _json
+    import os
+    import ray
+    import ray.data as rd
+
+    cent = np.load(os.path.join(index_dir, "centroids.npy"))
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = _json.load(f)
+    q = _unit(np.asarray(queries, dtype=np.float64))
+    qids = list(query_ids) if query_ids is not None else list(range(len(q)))
+    n_probe = min(n_probe, meta["n_lists"])
+    q_lists = np.argsort(-(q @ cent.T), axis=1)[:, :n_probe]
+    probe = sorted({int(l) for row in q_lists for l in row})
+    import glob as _glob
+    paths = []
+    for l in probe:
+        paths.extend(sorted(_glob.glob(
+            os.path.join(index_dir, f"list={l}", "*.parquet"))))
+    if not paths:
+        return pd.DataFrame({"query_id": [], "id": [], "cosine": []})
+    part = rd.read_parquet(paths)   # pruned read: probed lists only
+
+    ref = ray.put((q, np.asarray(qids, dtype=object)))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        qm, qid_arr = ray.get(ref)
+        mat = np.stack([np.frombuffer(b, dtype=np.float32)
+                        for b in t["vec"].to_pylist()]).astype(np.float64)
+        ids = np.asarray(t["id"].to_pylist())
+        sims = mat @ qm.T
+        out_q, out_id, out_s = [], [], []
+        kk = min(k + (1 if exclude_self else 0), sims.shape[0])
+        for j in range(sims.shape[1]):
+            col = sims[:, j]
+            top = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) \
+                else np.arange(len(col))
+            order = top[np.lexsort((ids[top], -col[top]))]
+            out_q.extend([qid_arr[j]] * len(order))
+            out_id.extend(ids[order].tolist())
+            out_s.extend(col[order].tolist())
+        return pa.table({"query_id": pa.array(out_q),
+                         "id": pa.array(out_id),
+                         "cosine": pa.array(out_s, type=pa.float64())})
+
+    partials = part.map_batches(partial_topk, batch_format="pyarrow",
+                                batch_size=8192)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        qid = g["query_id"].iloc[0]
+        if exclude_self:
+            g = g[g["id"] != qid]
+        return g.sort_values(["cosine", "id"], ascending=[False, True],
+                             kind="mergesort").head(k)
+
+    return partials.groupby("query_id").map_groups(
+        final_topk, batch_format="pandas").to_pandas()
+
+
+def bm25_topk_multi(ds, text_col: str, id_col: str,
+                    queries: dict, k: int = 10,
+                    k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
+    """Multi-query BM25: ONE stats pass for the union of all queries'
+    terms and ONE scoring pass emitting per-(query, batch) partial
+    top-k — amortizes both corpus scans across the whole query set.
+    ``queries``: {query_id: query_string}. Returns a DataFrame
+    (query_id, id_col, bm25), ≤ k rows per query, same ordering and
+    zero-score-drop semantics as ``bm25_topk``."""
+    import ray
+
+    q_terms = {qid: bm25_tokenize(qs) for qid, qs in queries.items()}
+    union_terms = sorted({t for ts in q_terms.values() for t in ts})
+    if not union_terms:
+        return pd.DataFrame({"query_id": [], id_col: [], "bm25": []})
+    n_docs, avgdl, df_map = bm25_corpus_stats(ds, text_col, union_terms)
+    if n_docs == 0:
+        return pd.DataFrame({"query_id": [], id_col: [], "bm25": []})
+    idf = {t: float(np.log((n_docs - df_map[t] + 0.5)
+                           / (df_map[t] + 0.5) + 1.0))
+           for t in union_terms}
+    params_ref = ray.put((q_terms, idf, avgdl, k1, b, union_terms))
+
+    def score(t: pa.Table) -> pa.Table:
+        qt, q_idf, q_avgdl, q_k1, q_b, terms = ray.get(params_ref)
+        texts = t[text_col].to_pylist()
+        ids = t[id_col].to_pylist()
+        rows_q, rows_id, rows_s = [], [], []
+        for i, txt in zip(ids, texts):
+            toks = bm25_tokenize(txt)
+            dl = len(toks)
+            if dl == 0:
+                continue
+            norm = q_k1 * (1.0 - q_b + q_b * dl / q_avgdl)
+            # term frequencies computed ONCE per doc for the term union
+            tf = {term: toks.count(term) for term in terms}
+            for qid, tlist in qt.items():
+                s = 0.0
+                for term in tlist:
+                    f = tf[term]
+                    if f:
+                        s += q_idf[term] * f * (q_k1 + 1.0) / (f + norm)
+                if s > 0.0:
+                    rows_q.append(qid)
+                    rows_id.append(i)
+                    rows_s.append(s)
+        tb = pa.table({"query_id": pa.array(rows_q),
+                       id_col: pa.array(rows_id),
+                       "bm25": pa.array(rows_s, type=pa.float64())})
+        if tb.num_rows:
+            # per-(query, batch) partial top-k
+            df = tb.to_pandas()
+            df = df.sort_values(["query_id", "bm25", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort") \
+                   .groupby("query_id", sort=False).head(k)
+            tb = pa.Table.from_pandas(df, preserve_index=False)
+        return tb
+
+    merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    if merged.empty:
+        return pd.DataFrame({"query_id": pd.Series([], dtype=object),
+                             id_col: pd.Series([], dtype=object),
+                             "bm25": pd.Series([], dtype=float)})
+    return merged.sort_values(["query_id", "bm25", id_col],
+                              ascending=[True, False, True],
+                              kind="mergesort") \
+                 .groupby("query_id", sort=False).head(k) \
+                 .reset_index(drop=True)

@@ -203,3 +203,62 @@ def test_knn_mmr(ray_session):
     assert out["id"].iloc[0] == 0          # exact match first
     assert out["id"].iloc[1] in (2, 3)     # diverse pick over near-dup 1
     assert list(out["mmr_rank"]) == [0, 1]
+
+
+def test_persisted_ivf_index(ray_session, tmp_path):
+    """Build-once persisted IVF index: exact when probing all lists
+    (matches brute force), decent recall at n_probe=2, and a fresh
+    process could reload it (centroids + meta round-trip from disk)."""
+    import json
+    import ray.data as rd
+    import pyarrow as pa
+
+    rng = np.random.RandomState(4)
+    mat = rng.normal(size=(300, 16)).astype(np.float64)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": list(range(300)),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              type=pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "ivf")
+    meta = sim.build_ivf_index(ds, "embedding", "vec_id", idx, n_lists=8)
+    assert meta["n_lists"] == 8
+    assert json.load(open(f"{idx}/meta.json"))["dim"] == 16
+
+    qids = [0, 5, 9]
+    exact = sim.knn_brute_force(ds, "embedding", "vec_id", mat[qids],
+                                k=5, query_ids=qids).to_pandas()
+    full = sim.ivf_index_search(idx, mat[qids], k=5, query_ids=qids,
+                                n_probe=8)
+    for qid in qids:
+        e = exact[exact["query_id"] == qid]["id"].tolist()
+        g = full[full["query_id"] == qid]["id"].tolist()
+        assert e == g                      # all-lists probe is exact
+
+    approx = sim.ivf_index_search(idx, mat[qids], k=5, query_ids=qids,
+                                  n_probe=2)
+    hits = sum(len(set(exact[exact["query_id"] == q]["id"]) &
+                   set(approx[approx["query_id"] == q]["id"]))
+               for q in qids)
+    assert hits >= 6                       # ≥40% aggregate recall
+
+
+def test_bm25_multi_matches_single(ray_session):
+    """One shared stats/scoring pass must give exactly the per-query
+    results of independent bm25_topk calls."""
+    import ray.data as rd
+    import pyarrow as pa
+    corpus = [(0, "hash join over sorted runs"),
+              (1, "hash hash hash everywhere"),
+              (2, "merge join strategies"),
+              (3, "streaming scan pipeline"),
+              (4, "")]
+    ds = rd.from_arrow(pa.table({"doc_id": [c[0] for c in corpus],
+                                 "text": [c[1] for c in corpus]}))
+    queries = {"a": "hash join", "b": "streaming scan", "c": "zzz"}
+    multi = sim.bm25_topk_multi(ds, "text", "doc_id", queries, k=3)
+    for qid, qs in queries.items():
+        single = sim.bm25_topk(ds, "text", "doc_id", qs, k=3)
+        got = multi[multi["query_id"] == qid]
+        assert got["doc_id"].tolist() == single["doc_id"].tolist(), qid
+        assert np.allclose(got["bm25"].to_numpy(),
+                           single["bm25"].to_numpy())

@@ -40,3 +40,48 @@ def test_suite_roundtrip(tmp_path):
 def test_reason_tags():
     c = CheckSpec(id="r", column="url", kind="regex", pattern="x")
     assert c.reason() == "regex:url"
+
+
+def test_suite_self_schema_validation(tmp_path):
+    import json
+    import pytest
+    from prompture_ray.specs import SpecError, load_suite
+
+    good = {"meta": {}, "checks": [
+        {"id": "a", "column": "x", "kind": "not_null"}]}
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(good))
+    assert len(load_suite(p).checks) == 1
+
+    for bad in (
+        {"meta": {}},                                        # no checks
+        {"checks": []},                                      # empty checks
+        {"checks": [{"column": "x", "kind": "not_null"}]},   # missing id
+        {"checks": [{"id": "", "kind": "not_null"}]},        # empty id
+        {"checks": [{"id": "a", "kind": 3}]},                # kind not str
+    ):
+        p.write_text(json.dumps(bad))
+        with pytest.raises(SpecError):
+            load_suite(p)
+
+
+def test_load_plugins(tmp_path, monkeypatch):
+    import sys
+    from prompture_ray import specs
+
+    mod = tmp_path / "my_plugin_mod.py"
+    mod.write_text(
+        "from prompture_ray.specs import register_check_kind\n"
+        "import pyarrow.compute as pc\n"
+        "register_check_kind('always_true_plugin',\n"
+        "                    lambda c, t: pc.is_valid(t[c.column]))\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    try:
+        assert specs.load_plugins("my_plugin_mod") == ["my_plugin_mod"]
+        assert specs.custom_kernel("always_true_plugin") is not None
+        import pytest
+        with pytest.raises(ImportError):
+            specs.load_plugins(["definitely_not_a_module_xyz"])
+    finally:
+        specs.reset_check_registry()
+        sys.modules.pop("my_plugin_mod", None)
