@@ -91,3 +91,72 @@ def running_aggregate(ds, key_col: str, ts_col: str, value_col: str):
         return g
 
     return ds.groupby(key_col).map_groups(run, batch_format="pandas")
+
+
+def session_windows_bucketed(ds, key_col: str, ts_col: str,
+                             gap: "pd.Timedelta | str" = "30min",
+                             bucket: "pd.Timedelta | str" = "1d"):
+    """Scale-safe sessionization: ``session_windows`` holds one KEY's
+    entire history in a single group, which breaks when one hot key has
+    more events than a worker's memory. This form bounds group size by
+    (key × coarse time bucket):
+
+    phase 1 — groupby (key, bucket): local sessionization inside each
+    bucket emits SESSION rows (one per session, not per event);
+    phase 2 — groupby (key) over the session rows only: classic
+    gap-merge of adjacent sessions across bucket boundaries (sessions
+    per key ≪ events per key, so the phase-2 group is tiny even for a
+    key whose raw history is unbounded).
+
+    Exactly equivalent to ``session_windows``: within-bucket gaps are
+    handled locally, cross-bucket gaps by comparing a session's end with
+    the next session's start during the merge. Equality is pinned by
+    test against the single-group form.
+    """
+    gap_td = pd.Timedelta(gap)
+    bucket_td = pd.Timedelta(bucket)
+    bucket_us = int(bucket_td.total_seconds() * 1e6)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        b = pc.multiply(pc.divide(us, bucket_us), bucket_us)
+        return t.append_column("__bucket", b)
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort")
+        ts = g[ts_col]
+        sid = (ts.diff() > gap_td).cumsum()
+        out = g.groupby(sid).agg(
+            session_start=(ts_col, "min"),
+            session_end=(ts_col, "max"),
+            n_events=(ts_col, "size")).reset_index(drop=True)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        return out
+
+    partial = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby([key_col, "__bucket"]) \
+        .map_groups(local_sessions, batch_format="pandas")
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("session_start", kind="mergesort")
+        rows = []
+        for r in g.itertuples(index=False):
+            if rows and (r.session_start - rows[-1]["session_end"]
+                         <= gap_td):
+                rows[-1]["session_end"] = max(rows[-1]["session_end"],
+                                              r.session_end)
+                rows[-1]["n_events"] += r.n_events
+            else:
+                rows.append({"session_start": r.session_start,
+                             "session_end": r.session_end,
+                             "n_events": int(r.n_events)})
+        out = pd.DataFrame(rows)
+        out.insert(0, key_col, g[key_col].iloc[0])
+        out.insert(1, "session_id", np.arange(len(out), dtype=np.int64))
+        return out
+
+    return partial.groupby(key_col).map_groups(stitch,
+                                               batch_format="pandas")

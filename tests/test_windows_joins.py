@@ -178,3 +178,41 @@ def test_routed_streaming_window_multi_source(ray_session, tmp_path):
     for kw, (n_, s) in rm.items():
         assert bm[kw][0] == n_, kw
         assert abs(bm[kw][1] - s) < 1e-6, kw
+
+
+def test_session_windows_bucketed_equals_single_group(ray_session):
+    """Bucketed two-phase sessionization must exactly equal the
+    one-group-per-key form, including sessions spanning many bucket
+    boundaries."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.windows import (
+        session_windows, session_windows_bucketed)
+
+    rng = np.random.RandomState(11)
+    rows = []
+    base = pd.Timestamp("2024-05-01")
+    for uid in range(12):
+        t = base
+        for _ in range(rng.randint(20, 60)):
+            # mixture of small gaps (same session) and large (new session),
+            # some gaps straddling the 6h bucket boundary
+            t = t + pd.Timedelta(minutes=int(rng.choice(
+                [1, 5, 20, 45, 90, 400])))
+            rows.append({"user_id": uid, "ts": t})
+    df = pd.DataFrame(rows).sample(frac=1.0, random_state=3)  # shuffle
+    ds = rd.from_pandas(df)
+
+    single = session_windows(ds, "user_id", "ts", gap="30min") \
+        .to_pandas().sort_values(["user_id", "session_start"],
+                                 ignore_index=True)
+    bucketed = session_windows_bucketed(ds, "user_id", "ts", gap="30min",
+                                        bucket="6h") \
+        .to_pandas().sort_values(["user_id", "session_start"],
+                                 ignore_index=True)
+    assert len(single) == len(bucketed)
+    for c in ("user_id", "session_start", "session_end", "n_events"):
+        assert (pd.Series(single[c]).reset_index(drop=True) ==
+                pd.Series(bucketed[c]).reset_index(drop=True)).all(), c
