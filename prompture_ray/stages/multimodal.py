@@ -79,6 +79,54 @@ class ImageDecodeStage:
             "features", pa.array(feats, type=pa.list_(pa.float32())))
 
 
+class ImageResizeStage:
+    """Actor-pool stage: image payload → resized payload + new dims.
+
+    Contract (what a real resizer drops into): target box (max_w, max_h),
+    aspect-preserving downscale only (never upscale), payload column
+    REPLACED in place so downstream stages see the smaller binary. The
+    pixel math is the deterministic fake (dims from the payload hash,
+    payload truncated proportionally to the area ratio); a real
+    implementation swaps Pillow into ``_resize_one``.
+    """
+
+    def __init__(self, payload_col: str = "payload", max_w: int = 512,
+                 max_h: int = 512, decoder: str = "fake"):
+        self.payload_col = payload_col
+        self.max_w = max_w
+        self.max_h = max_h
+        if decoder == "pil":
+            raise NotImplementedError(
+                "real resize needs Pillow (`pip install pillow`); "
+                "not available in this environment — use decoder='fake'")
+        if decoder not in ("fake",):
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def _resize_one(self, p: bytes) -> tuple[bytes, int, int]:
+        w, h = _fake_dims(p)
+        scale = min(1.0, self.max_w / w, self.max_h / h)
+        nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+        if scale >= 1.0:
+            return p, w, h          # never upscale; payload untouched
+        keep = max(1, int(len(p) * (nw * nh) / (w * h)))
+        return p[:keep], nw, nh
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        payloads = t[self.payload_col].to_pylist()
+        out_p, ws, hs = [], [], []
+        for p in payloads:
+            if p is None:
+                out_p.append(None); ws.append(None); hs.append(None)
+                continue
+            np_, w, h = self._resize_one(p)
+            out_p.append(np_); ws.append(w); hs.append(h)
+        idx = t.column_names.index(self.payload_col)
+        out = t.set_column(idx, self.payload_col,
+                           pa.array(out_p, type=pa.binary()))
+        out = out.append_column("width", pa.array(ws, type=pa.int32()))
+        return out.append_column("height", pa.array(hs, type=pa.int32()))
+
+
 class AudioFeatureStage:
     """Actor-pool stage: audio payload → (duration_s, sample_rate, energy).
     Same stub contract as ImageDecodeStage."""

@@ -1,6 +1,7 @@
 """Multimodal plumbing: schema contract, actor-pool stages, stubbed decode."""
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pytest
 
 from prompture_ray.stages import multimodal as mm
@@ -52,3 +53,32 @@ def test_real_decoder_raises():
         mm.ImageDecodeStage(decoder="pil")
     with pytest.raises(NotImplementedError):
         mm.AudioFeatureStage(decoder="librosa")
+
+
+def test_image_resize_stage(ray_session):
+    import ray.data as rd
+    import pytest
+    from prompture_ray.stages.multimodal import (
+        ImageResizeStage, synth_media_table, _fake_dims)
+    media = rd.from_arrow(synth_media_table(24))
+    imgs = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "image")),
+        batch_format="pyarrow")
+    out = imgs.map_batches(ImageResizeStage, batch_format="pyarrow",
+                           batch_size=8, concurrency=2).to_pandas()
+    # box respected, aspect preserved (within integer truncation),
+    # payload shrinks when downscaled
+    assert (out["width"] <= 512).all() and (out["height"] <= 512).all()
+    src = synth_media_table(24).to_pandas()
+    src = src[src["kind"] == "image"].reset_index(drop=True)
+    out = out.sort_values("media_id").reset_index(drop=True)
+    for i in range(len(out)):
+        w0, h0 = _fake_dims(src["payload"][i])
+        scale = min(1.0, 512 / w0, 512 / h0)
+        assert out["width"][i] == max(1, int(w0 * scale))
+        if scale < 1.0:
+            assert len(out["payload"][i]) < len(src["payload"][i])
+        else:
+            assert out["payload"][i] == src["payload"][i]
+    with pytest.raises(NotImplementedError):
+        ImageResizeStage(decoder="pil")

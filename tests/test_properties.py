@@ -73,3 +73,74 @@ def test_kll_quantiles_bounded(vals):
     for q in (0.0, 0.5, 1.0):
         est = k.quantile(q)
         assert lo <= est <= hi
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=100, deadline=None)
+def test_redaction_idempotent_and_total(s):
+    """Redacting already-redacted text changes nothing (no pattern may
+    match its own replacement tokens), and redaction never raises."""
+    import pyarrow as pa
+    from prompture_ray.functions.textfuncs import redact_batch
+    once = redact_batch(pa.array([s], type=pa.string())).to_pylist()[0]
+    twice = redact_batch(pa.array([once], type=pa.string())).to_pylist()[0]
+    assert once == twice
+
+
+@given(st.lists(st.one_of(st.none(), st.text(max_size=20)), max_size=40))
+@settings(max_examples=80, deadline=None)
+def test_coercion_total_and_flagged(vals):
+    """Every coercion target is total over arbitrary string input, and
+    used_default is True exactly where a non-null input failed to parse
+    (and the default was applied)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from prompture_ray.stages.coerce import coerce_column
+    col = pa.array(vals, type=pa.string())
+    for target in ("int64", "float64", "bool", "timestamp", "date",
+                   "uuid", "string"):
+        out, used = coerce_column(col, target)
+        assert len(out) == len(used) == len(vals)
+        # flagged rows had non-null input
+        for v, u in zip(vals, used.to_pylist()):
+            if u:
+                assert v is not None
+
+
+@given(st.text(max_size=200), st.integers(1, 6))
+@settings(max_examples=80, deadline=None)
+def test_chunkers_lossless_or_bounded(s, k):
+    """Fixed chunking is exactly lossless; markdown/semantic never raise
+    and never invent content beyond separator normalization."""
+    from prompture_ray.stages.chunk import (
+        chunk_fixed, chunk_markdown, chunk_semantic)
+    fixed = chunk_fixed(s, size=k * 3, overlap=0)
+    assert "".join(fixed) == s
+    for c in chunk_markdown(s):
+        assert c and not c.startswith("#")
+    chunk_semantic(s)    # total
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=100, deadline=None)
+def test_marker_scoring_total_and_bounded(s):
+    from prompture_ray.functions.marker_scoring import (
+        InjectionScorer, RefusalScorer)
+    for scorer in (RefusalScorer(), InjectionScorer()):
+        flag, conf, cat, pos = scorer.score_one(s)
+        assert 0.0 <= conf <= 1.0
+        assert (cat is None) == (conf == 0.0) or cat == "empty"
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=100, deadline=None)
+def test_json_schema_validator_total(s):
+    """The compiled validator never raises on arbitrary (possibly
+    invalid) JSON strings."""
+    import pyarrow as pa
+    from prompture_ray.stages.json_schema import validate_json_strings
+    schema = {"type": "object", "properties": {"a": {"type": "integer"}},
+              "required": ["a"]}
+    ok, nerr, first = validate_json_strings(
+        pa.array([s], type=pa.string()), schema)
+    assert len(ok) == 1
