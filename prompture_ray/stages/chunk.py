@@ -86,7 +86,9 @@ def chunk_tokens(text: str, n_tokens: int = 256, overlap: int = 0) -> list[str]:
             for i in range(0, len(toks), step) if toks[i:i + n_tokens]]
 
 
-_MD_HEADER_RE = re.compile(r"^(#{1,6})\s+(.*)$")
+# "#" ... "######" with optional title — a bare "#" line is an (empty)
+# ATX heading per CommonMark and must delimit, not leak into content
+_MD_HEADER_RE = re.compile(r"^(#{1,6})(?:\s+(.*))?\s*$")
 
 
 def chunk_markdown(text: str, max_level: int = 6,

@@ -116,8 +116,12 @@ def test_chunkers_lossless_or_bounded(s, k):
         chunk_fixed, chunk_markdown, chunk_semantic)
     fixed = chunk_fixed(s, size=k * 3, overlap=0)
     assert "".join(fixed) == s
+    from prompture_ray.stages.chunk import _MD_HEADER_RE
     for c in chunk_markdown(s):
-        assert c and not c.startswith("#")
+        assert c
+        # no chunk BEGINS with a header line (headers delimit);
+        # "#text" without a space is content per CommonMark
+        assert not _MD_HEADER_RE.match(c.splitlines()[0])
     chunk_semantic(s)    # total
 
 
