@@ -256,6 +256,13 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
     est_jaccard = fraction of agreeing minhashes, filtered ≥ threshold.
     Identical pair set and estimates to shipping signatures through the
     shuffle, at ~1/60th the shuffled bytes.
+
+    Driver-memory bound: the candidate PAIR set and the candidate-id
+    signature map live on the driver (16 B/pair + ~1 KB/candidate doc).
+    Candidates are the near-duplicates — sparse by construction; if a
+    corpus ever produced more candidates than driver memory, swap stage
+    2 for a hash-bucketed join of (pairs × sig rows) on id — the pair
+    schema is already join-ready.
     """
     import ray
 
@@ -817,3 +824,43 @@ def apply_dedup(ds, config: DedupConfig):
     kept = bloom_dedup(ds, config.column, actor,
                        normalize=p.get("normalize", True))
     return kept, {"strategy": "bloom", "approximate": True}
+
+
+def make_bloom_shards(n_shards: int = 8, n_bits: int = 1 << 24,
+                      n_hashes: int = 5):
+    """Sharded Bloom state: N actors, each owning a hash range — removes
+    the single-actor serialization bottleneck of ``make_bloom_actor``
+    (every key routes to exactly one shard, so first-wins semantics per
+    key are preserved while N batches proceed in parallel)."""
+    return [make_bloom_actor(n_bits, n_hashes) for _ in range(n_shards)]
+
+
+def bloom_dedup_sharded(ds, col: str, shards, normalize: bool = True):
+    """Approximate streaming dedup against sharded Bloom actors: per
+    batch, keys are hash-partitioned across the shards and the N
+    ``check_and_add`` calls run CONCURRENTLY (ray.get on the list). Same
+    semantics as ``bloom_dedup`` (arrival-order first-wins, fp-rate
+    overdrop bound), ~n_shards× the state throughput."""
+    n_shards = len(shards)
+
+    def fn(t: pa.Table) -> pa.Table:
+        import ray
+        arr = t[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        key_arr = normalize_strings(arr) if normalize else arr
+        vals = np.asarray(key_arr.to_pylist(), dtype=object)
+        h = hash64(vals)
+        shard_of = (h % np.uint64(n_shards)).astype(np.int64)
+        refs, idx_lists = [], []
+        for s in range(n_shards):
+            idx = np.where(shard_of == s)[0]
+            if len(idx):
+                refs.append(shards[s].check_and_add.remote(h[idx]))
+                idx_lists.append(idx)
+        fresh = np.zeros(len(h), dtype=bool)
+        for idx, mask in zip(idx_lists, ray.get(refs)):
+            fresh[idx] = mask
+        return t.filter(pa.array(fresh))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -247,3 +247,16 @@ def test_apply_dedup_dispatch(ds, ray_session):
 
     with pytest.raises(ValueError):
         dd.DedupConfig(strategy="nope", column="text")
+
+
+def test_bloom_dedup_sharded(ds, ray_session):
+    """Sharded Bloom dedup keeps exactly one survivor per distinct key
+    (same guarantee as the single-actor form, parallel state)."""
+    from prompture_ray.stages.dedup import (
+        bloom_dedup_sharded, make_bloom_shards)
+    shards = make_bloom_shards(4, 1 << 16, 4)
+    kept = bloom_dedup_sharded(ds, "text", shards).to_pandas()
+    from prompture_ray.functions.textfuncs import normalize_text
+    keys = [normalize_text(t or "") for t in kept["text"]]
+    assert len(keys) == len(set(keys))       # no duplicate keys survive
+    assert len(kept) == 5                    # 7 rows, 2 dup keys collapse
