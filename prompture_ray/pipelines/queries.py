@@ -1613,3 +1613,43 @@ def ann_index_knn(sf_dir: str):
 
 QUERIES["ann_index_knn"] = ann_index_knn
 ORACLE["ann_index_knn"] = KNN_EMBEDDINGS_SQL
+
+
+def media_audio_frames(sf_dir: str):
+    """Multimodal audio + video plumbing through the driver contract:
+    AudioFeatureStage over audio rows, FrameSampleStage over video rows
+    (flat_map shape), joined into one per-media summary. Rows-only
+    (deterministic fake decode)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.multimodal import (
+        AudioFeatureStage, FrameSampleStage, synth_media_table)
+    media = rd.from_arrow(synth_media_table(60))
+    audio = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "audio")),
+        batch_format="pyarrow") \
+        .map_batches(AudioFeatureStage, batch_format="pyarrow",
+                     batch_size=8, concurrency=2)
+    video_frames = media.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "video")),
+        batch_format="pyarrow") \
+        .map_batches(FrameSampleStage, batch_format="pyarrow",
+                     batch_size=8, concurrency=2) \
+        .groupby("media_id").aggregate(Count(alias_name="n_frames"))
+    a = audio.to_pandas()[["media_id", "duration_s", "sample_rate"]]
+    v = video_frames.to_pandas()
+    a["n_frames"] = 0
+    v["duration_s"] = 0.0
+    v["sample_rate"] = 0
+    import pandas as pd_
+    out = pd_.concat([a, v[a.columns]], ignore_index=True) \
+        .sort_values("media_id", ignore_index=True)
+    return pa.table({
+        "media_id": pa.array(out["media_id"], type=pa.string()),
+        "duration_s": pa.array(out["duration_s"], type=pa.float64()),
+        "sample_rate": pa.array(out["sample_rate"], type=pa.int32()),
+        "n_frames": pa.array(out["n_frames"], type=pa.int64()),
+    })
+
+
+QUERIES["media_audio_frames"] = media_audio_frames

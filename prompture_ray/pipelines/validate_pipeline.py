@@ -229,6 +229,39 @@ def list_fragments(input_dir: str | Path) -> list[str]:
     return sorted(str(p) for p in d.glob("*.parquet"))
 
 
+class RunCallbacks:
+    """Observability hooks around a suite run (the analog of the
+    reference's DriverCallbacks container, infra/callbacks.py:35-56 —
+    per-call request/response hooks become per-partition / per-table-check
+    / per-run hooks in the data plane). Each callback receives one dict
+    payload; exceptions in callbacks propagate (fail fast, like a budget
+    guard — wrap in try/except yourself for log-only hooks).
+
+    ``on_partition_complete``: {partition_id, rows, ok_rows, violations,
+    violations_by_check, elapsed_ms}
+    ``on_table_check``: {check_id, result}
+    ``on_complete``: the full report dict
+    """
+
+    def __init__(self, on_partition_complete=None, on_table_check=None,
+                 on_complete=None):
+        self.on_partition_complete = on_partition_complete
+        self.on_table_check = on_table_check
+        self.on_complete = on_complete
+
+    def partition(self, pid: int, record: dict) -> None:
+        if self.on_partition_complete:
+            self.on_partition_complete({"partition_id": pid, **record})
+
+    def table_check(self, check_id: str, result: dict) -> None:
+        if self.on_table_check:
+            self.on_table_check({"check_id": check_id, "result": result})
+
+    def complete(self, report: dict) -> None:
+        if self.on_complete:
+            self.on_complete(report)
+
+
 def run_suite(
     input_dir: str | Path,
     suite: Suite,
@@ -243,6 +276,7 @@ def run_suite(
     baseline_path: str | Path | None = None,
     unique_violation_rows: bool = False,
     budget: dict | None = None,
+    callbacks: "RunCallbacks | None" = None,
 ) -> dict:
     """Run a validation suite end to end; returns the report dict.
 
@@ -414,6 +448,12 @@ def run_suite(
                         st["hashes"].setdefault(cid, []).append(blob)
                 if st["rows"] >= expected[path]:
                     pid = path_to_pid[path]
+                    record = {
+                        "rows": st["rows"], "ok_rows": st["ok_rows"],
+                        "violations": sum(st["by_check"].values()),
+                        "violations_by_check": st["by_check"],
+                        "elapsed_ms": round(st["elapsed_ms"], 3),
+                    }
                     if stats_checks:
                         tmp = stats_dir / f"pid-{pid:05d}.tmp"
                         tmp.write_bytes(st["acc"].dumps())
@@ -427,12 +467,10 @@ def run_suite(
                     manifest.write(pid, {
                         "status": "completed",
                         "input_fragments": [path],
-                        "rows": st["rows"],
-                        "ok_rows": st["ok_rows"],
-                        "violations": sum(st["by_check"].values()),
-                        "violations_by_check": st["by_check"],
-                        "elapsed_ms": round(st["elapsed_ms"], 3),
+                        **record,
                     })
+                    if callbacks:
+                        callbacks.partition(pid, record)
                     if budget:
                         running["rows"] += st["rows"]
                         running["violations"] += sum(st["by_check"].values())
@@ -577,6 +615,9 @@ def run_suite(
                     .get(c.id, 0),
                 }
         table_results_path.write_text(json.dumps(table_results, sort_keys=True))
+    if callbacks:
+        for cid, tr in table_results.items():
+            callbacks.table_check(cid, tr)
     _phase("table_checks", t_ph)
 
     # ---- report assembly (driver-side, tiny data) -----------------------
@@ -666,4 +707,6 @@ def run_suite(
                 if elapsed else None},
     }
     (out / "report.json").write_text(json.dumps(report, indent=2, sort_keys=True))
+    if callbacks:
+        callbacks.complete(report)
     return report

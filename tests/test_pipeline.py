@@ -162,3 +162,27 @@ def test_referential_partitioned_with_bloom(ray_session, webpages_small):
     b = part.sort_values("url", ignore_index=True)
     assert a["url"].tolist() == b["url"].tolist()
     assert a["n"].tolist() == b["n"].tolist()
+
+
+def test_run_callbacks(ray_session, tmp_path):
+    """RunCallbacks fire per newly-completed partition, per table check,
+    and once with the final report."""
+    from prompture_ray.synth import generate
+    from prompture_ray.specs import default_webpages_suite
+    from prompture_ray.pipelines.validate_pipeline import (
+        RunCallbacks, run_suite)
+
+    generate(str(tmp_path / "d"), n_rows=1500, n_parts=3)
+    suite = default_webpages_suite()
+    seen = {"parts": [], "checks": [], "reports": []}
+    cb = RunCallbacks(
+        on_partition_complete=lambda p: seen["parts"].append(p),
+        on_table_check=lambda c: seen["checks"].append(c),
+        on_complete=lambda r: seen["reports"].append(r))
+    report = run_suite(str(tmp_path / "d" / "pages"), suite,
+                       str(tmp_path / "out"), callbacks=cb)
+    assert len(seen["parts"]) == 3
+    assert sum(p["rows"] for p in seen["parts"]) == 1500
+    assert {p["partition_id"] for p in seen["parts"]} == {0, 1, 2}
+    assert any(c["check_id"] == "url-unique" for c in seen["checks"])
+    assert seen["reports"][0]["run"]["rows"] == report["run"]["rows"]
