@@ -619,10 +619,43 @@ def langid_docs(sf_dir: str):
 
 
 def embedding_neardup_docs(sf_dir: str):
-    """Cosine ≥ 0.92 near-dup pairs over the embeddings table."""
+    """Cosine ≥ 0.92 near-dup PAIRS, oracle-checked via planting: the
+    synthetic embeddings are near-orthogonal (max natural cosine ≈ 0.51),
+    so scaled same-direction copies planted at vec_id+10000 for
+    vec_id%10==0 are exactly the pairs the LSH-bucketed detector must
+    emit — and nothing else."""
     from prompture_ray.stages.dedup import embedding_neardup_pairs
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return embedding_neardup_pairs(ds, "embedding", "vec_id", threshold=0.92)
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_pylist()
+        vecs = t["embedding"].to_pylist()
+        add_id = [i + 10000 for i in ids if i % 10 == 0]
+        add_vec = [[x * 0.5 for x in v] for i, v in zip(ids, vecs)
+                   if i % 10 == 0]
+        if not add_id:
+            return t
+        extra = pa.table({
+            "vec_id": pa.array(add_id, type=t.schema.field("vec_id").type),
+            "embedding": pa.array(add_vec,
+                                  type=t.schema.field("embedding").type)})
+        return pa.concat_tables([t, extra])
+
+    pairs = embedding_neardup_pairs(ds.map_batches(plant,
+                                                   batch_format="pyarrow"),
+                                    "embedding", "vec_id", threshold=0.92)
+    # id pairs only: the cosine of a float32 self-pair is 1-epsilon and
+    # has no SQL reproduction; the PAIR SET is the contract
+    return pairs.map_batches(
+        lambda t: pa.table({"id_a": pc.cast(t["id_a"], pa.int64()),
+                            "id_b": pc.cast(t["id_b"], pa.int64())}),
+        batch_format="pyarrow")
+
+
+EMBEDDING_NEARDUP_SQL = """
+SELECT vec_id AS id_a, vec_id + 10000 AS id_b
+FROM embeddings WHERE vec_id % 10 = 0
+"""
 
 
 def sketch_profile(sf_dir: str):
@@ -1026,9 +1059,42 @@ QUERIES.update({
     "rrf_fusion_sources": rrf_fusion_sources,
 })
 
+JSON_REPAIR_SQL = """
+WITH e AS (
+  SELECT event_id,
+         json_extract_string(props, '$.k') AS kf,
+         length(json_extract_string(props, '$.k')) AS klen,
+         event_id % 5 AS cut
+  FROM events)
+SELECT event_id,
+       CASE WHEN klen + 1 - cut >= 1
+            THEN CAST(substr(kf, 1, least(klen, klen + 1 - cut)) AS BIGINT)
+       END AS k,
+       TRUE AS repaired
+FROM e
+"""
+
+RRF_FUSION_SQL = """
+WITH c AS (
+  SELECT source, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS s
+  FROM documents GROUP BY source),
+r AS (
+  SELECT source,
+         row_number() OVER (ORDER BY n DESC, source) AS r1,
+         row_number() OVER (ORDER BY s DESC, source) AS r2
+  FROM c)
+SELECT source, round(1.0 / (60 + r1) + 1.0 / (60 + r2), 6) AS rrf_score
+FROM r
+ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, source
+LIMIT 10
+"""
+
 ORACLE.update({
     "injection_scan_docs": _injection_sql(),
     "redact_docs": REDACT_DOCS_SQL,
+    "json_repair_events": JSON_REPAIR_SQL,
+    "rrf_fusion_sources": RRF_FUSION_SQL,
+    "embedding_neardup_docs": EMBEDDING_NEARDUP_SQL,
 })
 
 
