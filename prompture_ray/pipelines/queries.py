@@ -1463,9 +1463,9 @@ LIMIT 10
 def hybrid_topk_docs(sf_dir: str):
     """Hybrid dense+sparse retrieval: BM25('hash join stream') fused with
     cosine knn of embedding vec_id=0 via alpha-weighted RRF (reference
-    HybridRetriever.retrieve shape). Rows-only: the dense side's float
-    ranking has no clean SQL form, but determinism is pinned by a pytest
-    oracle over a constructed corpus."""
+    HybridRetriever.retrieve shape). Fully oracle-checked: the BM25 and
+    cosine rankings both have exact SQL forms and the RRF fusion is pure
+    arithmetic."""
     import pyarrow.parquet as pq_
     from prompture_ray.stages.similarity import hybrid_topk
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1486,9 +1486,67 @@ def hybrid_topk_docs(sf_dir: str):
     })
 
 
+HYBRID_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+lens AS (SELECT doc_id, tk, len(tk) AS dl FROM toks),
+stats AS (SELECT count(*) AS n,
+                 sum(dl) / CAST(count(*) AS DOUBLE) AS avgdl FROM lens),
+tf AS (SELECT doc_id, dl,
+         len(list_filter(tk, x -> x = 'hash'))   AS tf1,
+         len(list_filter(tk, x -> x = 'join'))   AS tf2,
+         len(list_filter(tk, x -> x = 'stream')) AS tf3
+       FROM lens),
+dfs AS (SELECT
+         (SELECT count(*) FROM tf WHERE tf1 > 0) AS df1,
+         (SELECT count(*) FROM tf WHERE tf2 > 0) AS df2,
+         (SELECT count(*) FROM tf WHERE tf3 > 0) AS df3),
+idf AS (SELECT
+         ln((n - df1 + 0.5) / (df1 + 0.5) + 1) AS idf1,
+         ln((n - df2 + 0.5) / (df2 + 0.5) + 1) AS idf2,
+         ln((n - df3 + 0.5) / (df3 + 0.5) + 1) AS idf3,
+         avgdl
+        FROM stats, dfs),
+bm25 AS (
+  SELECT doc_id,
+         idf1 * tf1 * 2.5 / (tf1 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+       + idf2 * tf2 * 2.5 / (tf2 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+       + idf3 * tf3 * 2.5 / (tf3 + 1.5 * (0.25 + 0.75 * dl / avgdl))
+         AS score
+  FROM tf, idf
+  WHERE dl > 0),
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id) AS r
+  FROM bm25 WHERE score > 0
+  QUALIFY r <= 30),
+dense AS (
+  SELECT e.vec_id AS doc_id,
+         row_number() OVER (
+           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+                                           e.embedding::DOUBLE[]) DESC,
+                    e.vec_id) AS r
+  FROM embeddings e, embeddings q
+  WHERE q.vec_id = 0
+  QUALIFY r <= 30),
+fused AS (
+  SELECT COALESCE(d.doc_id, sp.doc_id) AS doc_id,
+         COALESCE(0.5 / (60 + d.r), 0) + COALESCE(0.5 / (60 + sp.r), 0)
+           AS score
+  FROM dense d FULL OUTER JOIN sparse sp ON d.doc_id = sp.doc_id)
+SELECT doc_id, round(score, 6) AS hybrid_score
+FROM fused
+ORDER BY score DESC, CAST(doc_id AS VARCHAR)
+LIMIT 10
+"""
+
 QUERIES["bm25_topk_docs"] = bm25_topk_docs
 ORACLE["bm25_topk_docs"] = BM25_TOPK_SQL
 QUERIES["hybrid_topk_docs"] = hybrid_topk_docs
+ORACLE["hybrid_topk_docs"] = HYBRID_TOPK_SQL
 
 
 # --------------------------------------------------------------------------
