@@ -1481,7 +1481,11 @@ def hybrid_topk_docs(sf_dir: str):
                      "hash join stream", qv, k=10)
     return pa.table({
         "doc_id": pa.array(df["doc_id"], type=pa.int64()),
-        "hybrid_score": pa.array(df["hybrid_score"].round(6),
+        # 7 dp, not 6: rank 4 yields an RRF term of exactly 0.5/64 =
+        # 0.0078125, a representable binary tie at 6 dp where numpy rounds
+        # half-to-even and DuckDB half-away. At 7 dp the value is exact
+        # (78125e-7) so no rounding-mode divergence is possible.
+        "hybrid_score": pa.array(df["hybrid_score"].round(7),
                                  type=pa.float64()),
     })
 
@@ -1537,7 +1541,7 @@ fused AS (
          COALESCE(0.5 / (60 + d.r), 0) + COALESCE(0.5 / (60 + sp.r), 0)
            AS score
   FROM dense d FULL OUTER JOIN sparse sp ON d.doc_id = sp.doc_id)
-SELECT doc_id, round(score, 6) AS hybrid_score
+SELECT doc_id, round(score, 7) AS hybrid_score
 FROM fused
 ORDER BY score DESC, CAST(doc_id AS VARCHAR)
 LIMIT 10

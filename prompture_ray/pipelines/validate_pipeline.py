@@ -224,6 +224,73 @@ class ValidateAndSink:
         return pa.Table.from_pylist(rows, schema=PARTIAL_SCHEMA)
 
 
+class MergePartials:
+    """Distributed merge level for ValidateAndSink partial rows.
+
+    Runs as a ``map_batches`` stage between the scan and the driver fold,
+    merging all partial rows of the same fragment path that land in one
+    block — with one block per fragment (the read sizing above) that is
+    every batch of the fragment, so the driver folds ~one row per
+    FRAGMENT instead of one row per (batch × fragment). At 10^12 docs /
+    ~40M fragments this removes the first driver bottleneck.
+
+    Correct for ANY row grouping: every merge here (counter sums,
+    violation-count dict union, sketch merge, hash-blob concat) is
+    associative and the driver fold finishes whatever remains split
+    across blocks.
+    """
+
+    def __init__(self, stats_checks: list):
+        self.stats_checks = stats_checks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        if len(rows) <= 1:
+            return batch
+        by_path: dict[str, list[dict]] = {}
+        order: list[str] = []
+        for row in rows:
+            if row["path"] not in by_path:
+                order.append(row["path"])
+            by_path.setdefault(row["path"], []).append(row)
+        out = []
+        for path in order:
+            group = by_path[path]
+            if len(group) == 1:
+                out.append(group[0])
+                continue
+            counts: dict[str, int] = {}
+            for r in group:
+                for k, v in json.loads(r["viol_json"]).items():
+                    counts[k] = counts.get(k, 0) + v
+            sk_blobs = [r["sketches"] for r in group if r["sketches"]]
+            if sk_blobs:
+                acc = StatsAccumulator(self.stats_checks)
+                for b in sk_blobs:
+                    acc.merge_bytes(b)
+                sketches = acc.dumps()
+            else:
+                sketches = None
+            hash_parts: dict[str, list[bytes]] = {}
+            for r in group:
+                if r["key_hashes"]:
+                    for cid, blob in pickle.loads(r["key_hashes"]).items():
+                        hash_parts.setdefault(cid, []).append(blob)
+            key_hashes = (pickle.dumps({cid: b"".join(bs)
+                                        for cid, bs in hash_parts.items()})
+                          if hash_parts else None)
+            out.append({
+                "path": path,
+                "rows": sum(r["rows"] for r in group),
+                "ok_rows": sum(r["ok_rows"] for r in group),
+                "viol_json": json.dumps(counts, sort_keys=True),
+                "sketches": sketches,
+                "key_hashes": key_hashes,
+                "elapsed_ms": sum(r["elapsed_ms"] for r in group),
+            })
+        return pa.Table.from_pylist(out, schema=PARTIAL_SCHEMA)
+
+
 def list_fragments(input_dir: str | Path) -> list[str]:
     d = Path(input_dir)
     return sorted(str(p) for p in d.glob("*.parquet"))
@@ -418,6 +485,13 @@ def run_suite(
                             ref_broadcasts=ref_broadcasts,
                             unique_checks=unique_checks if fuse_unique else []),
             batch_format="pyarrow", batch_size=batch_size)
+        # distributed merge level: collapse per-(batch × fragment) partial
+        # rows to ~per-fragment rows before they transit the driver
+        # (batch_size=None → merge whole blocks; with one read block per
+        # fragment all of a fragment's partials sit in one block)
+        partials = partials.map_batches(
+            MergePartials(stats_checks), batch_format="pyarrow",
+            batch_size=None)
 
         # streaming driver fold + incremental per-fragment checkpointing.
         # Per-fragment sketch partials are persisted atomically BEFORE the
@@ -427,9 +501,10 @@ def run_suite(
         seen: dict[str, dict] = {}
         # budget counters seeded from resumed partitions (cheap: manifest)
         running = dict(manifest.totals()) if budget else {}
-        fold_s = 0.0
+        fold_s, folded_rows = 0.0, 0
         for pb in partials.iter_batches(batch_size=64, batch_format="pyarrow"):
             t_fold = time.perf_counter()
+            folded_rows += pb.num_rows
             for row in pb.to_pylist():
                 path = row["path"]
                 st = seen.setdefault(path, {
@@ -479,6 +554,7 @@ def run_suite(
                     del seen[path]
             fold_s += time.perf_counter() - t_fold
         phases["driver_fold_in_scan"] = round(fold_s, 3)
+        phases["driver_fold_rows"] = folded_rows
     _phase("main_scan", t_ph)
 
     t_ph = time.perf_counter()

@@ -37,7 +37,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
+            # One SAME rounding (numpy half-even, 6 dp) applied to BOTH
+            # sides, mirroring the driver's canonicalization: float-sum
+            # noise below 5e-7 is forgiven, but a genuine 6th-decimal
+            # divergence (e.g. a half-even vs half-away tie rounded
+            # differently INSIDE the two queries) survives and fails.
+            df[c] = df[c].astype("float64").round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
@@ -65,8 +70,12 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> str:
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]):
-            ok = np.allclose(av.astype(float), bv.astype(float),
-                             rtol=1e-9, atol=1e-6, equal_nan=True)
+            # Driver-style strictness: the driver hashes raw values, so any
+            # sub-1e-6 diff (e.g. a rounding-mode tie) is a real failure.
+            # Queries must round identically on both sides; we compare
+            # exactly (NaN==NaN allowed), no atol/rtol.
+            fa, fb = av.astype(float), bv.astype(float)
+            ok = bool(np.all((fa == fb) | (np.isnan(fa) & np.isnan(fb))))
         else:
             ok = (pd.Series(av).fillna("__null__") ==
                   pd.Series(bv).fillna("__null__")).all()
