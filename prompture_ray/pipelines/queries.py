@@ -175,7 +175,14 @@ FROM documents GROUP BY lang
 
 
 def q1_lineitem(sf_dir: str):
-    """TPC-H Q1-style pricing rollup — the canonical groupby-aggregate."""
+    """TPC-H Q1-style pricing rollup — the canonical groupby-aggregate.
+
+    Money math runs in exact integer cents (prices/discounts are 2-decimal
+    by construction): summing doubles and rounding at 2 dp is
+    accumulation-ORDER-sensitive near a cent boundary (sf0.001 produced
+    30158055.965 straddled differently by the two engines), while integer
+    sums are exact and the final cents//dollars division produces the
+    identical double on both sides."""
     from ray.data.aggregate import Count, Sum
     ds = _read(sf_dir, "lineitem",
                ["l_returnflag", "l_linestatus", "l_quantity",
@@ -184,30 +191,44 @@ def q1_lineitem(sf_dir: str):
     def prep(t: pa.Table) -> pa.Table:
         t = t.filter(pc.less_equal(
             t["l_shipdate"], pa.scalar(np.datetime64("1998-09-02", "us"))))
-        disc_price = pc.multiply(t["l_extendedprice"],
-                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        ep_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                            pa.scalar(100.0))), pa.int64())
+        d_c = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                           pa.scalar(100.0))), pa.int64())
+        qty_c = pc.cast(pc.round(pc.multiply(t["l_quantity"],
+                                             pa.scalar(100.0))), pa.int64())
+        # disc price in units of 1e-4 dollars: cents * (100 - disc_pct)
+        dp_u = pc.multiply(ep_c, pc.subtract(pa.scalar(100, pa.int64()), d_c))
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "l_quantity": t["l_quantity"],
-            "l_extendedprice": t["l_extendedprice"],
-            "disc_price": disc_price,
+            "qty_c": qty_c,
+            "ep_c": ep_c,
+            "dp_u": dp_u,
         })
 
     agg = ds.map_batches(prep, batch_format="pyarrow") \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
+            Sum("qty_c", alias_name="sum_qty_c"),
+            Sum("ep_c", alias_name="sum_ep_c"),
+            Sum("dp_u", alias_name="sum_dp_u"),
             Count(alias_name="count_order"))
 
     def final(t: pa.Table) -> pa.Table:
+        # half-away-up rounding of the 1e-4-dollar sum to cents, in
+        # integers (all sums positive), then ONE exact division
+        dp_cents = pc.divide(
+            pc.add(t["sum_dp_u"], pa.scalar(50, pa.int64())),
+            pa.scalar(100, pa.int64()))
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "l_linestatus": t["l_linestatus"],
-            "sum_qty": pc.round(t["sum_qty"], 2),
-            "sum_base_price": pc.round(t["sum_base_price"], 2),
-            "sum_disc_price": pc.round(t["sum_disc_price"], 2),
+            "sum_qty": pc.divide(pc.cast(t["sum_qty_c"], pa.float64()),
+                                 pa.scalar(100.0)),
+            "sum_base_price": pc.divide(pc.cast(t["sum_ep_c"], pa.float64()),
+                                        pa.scalar(100.0)),
+            "sum_disc_price": pc.divide(pc.cast(dp_cents, pa.float64()),
+                                        pa.scalar(100.0)),
             "count_order": t["count_order"],
         })
 
@@ -216,9 +237,13 @@ def q1_lineitem(sf_dir: str):
 
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) / 100.0
+         AS sum_qty,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         / 100.0 AS sum_base_price,
+       ((CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+              AS BIGINT) + 50) // 100) / 100.0 AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -762,6 +787,157 @@ def drift_events(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+DRIFT_EVENTS_SQL = """
+WITH ev AS (
+  SELECT CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'base' ELSE 'live' END
+           AS side,
+         event_type,
+         -- Hist bin = searchsorted(linspace(0,500,33), v, side='right'):
+         -- edges are k*15.625 (dyadic, so v/15.625 is exact on edges)
+         CASE WHEN value < 0 THEN 0
+              WHEN value >= 500 THEN 33
+              ELSE CAST(floor(value / 15.625) AS INT) + 1 END AS bin
+  FROM events WHERE value IS NOT NULL),
+types AS (
+  SELECT event_type FROM ev GROUP BY 1
+  HAVING count(CASE WHEN side = 'base' THEN 1 END) > 0
+     AND count(CASE WHEN side = 'live' THEN 1 END) > 0),
+grid AS (
+  SELECT t.event_type, b.bin, s.side
+  FROM types t
+  CROSS JOIN (SELECT unnest(range(0, 34)) AS bin) b
+  CROSS JOIN (VALUES ('base'), ('live')) s(side)),
+cnt AS (
+  SELECT side, event_type, bin, count(*) AS n
+  FROM ev GROUP BY 1, 2, 3),
+dense AS (
+  SELECT g.event_type, g.side, g.bin,
+         CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM grid g LEFT JOIN cnt c
+    ON g.event_type = c.event_type AND g.side = c.side AND g.bin = c.bin),
+tot AS (SELECT event_type, side, sum(n) AS tot FROM dense GROUP BY 1, 2),
+p AS (
+  SELECT d.event_type, d.side, d.bin, d.n,
+         GREATEST(CAST(d.n AS DOUBLE) / CAST(t.tot AS DOUBLE), 1e-6)
+           AS pclip
+  FROM dense d JOIN tot t
+    ON d.event_type = t.event_type AND d.side = t.side),
+z AS (SELECT event_type, side, sum(pclip) AS zsum FROM p GROUP BY 1, 2),
+q AS (
+  SELECT p.event_type, p.bin,
+         max(CASE WHEN p.side = 'base' THEN p.pclip / z.zsum END) AS e,
+         max(CASE WHEN p.side = 'live' THEN p.pclip / z.zsum END) AS a,
+         max(CASE WHEN p.side = 'base' THEN p.n END) AS en,
+         max(CASE WHEN p.side = 'live' THEN p.n END) AS an
+  FROM p JOIN z ON p.event_type = z.event_type AND p.side = z.side
+  GROUP BY 1, 2),
+psiv AS (
+  SELECT event_type, sum((a - e) * ln(a / e)) AS psi FROM q GROUP BY 1),
+cum AS (
+  SELECT event_type, bin,
+         sum(en) OVER (PARTITION BY event_type ORDER BY bin) AS ce,
+         sum(an) OVER (PARTITION BY event_type ORDER BY bin) AS ca,
+         sum(en) OVER (PARTITION BY event_type) AS te,
+         sum(an) OVER (PARTITION BY event_type) AS ta
+  FROM q),
+ksv AS (
+  SELECT event_type,
+         max(abs(CAST(ce AS DOUBLE) / CAST(te AS DOUBLE)
+               - CAST(ca AS DOUBLE) / CAST(ta AS DOUBLE))) AS ks
+  FROM cum GROUP BY 1)
+SELECT p.event_type, round(p.psi, 6) AS psi, round(k.ks, 6) AS ks
+FROM psiv p JOIN ksv k ON p.event_type = k.event_type
+ORDER BY p.event_type
+"""
+
+
+def minhash_planted_docs(sf_dir: str):
+    """MinHash-LSH dedup, oracle-checked via planting: texts are
+    deterministic sha256-hex streams keyed by doc_id (cross-doc
+    char-5-shingle Jaccard ~1e-4, far below the 0.8 threshold) with EXACT
+    copies planted at doc_id+10000 for doc_id%10==0 — identical texts give
+    identical signatures, hence identical band keys (guaranteed candidate)
+    and est_jaccard 1.0, so the kept set is exactly the original doc_ids
+    and SQL reconstructs it without touching regex or hashing."""
+    import hashlib
+    from prompture_ray.stages.dedup import dedup_minhash
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_ids, texts = [], []
+        for i in ids:
+            txt = "".join(
+                hashlib.sha256(f"mh:{i}:{j}".encode()).hexdigest()
+                for j in range(3))
+            out_ids.append(i)
+            texts.append(txt)
+            if i % 10 == 0:
+                out_ids.append(i + 10000)
+                texts.append(txt)
+        return pa.table({"doc_id": pa.array(out_ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    kept, _stats = dedup_minhash(ds.map_batches(plant,
+                                                batch_format="pyarrow"),
+                                 "text", "doc_id", threshold=0.8)
+    return kept.select_columns(["doc_id"])
+
+
+MINHASH_PLANTED_SQL = """
+SELECT doc_id FROM documents ORDER BY doc_id
+"""
+
+
+# planted language-ID inputs: one strongly-marked text per doc_id%5 class.
+# Marker counts / word counts / script-char ratios are fixed per class, so
+# the oracle reconstructs lang_conf arithmetically (8 en markers in 14
+# words, 7 es markers in 12 words, pure-CJK, 26/29 cyrillic, pure-kana).
+_LANGID_PLANTS = [
+    "the cat and the dog is near that tree with food for this day",  # en
+    "el perro es una cosa para los gatos del mundo por ahora",       # es
+    "数据处理引擎测试文档"
+    "内容样本",                                      # zh
+    "данные обра"
+    "ботка систе"
+    "ма тест",                         # ru
+    "テストデータサンプル",  # ja
+]
+
+
+def langid_planted_docs(sf_dir: str):
+    """Language-ID over planted single-language texts keyed by doc_id%5 —
+    the class, marker counts and script ratios are deterministic, so both
+    the prediction and the confidence have closed arithmetic forms in SQL."""
+    from prompture_ray.stages.textstats import LangIdStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([_LANGID_PLANTS[i % 5] for i in ids],
+                             type=pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow") \
+             .map_batches(LangIdStage("text"), batch_format="pyarrow",
+                          batch_size=1024) \
+             .select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+LANGID_PLANTED_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5 WHEN 0 THEN 'en' WHEN 1 THEN 'es'
+            WHEN 2 THEN 'zh' WHEN 3 THEN 'ru' ELSE 'ja' END AS lang_pred,
+       CASE doc_id % 5 WHEN 0 THEN round(8.0 / 14, 6)
+            WHEN 1 THEN round(7.0 / 12, 6)
+            WHEN 2 THEN 1.0
+            WHEN 3 THEN round(26.0 / 29, 6)
+            ELSE 1.0 END AS lang_conf
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES.update({
     "dedup_exact_docs": dedup_exact_docs,
     "doc_token_rows": doc_token_rows,
@@ -770,9 +946,11 @@ QUERIES.update({
     "sessions_per_user": sessions_per_user,
     "asof_event_order": asof_event_order,
     "minhash_dedup_docs": minhash_dedup_docs,
+    "minhash_planted_docs": minhash_planted_docs,
     "simhash_docs": simhash_docs,
     "fingerprint_docs": fingerprint_docs_q,
     "langid_docs": langid_docs,
+    "langid_planted_docs": langid_planted_docs,
     "embedding_neardup_docs": embedding_neardup_docs,
     "sketch_profile": sketch_profile,
     "media_features": media_features,
@@ -786,6 +964,9 @@ ORACLE.update({
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
     "sessions_per_user": SESSIONS_SQL,
     "asof_event_order": ASOF_SQL,
+    "minhash_planted_docs": MINHASH_PLANTED_SQL,
+    "langid_planted_docs": LANGID_PLANTED_SQL,
+    "drift_events": DRIFT_EVENTS_SQL,
 })
 
 

@@ -16,7 +16,8 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 SUBSET = ["doc_verdicts", "lang_counts", "q1_lineitem", "dedup_first_events",
           "ref_events_supplier", "dedup_exact_docs", "sessions_per_user",
-          "knn_embeddings", "asof_event_order"]
+          "knn_embeddings", "asof_event_order", "minhash_planted_docs",
+          "langid_planted_docs", "drift_events"]
 
 
 @pytest.fixture(scope="module")
