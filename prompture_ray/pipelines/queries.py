@@ -740,6 +740,88 @@ def media_features(sf_dir: str):
     })
 
 
+def media_bmp_dims(sf_dir: str):
+    """REAL image decode (numpy BMP codec, stages/multimodal.py): solid
+    24bpp BMPs with dimensions and color derived from doc_id are encoded,
+    shipped as binary payloads and decoded by ImageDecodeStage — width,
+    height and the dominant intensity bin all have closed SQL forms."""
+    from prompture_ray.stages.multimodal import ImageDecodeStage, synth_bmp
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [synth_bmp(16 + i % 16, 8 + i % 8,
+                              (i % 256, (i * 7) % 256, (i * 13) % 256))
+                    for i in ids]
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(ImageDecodeStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=256)
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t["features"].to_pylist()
+        top = [int(np.argmax(f)) for f in feats]
+        return pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "top_bin": pa.array(top, type=pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+MEDIA_BMP_DIMS_SQL = """
+SELECT doc_id,
+       16 + doc_id % 16 AS width,
+       8 + doc_id % 8 AS height,
+       ((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) // 3)
+         // 16 AS top_bin
+FROM documents ORDER BY doc_id
+"""
+
+
+def media_wav_stats(sf_dir: str):
+    """REAL audio decode (stdlib wave): mono 16-bit PCM square waves with
+    rate/length/amplitude derived from doc_id — duration is exactly
+    k/10 s and the RMS of a ±A square wave is exactly A, so every output
+    has a closed SQL form."""
+    from prompture_ray.stages.multimodal import AudioFeatureStage, synth_wav
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            sr = 8000 * (1 + i % 3)
+            n = (sr // 10) * (1 + i % 5)
+            payloads.append(synth_wav(sr, n, 100 * (1 + i % 7)))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(AudioFeatureStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=256)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "duration_s": t["duration_s"],
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "rms_energy": t["rms_energy"],
+        }), batch_format="pyarrow")
+
+
+MEDIA_WAV_STATS_SQL = """
+SELECT doc_id,
+       round((1 + doc_id % 5) / 10.0, 6) AS duration_s,
+       8000 * (1 + doc_id % 3) AS sample_rate,
+       CAST(100 * (1 + doc_id % 7) AS DOUBLE) AS rms_energy
+FROM documents ORDER BY doc_id
+"""
+
+
 def drift_events(sf_dir: str):
     """Distribution drift: PSI/KS of event values in the second half of the
     month vs the first half (pinned-baseline pattern, per event_type)."""
@@ -954,6 +1036,8 @@ QUERIES.update({
     "embedding_neardup_docs": embedding_neardup_docs,
     "sketch_profile": sketch_profile,
     "media_features": media_features,
+    "media_bmp_dims": media_bmp_dims,
+    "media_wav_stats": media_wav_stats,
     "drift_events": drift_events,
 })
 
@@ -967,6 +1051,8 @@ ORACLE.update({
     "minhash_planted_docs": MINHASH_PLANTED_SQL,
     "langid_planted_docs": LANGID_PLANTED_SQL,
     "drift_events": DRIFT_EVENTS_SQL,
+    "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
+    "media_wav_stats": MEDIA_WAV_STATS_SQL,
 })
 
 

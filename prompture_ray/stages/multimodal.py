@@ -1,13 +1,19 @@
 """Multimodal columns: images / audio / video as opaque ``binary`` columns
 with typed metadata, processed by actor-pool map_batches stages.
 
-The decode step itself is STUBBED — no image/audio libraries exist in this
-environment — behind ``decoder="fake"`` (deterministic, seed-free fake
-derived from the payload bytes; default, fully tested) or
-``decoder="pil"`` / ``decoder="librosa"`` which raise ``NotImplementedError``
-with install guidance. Everything around the decode — schema contract,
-actor-pool signature, batch sizing for large binaries, output layout — is
-real Ray Data plumbing and is what a real decoder would drop into.
+Decoders:
+
+- ``decoder="real"`` — actual codecs implemented here with stdlib + numpy:
+  WAV (``wave`` module; 8/16/32-bit PCM → sample rate, duration, RMS),
+  uncompressed BMP (BITMAPINFOHEADER, 24/32bpp BI_RGB, bottom-up or
+  top-down) and binary PPM (P6). Dispatch is by magic bytes.
+- ``decoder="fake"`` (default) — deterministic seed-free fake derived from
+  the payload bytes, for synthetic non-media payloads.
+- ``decoder="pil"`` / ``decoder="librosa"`` raise ``NotImplementedError``
+  with install guidance (not present in this environment); JPEG/PNG/MP3
+  et al. need them. Everything around the decode — schema contract,
+  actor-pool signature, batch sizing for large binaries, output layout —
+  is the same for every decoder.
 
 Design rules for large binary payloads (SURVEY §7.4 "wide binary rows"):
 small ``batch_size`` (payload × batch × concurrency must fit worker heap),
@@ -37,6 +43,142 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
     return 64 + (h & 0x3FF), 64 + ((h >> 10) & 0x3FF)
 
 
+# ---------------------------------------------------------------------------
+# real codecs (stdlib + numpy — no external image/audio libraries)
+# ---------------------------------------------------------------------------
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """PCM WAV → (sample_rate, n_frames, n_channels, float64 samples).
+    8-bit is unsigned (centered by −128); 16/32-bit little-endian signed.
+    Reference audio surface: /root/reference/prompture/media/audio.py."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        sw = w.getsampwidth()
+        raw = w.readframes(n)
+    if sw == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+    elif sw == 1:
+        samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 4:
+        samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    return sr, n, ch, samples
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Uncompressed BMP (BI_RGB, 24/32 bpp) → (w, h, channels, HxWxC
+    uint8 pixels in BGR(A) order). Rows are 4-byte padded; positive
+    height = bottom-up storage. Reference image surface:
+    /root/reference/prompture/media/image.py."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    nch = bpp // 8
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * nch + 3) // 4) * 4
+    data = np.frombuffer(payload, dtype=np.uint8, count=stride * h,
+                         offset=off)
+    px = data.reshape(h, stride)[:, : w * nch].reshape(h, w, nch)
+    if not top_down:
+        px = px[::-1]
+    return w, h, nch, px
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Binary PPM (P6, maxval ≤ 255) → (w, h, 3, HxWx3 uint8 RGB)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval as whitespace-separated tokens
+    # with '#' comments; pixel data starts after ONE whitespace byte
+    # following maxval
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos] in b" \t\r\n":
+            pos += 1
+        if pos < len(payload) and payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] not in b"\r\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and payload[pos] not in b" \t\r\n":
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1                                     # the single ws after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM not supported")
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3,
+                         offset=pos)
+    return w, h, 3, data.reshape(h, w, 3)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Magic-byte dispatch over the implemented image codecs."""
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    raise ValueError(
+        "unsupported image format (BMP/PPM supported; JPEG/PNG need "
+        "Pillow, unavailable in this environment)")
+
+
+def encode_bmp(px: np.ndarray) -> bytes:
+    """HxWx3 uint8 BGR pixels → 24bpp bottom-up BI_RGB BMP bytes."""
+    h, w, nch = px.shape
+    if nch != 3:
+        raise ValueError("encode_bmp wants HxWx3 BGR")
+    stride = ((w * 3 + 3) // 4) * 4
+    img_size = stride * h
+    header = (b"BM" + (54 + img_size).to_bytes(4, "little") + b"\x00" * 4
+              + (54).to_bytes(4, "little")
+              + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + img_size.to_bytes(4, "little")
+              + b"\x00" * 16)
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px[::-1].reshape(h, w * 3)      # bottom-up
+    return header + rows.tobytes()
+
+
+def synth_bmp(w: int, h: int, rgb: tuple[int, int, int]) -> bytes:
+    """Minimal solid-color 24bpp bottom-up BMP (a real, decodable file)."""
+    px = np.empty((h, w, 3), dtype=np.uint8)
+    px[..., 0], px[..., 1], px[..., 2] = rgb[2], rgb[1], rgb[0]
+    return encode_bmp(px)
+
+
+def synth_wav(sample_rate: int, n_frames: int, amplitude: int) -> bytes:
+    """Mono 16-bit PCM WAV: a ±amplitude square wave (RMS == amplitude
+    exactly, so features are arithmetically checkable)."""
+    import io
+    import wave
+    samples = np.empty(n_frames, dtype="<i2")
+    samples[0::2] = amplitude
+    samples[1::2] = -amplitude
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue()
+
+
 class ImageDecodeStage:
     """Actor-pool stage: payload → (width, height, n_channels) + a
     16-dim feature vector; payload column dropped on output.
@@ -50,10 +192,28 @@ class ImageDecodeStage:
         self.payload_col = payload_col
         if decoder == "pil":
             raise NotImplementedError(
-                "real image decode needs Pillow (`pip install pillow`); "
-                "not available in this environment — use decoder='fake'")
-        if decoder not in ("fake",):
+                "JPEG/PNG decode needs Pillow (`pip install pillow`); "
+                "not available in this environment — decoder='real' "
+                "handles BMP/PPM, decoder='fake' anything")
+        if decoder not in ("fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def _decode_one(self, p: bytes) -> tuple[int, int, list[float]]:
+        if self.decoder == "real":
+            w, h, nch, px = decode_image(p)
+            # 16-bin intensity histogram over the channel-mean image
+            intensity = (px.astype(np.uint16).sum(axis=2) // nch) \
+                .astype(np.uint8)
+            hist = np.bincount((intensity >> 4).ravel(),
+                               minlength=16).astype(np.float32)
+        else:
+            w, h = _fake_dims(p)
+            # deterministic fake features: byte-histogram projection
+            arr = np.frombuffer(p[:4096], dtype=np.uint8)
+            hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
+        total = hist.sum()
+        return w, h, (hist / total if total else hist).tolist()
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t[self.payload_col].to_pylist()
@@ -64,14 +224,10 @@ class ImageDecodeStage:
                 heights.append(None)
                 feats.append(None)
                 continue
-            w, h = _fake_dims(p)
+            w, h, f = self._decode_one(p)
             widths.append(w)
             heights.append(h)
-            # deterministic fake features: byte-histogram projection
-            arr = np.frombuffer(p[:4096], dtype=np.uint8)
-            hist = np.bincount(arr >> 4, minlength=16).astype(np.float32)
-            total = hist.sum()
-            feats.append((hist / total if total else hist).tolist())
+            feats.append(f)
         out = t.drop_columns([self.payload_col])
         out = out.append_column("width", pa.array(widths, type=pa.int32()))
         out = out.append_column("height", pa.array(heights, type=pa.int32()))
@@ -97,12 +253,29 @@ class ImageResizeStage:
         self.max_h = max_h
         if decoder == "pil":
             raise NotImplementedError(
-                "real resize needs Pillow (`pip install pillow`); "
-                "not available in this environment — use decoder='fake'")
-        if decoder not in ("fake",):
+                "JPEG/PNG resize needs Pillow (`pip install pillow`); "
+                "not available in this environment — decoder='real' "
+                "handles BMP/PPM, decoder='fake' anything")
+        if decoder not in ("fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
 
     def _resize_one(self, p: bytes) -> tuple[bytes, int, int]:
+        if self.decoder == "real":
+            w, h, nch, px = decode_image(p)
+            scale = min(1.0, self.max_w / w, self.max_h / h)
+            nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+            if scale >= 1.0 and p[:2] == b"BM" and nch == 3:
+                return p, w, h      # never upscale; payload untouched
+            # nearest-neighbor downsample, re-encoded as 24bpp BMP
+            yi = (np.arange(nh) * h) // nh
+            xi = (np.arange(nw) * w) // nw
+            small = px[yi][:, xi]
+            if nch == 4:
+                small = small[..., :3]
+            elif p[:2] == b"P6":
+                small = small[..., ::-1]            # RGB → BGR
+            return encode_bmp(np.ascontiguousarray(small)), nw, nh
         w, h = _fake_dims(p)
         scale = min(1.0, self.max_w / w, self.max_h / h)
         nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
@@ -135,10 +308,26 @@ class AudioFeatureStage:
         self.payload_col = payload_col
         if decoder == "librosa":
             raise NotImplementedError(
-                "real audio decode needs librosa/soundfile; not available "
-                "in this environment — use decoder='fake'")
-        if decoder not in ("fake",):
+                "MP3/OGG decode needs librosa/soundfile; not available in "
+                "this environment — decoder='real' handles PCM WAV via "
+                "the stdlib wave module, decoder='fake' anything")
+        if decoder not in ("fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def _features_one(self, p: bytes) -> tuple[float, int, float]:
+        if self.decoder == "real":
+            sr_v, n, _ch, samples = decode_wav(p)
+            dur = round(n / sr_v, 6) if sr_v else 0.0
+            rms = (float(np.sqrt(np.mean(samples ** 2)))
+                   if samples.size else 0.0)
+            return dur, sr_v, rms
+        h = int(hash64(np.array([p], dtype=object))[0])
+        sr_v = 16000 if h & 1 else 44100
+        arr = np.frombuffer(p[: 2 * (len(p) // 2)], dtype=np.int16)
+        rms = (float(np.sqrt(np.mean(arr.astype(np.float64) ** 2)))
+               if arr.size else 0.0)
+        return round(len(p) / sr_v, 4), sr_v, rms
 
     def __call__(self, t: pa.Table) -> pa.Table:
         payloads = t[self.payload_col].to_pylist()
@@ -147,13 +336,10 @@ class AudioFeatureStage:
             if p is None:
                 dur.append(None); sr.append(None); en.append(None)
                 continue
-            h = int(hash64(np.array([p], dtype=object))[0])
-            sr_v = 16000 if h & 1 else 44100
-            dur.append(round(len(p) / sr_v, 4))
-            sr.append(sr_v)
-            arr = np.frombuffer(p[: 2 * (len(p) // 2)], dtype=np.int16)
-            en.append(float(np.sqrt(np.mean(arr.astype(np.float64) ** 2)))
-                      if arr.size else 0.0)
+            d, s, e = self._features_one(p)
+            dur.append(d)
+            sr.append(s)
+            en.append(e)
         out = t.drop_columns([self.payload_col])
         out = out.append_column("duration_s", pa.array(dur, type=pa.float64()))
         out = out.append_column("sample_rate", pa.array(sr, type=pa.int32()))

@@ -82,3 +82,93 @@ def test_image_resize_stage(ray_session):
             assert out["payload"][i] == src["payload"][i]
     with pytest.raises(NotImplementedError):
         ImageResizeStage(decoder="pil")
+
+
+def test_wav_codec_roundtrip():
+    p = mm.synth_wav(8000, 1600, 1000)
+    sr, n, ch, samples = mm.decode_wav(p)
+    assert (sr, n, ch) == (8000, 1600, 1)
+    assert samples.size == 1600
+    assert float(abs(samples).max()) == 1000.0
+    import numpy as np
+    assert float(np.sqrt(np.mean(samples ** 2))) == 1000.0   # square wave
+
+
+def test_bmp_codec_roundtrip():
+    p = mm.synth_bmp(17, 9, (10, 200, 30))          # odd width → row padding
+    w, h, nch, px = mm.decode_bmp(p)
+    assert (w, h, nch) == (17, 9, 3)
+    assert px.shape == (9, 17, 3)
+    assert tuple(px[0, 0]) == (30, 200, 10)          # BGR order
+    # arbitrary-pixel encode/decode round trip
+    import numpy as np
+    rng = np.random.RandomState(7)
+    src = rng.randint(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    w2, h2, _, px2 = mm.decode_bmp(mm.encode_bmp(src))
+    assert (w2, h2) == (6, 5)
+    assert np.array_equal(px2, src)
+
+
+def test_ppm_codec():
+    import numpy as np
+    header = b"P6\n# a comment\n6 4\n255\n"
+    pix = np.arange(6 * 4 * 3, dtype=np.uint8).tobytes()
+    w, h, nch, px = mm.decode_ppm(header + pix)
+    assert (w, h, nch) == (6, 4, 3)
+    assert px.tobytes() == pix
+
+
+def test_real_image_decode_stage(ray_session):
+    import ray.data as rd
+    rows = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "payload": pa.array([mm.synth_bmp(20, 12, (255, 0, 0)),
+                             b"P6\n2 2\n255\n" + b"\x80" * 12],
+                            type=pa.binary()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        mm.ImageDecodeStage("payload", decoder="real"),
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    assert out["width"].tolist() == [20, 2]
+    assert out["height"].tolist() == [12, 2]
+    # solid red → channel-mean 85 → bin 5 has all the mass
+    feats = out["features"].tolist()
+    assert feats[0][85 >> 4] == 1.0
+    assert feats[1][8] == 1.0                        # 0x80 → mean 128 → bin 8
+
+
+def test_real_audio_stage(ray_session):
+    import ray.data as rd
+    rows = pa.table({
+        "media_id": pa.array(["a", "b"]),
+        "payload": pa.array([mm.synth_wav(8000, 800, 500),
+                             mm.synth_wav(16000, 4800, 2000)],
+                            type=pa.binary()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        mm.AudioFeatureStage("payload", decoder="real"),
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    assert out["sample_rate"].tolist() == [8000, 16000]
+    assert out["duration_s"].tolist() == [0.1, 0.3]
+    assert out["rms_energy"].tolist() == [500.0, 2000.0]
+
+
+def test_real_resize_stage(ray_session):
+    import ray.data as rd
+    rows = pa.table({
+        "media_id": pa.array(["big", "small"]),
+        "payload": pa.array([mm.synth_bmp(64, 32, (1, 2, 3)),
+                             mm.synth_bmp(8, 4, (9, 8, 7))],
+                            type=pa.binary()),
+    })
+    out = rd.from_arrow(rows).map_batches(
+        mm.ImageResizeStage("payload", max_w=16, max_h=16, decoder="real"),
+        batch_format="pyarrow").to_pandas().set_index("media_id")
+    assert (out.loc["big", "width"], out.loc["big", "height"]) == (16, 8)
+    assert (out.loc["small", "width"], out.loc["small", "height"]) == (8, 4)
+    # resized payload is itself a decodable BMP with the new dims
+    w, h, _, px = mm.decode_bmp(out.loc["big", "payload"])
+    assert (w, h) == (16, 8)
+    assert tuple(px[0, 0]) == (3, 2, 1)
+    # small image untouched byte-for-byte
+    assert out.loc["small", "payload"] == mm.synth_bmp(8, 4, (9, 8, 7))
