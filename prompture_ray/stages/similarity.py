@@ -241,95 +241,143 @@ def bm25_tokenize(text: str) -> list[str]:
     return text.lower().split() if text else []
 
 
+def _batch_term_tf(col, terms: list[str]):
+    """ONE vectorized tokenize of a batch (utf8_lower + RE2 ``\\s+``
+    split, empty tokens dropped like ``str.split``) → per-row non-empty
+    token count ``dl`` and a ``{term: tf array}`` map. Replaces the old
+    per-doc ``text.lower().split()`` + ``toks.count(term)`` Python loop
+    (the round-2 cost driver: the corpus was tokenized twice in Python)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    trimmed = pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+    lists = pc.utf8_split_whitespace(trimmed)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    row_len = pc.list_value_length(lists).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    # after trimming, the only empty token comes from an empty text
+    # ("" splits to [""]); everywhere else dl == token count
+    empty_row = pc.equal(pc.utf8_length(trimmed), 0) \
+        .to_numpy(zero_copy_only=False)
+    dl = np.where(empty_row, 0, row_len)
+    # ONE hash-table pass maps every token to its query-term code (null =
+    # not a query term); hits are sparse, so parent rows are recovered by
+    # searchsorted over the row-start offsets instead of materializing a
+    # tokens-sized parent index
+    flat = lists.flatten()
+    codes = pc.index_in(flat, value_set=pa.array(terms, type=pa.string()))
+    hitpos = np.flatnonzero(pc.is_valid(codes).to_numpy(zero_copy_only=False))
+    starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                             np.cumsum(row_len)])
+    parents = np.searchsorted(starts, hitpos, side="right") - 1
+    c = codes.to_numpy(zero_copy_only=False)[hitpos].astype(np.int64)
+    m = len(terms)
+    cnt = np.bincount(parents * m + c, minlength=n * m).reshape(n, m) \
+        if m else np.zeros((n, 0), dtype=np.int64)
+    tf = {term: cnt[:, i].astype(np.int64) for i, term in enumerate(terms)}
+    return dl, tf
+
+
+def bm25_doc_tf(ds, text_col: str, id_col: str | None, terms: list[str]):
+    """The single-tokenize pass: corpus text → a NARROW per-doc table
+    (id, dl, tf per query term). Callers materialize it once and run both
+    the stats fold and the scoring pass over integers — the 100-TB text
+    is scanned (and tokenized) exactly once per query set."""
+    uniq = sorted(set(terms))
+    tf_cols = {t: f"tf{i}" for i, t in enumerate(uniq)}
+
+    def extract(t: pa.Table) -> pa.Table:
+        from prompture_ray.functions import limit_arrow_threads
+        limit_arrow_threads(1)
+        dl, tf = _batch_term_tf(t[text_col], uniq)
+        cols = {} if id_col is None else {id_col: t[id_col]}
+        cols["dl"] = pa.array(dl, type=pa.int64())
+        for term in uniq:
+            cols[tf_cols[term]] = pa.array(tf[term], type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(extract, batch_format="pyarrow"), tf_cols
+
+
+def _corpus_stats_from_tf(narrow, tf_cols: dict):
+    """(n_docs, avgdl, {term: df}) folded from the narrow tf table —
+    tiny integer partials, no text."""
+    def partial(t: pa.Table) -> pa.Table:
+        row = {"n_docs": [t.num_rows],
+               "total_len": [int(pc.sum(t["dl"]).as_py() or 0)]}
+        for term, c in tf_cols.items():
+            row["df_" + c] = [int(pc.sum(pc.cast(
+                pc.greater(t[c], 0), pa.int64())).as_py() or 0)]
+        return pa.Table.from_pydict(row)
+
+    n_docs, total_len = 0, 0
+    df_tot = {t: 0 for t in tf_cols}
+    for b in narrow.map_batches(partial, batch_format="pyarrow") \
+                   .iter_batches(batch_size=None, batch_format="pyarrow"):
+        for row in b.to_pylist():
+            n_docs += row["n_docs"]
+            total_len += row["total_len"]
+            for term, c in tf_cols.items():
+                df_tot[term] += row["df_" + c]
+    avgdl = total_len / n_docs if n_docs else 0.0
+    return n_docs, avgdl, df_tot
+
+
 def bm25_corpus_stats(ds, text_col: str, terms: list[str]):
     """One streaming pass → (n_docs, avgdl, {term: df}) for the QUERY
     terms only (df for the full vocabulary is never needed — broadcast
     the handful of query terms instead of shuffling a term table)."""
-    uniq = sorted(set(terms))
+    narrow, tf_cols = bm25_doc_tf(ds, text_col, None, terms)
+    return _corpus_stats_from_tf(narrow, tf_cols)
 
-    def partial(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        df = {u: 0 for u in uniq}
-        total_len = 0
-        n = 0
-        for txt in texts:
-            toks = bm25_tokenize(txt)
-            total_len += len(toks)
-            n += 1
-            s = set(toks)
-            for u in uniq:
-                if u in s:
-                    df[u] += 1
-        return pa.table({
-            "term": pa.array(uniq + ["__meta__"]),
-            "df": pa.array([df[u] for u in uniq] + [0], type=pa.int64()),
-            "n_docs": pa.array([0] * len(uniq) + [n], type=pa.int64()),
-            "total_len": pa.array([0] * len(uniq) + [total_len],
-                                  type=pa.int64()),
-        })
 
-    agg = {"n_docs": 0, "total_len": 0}
-    df_tot = {u: 0 for u in uniq}
-    for b in ds.map_batches(partial, batch_format="pyarrow") \
-               .iter_batches(batch_size=None, batch_format="pyarrow"):
-        for term, df, nd, tl in zip(b["term"].to_pylist(),
-                                    b["df"].to_pylist(),
-                                    b["n_docs"].to_pylist(),
-                                    b["total_len"].to_pylist()):
-            if term == "__meta__":
-                agg["n_docs"] += nd
-                agg["total_len"] += tl
-            else:
-                df_tot[term] += df
-    n_docs = agg["n_docs"]
-    avgdl = agg["total_len"] / n_docs if n_docs else 0.0
-    return n_docs, avgdl, df_tot
+def _score_tf_batch(t: pa.Table, q_terms: list[str], tf_cols: dict,
+                    idf: dict, avgdl: float, k1: float, b: float,
+                    id_col: str) -> tuple:
+    """Vectorized Okapi scoring over a narrow tf batch. Accumulation
+    ORDER mirrors the original per-doc loop (query-term order, duplicates
+    included), so scores are bit-identical to the round-2 Python path."""
+    dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+    norm = k1 * (1.0 - b + b * dl / avgdl)
+    s = np.zeros(len(dl), dtype=np.float64)
+    for term in q_terms:                   # in query order, dups included
+        tf = t[tf_cols[term]].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        s = s + idf[term] * tf * (k1 + 1.0) / (tf + norm)
+    keep = (dl > 0) & (s > 0.0)
+    return t[id_col].filter(pa.array(keep)), s[keep]
 
 
 def bm25_topk(ds, text_col: str, id_col: str, query: str, k: int = 10,
               k1: float = 1.5, b: float = 0.75):
-    """Okapi BM25 top-k for one query, fully distributed:
-
-    pass 1 — corpus stats for the query terms (broadcast terms, partial
-    fold); pass 2 — per-batch scoring + partial top-k; tiny driver merge.
-    idf = ln((N - df + 0.5)/(df + 0.5) + 1) (the always-positive Lucene
-    form). Deterministic tie-break (score desc, id asc); zero-score docs
-    are dropped like the reference (hybrid.py:130-137).
+    """Okapi BM25 top-k for one query, fully distributed and
+    SINGLE-tokenize: the corpus text is tokenized once (vectorized Arrow
+    split + bincount) into a narrow per-doc (id, dl, tf…) table; both the
+    stats fold and the scoring pass then run over integers. idf =
+    ln((N - df + 0.5)/(df + 0.5) + 1) (the always-positive Lucene form).
+    Deterministic tie-break (score desc, id asc); zero-score docs are
+    dropped like the reference (hybrid.py:130-137).
 
     Returns a pandas DataFrame (id_col, bm25) of ≤ k rows.
     """
-    import ray
-
     terms = bm25_tokenize(query)
-    n_docs, avgdl, df_map = bm25_corpus_stats(ds, text_col, terms)
-    if n_docs == 0:
+    if not terms:
+        return pd.DataFrame({id_col: pd.Series([], dtype=object),
+                             "bm25": pd.Series([], dtype=float)})
+    narrow, tf_cols = bm25_doc_tf(ds, text_col, id_col, terms)
+    narrow = narrow.materialize()          # narrow ints; scanned twice
+    n_docs, avgdl, df_map = _corpus_stats_from_tf(narrow, tf_cols)
+    if n_docs == 0 or avgdl == 0.0:
         return pd.DataFrame({id_col: [], "bm25": []})
     idf = {t: float(np.log((n_docs - df_map[t] + 0.5)
                            / (df_map[t] + 0.5) + 1.0))
            for t in set(terms)}
-    params_ref = ray.put((terms, idf, avgdl, k1, b))
 
     def score(t: pa.Table) -> pa.Table:
-        q_terms, q_idf, q_avgdl, q_k1, q_b = ray.get(params_ref)
-        texts = t[text_col].to_pylist()
-        ids = t[id_col].to_pylist()
-        out_id, out_s = [], []
-        for i, txt in zip(ids, texts):
-            toks = bm25_tokenize(txt)
-            dl = len(toks)
-            if dl == 0:
-                continue
-            s = 0.0
-            norm = q_k1 * (1.0 - q_b + q_b * dl / q_avgdl)
-            for term in q_terms:
-                tf = toks.count(term)
-                if tf:
-                    s += q_idf[term] * tf * (q_k1 + 1.0) / (tf + norm)
-            if s > 0.0:
-                out_id.append(i)
-                out_s.append(s)
-        tb = pa.table({id_col: pa.array(out_id),
-                       "bm25": pa.array(out_s, type=pa.float64())})
+        ids, s = _score_tf_batch(t, terms, tf_cols, idf, avgdl, k1, b,
+                                 id_col)
+        tb = pa.table({id_col: ids, "bm25": pa.array(s, type=pa.float64())})
         # partial top-k per batch — only k rows leave each block
         if tb.num_rows > k:
             order = pc.sort_indices(
@@ -337,7 +385,7 @@ def bm25_topk(ds, text_col: str, id_col: str, query: str, k: int = 10,
             tb = tb.take(order[:k])
         return tb
 
-    merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    merged = narrow.map_batches(score, batch_format="pyarrow").to_pandas()
     if merged.empty:  # zero matches anywhere: schema is lost, rebuild it
         return pd.DataFrame({id_col: pd.Series([], dtype=object),
                              "bm25": pd.Series([], dtype=float)})
@@ -568,51 +616,42 @@ def bm25_topk_multi(ds, text_col: str, id_col: str,
     union_terms = sorted({t for ts in q_terms.values() for t in ts})
     if not union_terms:
         return pd.DataFrame({"query_id": [], id_col: [], "bm25": []})
-    n_docs, avgdl, df_map = bm25_corpus_stats(ds, text_col, union_terms)
-    if n_docs == 0:
+    narrow, tf_cols = bm25_doc_tf(ds, text_col, id_col, union_terms)
+    narrow = narrow.materialize()       # ONE corpus tokenize for all queries
+    n_docs, avgdl, df_map = _corpus_stats_from_tf(narrow, tf_cols)
+    if n_docs == 0 or avgdl == 0.0:
         return pd.DataFrame({"query_id": [], id_col: [], "bm25": []})
     idf = {t: float(np.log((n_docs - df_map[t] + 0.5)
                            / (df_map[t] + 0.5) + 1.0))
            for t in union_terms}
-    params_ref = ray.put((q_terms, idf, avgdl, k1, b, union_terms))
+    params_ref = ray.put((q_terms, idf, avgdl, k1, b))
 
     def score(t: pa.Table) -> pa.Table:
-        qt, q_idf, q_avgdl, q_k1, q_b, terms = ray.get(params_ref)
-        texts = t[text_col].to_pylist()
-        ids = t[id_col].to_pylist()
-        rows_q, rows_id, rows_s = [], [], []
-        for i, txt in zip(ids, texts):
-            toks = bm25_tokenize(txt)
-            dl = len(toks)
-            if dl == 0:
+        qt, q_idf, q_avgdl, q_k1, q_b = ray.get(params_ref)
+        parts = []
+        for qid, tlist in qt.items():
+            ids, s = _score_tf_batch(t, tlist, tf_cols, q_idf, q_avgdl,
+                                     q_k1, q_b, id_col)
+            if len(s) == 0:
                 continue
-            norm = q_k1 * (1.0 - q_b + q_b * dl / q_avgdl)
-            # term frequencies computed ONCE per doc for the term union
-            tf = {term: toks.count(term) for term in terms}
-            for qid, tlist in qt.items():
-                s = 0.0
-                for term in tlist:
-                    f = tf[term]
-                    if f:
-                        s += q_idf[term] * f * (q_k1 + 1.0) / (f + norm)
-                if s > 0.0:
-                    rows_q.append(qid)
-                    rows_id.append(i)
-                    rows_s.append(s)
-        tb = pa.table({"query_id": pa.array(rows_q),
-                       id_col: pa.array(rows_id),
-                       "bm25": pa.array(rows_s, type=pa.float64())})
-        if tb.num_rows:
-            # per-(query, batch) partial top-k
-            df = tb.to_pandas()
-            df = df.sort_values(["query_id", "bm25", id_col],
-                                ascending=[True, False, True],
-                                kind="mergesort") \
-                   .groupby("query_id", sort=False).head(k)
-            tb = pa.Table.from_pandas(df, preserve_index=False)
-        return tb
+            parts.append(pa.table({
+                "query_id": pa.array([qid] * len(s)),
+                id_col: ids,
+                "bm25": pa.array(s, type=pa.float64())}))
+        if not parts:
+            return pa.table({"query_id": pa.array([], type=pa.string()),
+                             id_col: pa.array([], type=t[id_col].type),
+                             "bm25": pa.array([], type=pa.float64())})
+        tb = pa.concat_tables(parts)
+        # per-(query, batch) partial top-k
+        df = tb.to_pandas()
+        df = df.sort_values(["query_id", "bm25", id_col],
+                            ascending=[True, False, True],
+                            kind="mergesort") \
+               .groupby("query_id", sort=False).head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    merged = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    merged = narrow.map_batches(score, batch_format="pyarrow").to_pandas()
     if merged.empty:
         return pd.DataFrame({"query_id": pd.Series([], dtype=object),
                              id_col: pd.Series([], dtype=object),
