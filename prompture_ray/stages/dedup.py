@@ -68,19 +68,69 @@ def dedup_exact(ds, col: str, order_col: str,
                 normalize: bool = True, hash_col: str = "content_hash"):
     """First-occurrence-wins exact dedup under canonical order
     ``order_col`` (the distributed form of dedup.py:73-96). Returns the
-    kept rows (original columns)."""
+    kept rows (original columns).
+
+    Shape: ONE sort shuffle by (hash, order), then a vectorized
+    shift-compare per block — keep a row iff its hash differs from the
+    previous row's. No per-group pandas frames (the round-2 form paid a
+    sort_values+head frame per mostly-singleton hash group). Hash runs
+    that span a block boundary are resolved exactly from 2 tiny metadata
+    rows per block (the block's first (hash, order) and last hash):
+    driver state is O(n_blocks), never O(n_keys). Assumes ``order_col``
+    is a canonical (duplicate-free) ordering, as the reference does —
+    rows with identical (hash, order) are kept once per block.
+    """
+    import ray
+
     hashed = add_content_hash(ds, col, hash_col, normalize)
     # empty keys are dropped outright (reference dedup.py:83-85)
     hashed = hashed.map_batches(
         lambda t: t.filter(pc.invert(t[hash_col + "_empty"])),
         batch_format="pyarrow")
+    srt = hashed.sort([hash_col, order_col]).materialize()
 
-    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(order_col, kind="mergesort").head(1)
+    # pass A (tiny): per-block boundary metadata
+    def edges(t: pa.Table) -> pa.Table:
+        # first_order keeps the order col's NATIVE type — block ordering
+        # must match the sort's comparison, not a stringified one
+        return pa.table({
+            "first_hash": pc.cast(t[hash_col].slice(0, 1), pa.int64()),
+            "first_order": t[order_col].slice(0, 1),
+            "last_hash": pc.cast(
+                t[hash_col].slice(max(t.num_rows - 1, 0), 1), pa.int64()),
+        })
 
-    out = hashed.groupby(hash_col).map_groups(keep_first,
-                                              batch_format="pandas")
-    return out.drop_columns([hash_col, hash_col + "_empty"])
+    eb = srt.map_batches(edges, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    drop_keys: set = set()
+    if len(eb):
+        eb = eb.sort_values(["first_hash", "first_order"],
+                            ignore_index=True)
+        prev_last = None
+        for row in eb.itertuples():
+            if prev_last is not None and row.first_hash == prev_last:
+                # this block's first row continues the previous block's
+                # final hash run — the keeper lives in the earlier block
+                drop_keys.add((int(row.first_hash), str(row.first_order)))
+            prev_last = row.last_hash
+    drop_ref = ray.put(drop_keys)
+
+    # pass B: vectorized keep-first per block
+    def keep(t: pa.Table) -> pa.Table:
+        out_cols = [c for c in t.column_names
+                    if c not in (hash_col, hash_col + "_empty")]
+        if t.num_rows == 0:
+            return t.select(out_cols)
+        h = t[hash_col].to_numpy(zero_copy_only=False)
+        mask = np.empty(len(h), dtype=bool)
+        mask[0] = True
+        mask[1:] = h[1:] != h[:-1]
+        dk = ray.get(drop_ref)
+        if dk and (int(h[0]), str(t[order_col][0].as_py())) in dk:
+            mask[0] = False
+        return t.filter(pa.array(mask)).select(out_cols)
+
+    return srt.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
 def dedup_exact_stats(ds, col: str, normalize: bool = True):

@@ -157,15 +157,40 @@ def make_routed_window_actors(n_buckets: int, window_s: int,
             return min(self.src_wm.values()) - lateness_s
 
         def feed(self, src, keys, ts, vals) -> int:
+            # vectorized upsert: the bucket actors are the serialization
+            # point of the whole routed pipeline, so per-event Python
+            # dict work here bounded end-to-end throughput (VERDICT r2).
+            # One np.unique over (key, window) + bincount/add.at per feed
+            # call → one dict touch per DISTINCT open window, not per row.
             wm = self._watermark()
-            starts = (ts // window_s) * window_s
-            for k, s, v, t in zip(keys, starts, vals, ts):
-                if t < wm:
-                    self.late_dropped += 1
-                    continue
-                st = self.open.setdefault((k, s), [0, 0.0])
-                st[0] += 1
-                st[1] += float(v)
+            ts = np.asarray(ts)
+            keep = ts >= wm
+            n_late = int(len(ts) - keep.sum())
+            self.late_dropped += n_late
+            if n_late:
+                k_arr = np.asarray(keys)[keep]
+                t_arr = ts[keep]
+                v_arr = np.asarray(vals, dtype=np.float64)[keep]
+            else:
+                k_arr, t_arr = np.asarray(keys), ts
+                v_arr = np.asarray(vals, dtype=np.float64)
+            if len(t_arr):
+                starts = (t_arr // window_s) * window_s
+                uk, inv_k = np.unique(k_arr, return_inverse=True)
+                us, inv_s = np.unique(starts, return_inverse=True)
+                combo = inv_k.astype(np.int64) * len(us) + inv_s
+                uc, inv_c = np.unique(combo, return_inverse=True)
+                n_per = np.bincount(inv_c, minlength=len(uc))
+                sum_per = np.zeros(len(uc), dtype=np.float64)
+                np.add.at(sum_per, inv_c, v_arr)
+                n_us = len(us)
+                for j, cid in enumerate(uc):
+                    kj = uk[cid // n_us]
+                    kj = kj.item() if hasattr(kj, "item") else kj
+                    sj = int(us[cid % n_us])
+                    st = self.open.setdefault((kj, sj), [0, 0.0])
+                    st[0] += int(n_per[j])
+                    st[1] += float(sum_per[j])
             if len(ts):
                 self.src_wm[src] = max(self.src_wm.get(src, -np.inf),
                                        float(ts.max()))
