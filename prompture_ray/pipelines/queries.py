@@ -822,6 +822,80 @@ FROM documents ORDER BY doc_id
 """
 
 
+def toon_roundtrip_docs(sf_dir: str):
+    """TOON tabular projection (reference _dataframe_to_toon,
+    extraction/core.py:1909): encode (doc_id, lang) per Ray block into a
+    TOON shard, decode it back, return the rows — the oracle is the
+    identity projection, so quoting/typing bugs in either direction fail
+    the hash."""
+    from prompture_ray.pipelines.formats import to_toon, toon_decode
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    blocks = to_toon(ds)
+
+    def back(t: pa.Table) -> pa.Table:
+        ids, langs = [], []
+        for s in t["toon"].to_pylist():
+            _key, recs = toon_decode(s)
+            ids.extend(r["doc_id"] for r in recs)
+            langs.extend(r["lang"] for r in recs)
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "lang": pa.array(langs, type=pa.string())})
+
+    return blocks.map_batches(back, batch_format="pyarrow")
+
+
+TOON_ROUNDTRIP_SQL = """
+SELECT doc_id, lang FROM documents ORDER BY doc_id
+"""
+
+
+# planted citation texts per doc_id%3 against 4 supplied sources:
+#   0 → two markers citing {1,2,3}        → coverage 3/4
+#   1 → two markers, one hallucinated [9] → cited {1}, coverage 1/4
+#   2 → no markers                        → coverage 0, ungrounded
+_CITE_PLANTS = [
+    "Alpha fact [1]. Beta fact [2, 3]. Gamma closes.",
+    "Only claim [1]. Ghost claim [9].",
+    "No citations at all here.",
+]
+
+
+def citations_docs(sf_dir: str):
+    """Citation extraction + coverage (reference extract_citations,
+    citations/core.py:121; coverage property types.py:99): planted
+    marker texts keyed by doc_id%3 make count / cited-set / coverage /
+    groundedness all closed-form in SQL."""
+    from prompture_ray.stages.citations import CitationSummaryStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([_CITE_PLANTS[i % 3] for i in ids],
+                             type=pa.string())})
+
+    return ds.map_batches(plant, batch_format="pyarrow") \
+             .map_batches(CitationSummaryStage("text", "doc_id",
+                                               n_sources=4),
+                          batch_format="pyarrow") \
+             .select_columns(["doc_id", "n_citations", "n_cited_sources",
+                              "coverage", "grounded"])
+
+
+CITATIONS_SQL = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 2 ELSE 0 END
+         AS n_citations,
+       CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 0 END
+         AS n_cited_sources,
+       CASE doc_id % 3 WHEN 0 THEN 0.75 WHEN 1 THEN 0.25 ELSE 0.0 END
+         AS coverage,
+       doc_id % 3 < 2 AS grounded
+FROM documents ORDER BY doc_id
+"""
+
+
 def drift_events(sf_dir: str):
     """Distribution drift: PSI/KS of event values in the second half of the
     month vs the first half (pinned-baseline pattern, per event_type)."""
@@ -1038,6 +1112,8 @@ QUERIES.update({
     "media_features": media_features,
     "media_bmp_dims": media_bmp_dims,
     "media_wav_stats": media_wav_stats,
+    "toon_roundtrip_docs": toon_roundtrip_docs,
+    "citations_docs": citations_docs,
     "drift_events": drift_events,
 })
 
@@ -1053,6 +1129,8 @@ ORACLE.update({
     "drift_events": DRIFT_EVENTS_SQL,
     "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
     "media_wav_stats": MEDIA_WAV_STATS_SQL,
+    "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
+    "citations_docs": CITATIONS_SQL,
 })
 
 
@@ -1083,10 +1161,12 @@ def props_k_coerced(sf_dir: str):
 PROPS_K_SQL = """
 SELECT event_id,
        CASE WHEN props IS NULL THEN NULL
-            ELSE COALESCE(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+            ELSE COALESCE(TRY_CAST(NULLIF(
+                   regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '')
+                 AS BIGINT), -1)
        END AS k,
        (props IS NOT NULL
-        AND TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) IS NULL)
+        AND NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), '') IS NULL)
            AS used_default
 FROM events
 """

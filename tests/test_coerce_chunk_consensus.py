@@ -298,3 +298,36 @@ def test_run_suite_budget(ray_session, tmp_path):
     report = run_suite(str(tmp_path / "d" / "pages"), suite,
                        str(tmp_path / "out"), budget={"max_rows": 10_000})
     assert report["run"]["rows"] == 2000
+
+
+def test_toon_roundtrip(ray_session):
+    import ray.data as rd
+    from prompture_ray.pipelines.formats import (
+        to_toon, toon_encode_table, toon_decode)
+    t = pa.table({
+        "id": pa.array([1, 2, 3], type=pa.int64()),
+        "name": pa.array(["Laptop", "a,b comma", "true"]),
+        "price": pa.array([999.99, 19.99, None], type=pa.float64()),
+        "ok": pa.array([True, False, None]),
+    })
+    s = toon_encode_table(t)
+    lines = s.split("\n")
+    assert lines[0] == "[3]{id,name,price,ok}:"
+    assert lines[1] == "  1,Laptop,999.99,true"
+    assert lines[2] == '  2,"a,b comma",19.99,false'
+    assert lines[3] == '  3,"true",null,null'
+    key, recs = toon_decode(s)
+    assert key is None
+    assert recs[0] == {"id": 1, "name": "Laptop", "price": 999.99,
+                       "ok": True}
+    assert recs[1]["name"] == "a,b comma"
+    assert recs[2] == {"id": 3, "name": "true", "price": None, "ok": None}
+    # named block + distributed projection (one block per shard)
+    s2 = toon_encode_table(t, key="products")
+    assert s2.startswith("products[3]{")
+    assert toon_decode(s2)[0] == "products"
+    ds = rd.from_arrow(t).repartition(2)
+    blocks = to_toon(ds, key="rows").to_pandas()["toon"].tolist()
+    assert len(blocks) == 2
+    total = sum(len(toon_decode(b)[1]) for b in blocks)
+    assert total == 3
