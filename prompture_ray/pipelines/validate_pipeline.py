@@ -110,6 +110,10 @@ class ValidateAndSink:
         self.ref_broadcasts = list(ref_broadcasts)
         self.unique_checks = list(unique_checks)
         self._ref_arrays: dict[str, "np.ndarray"] = {}
+        # per-fragment running row offset: deterministic per task (a task
+        # retry replays the same batch sequence), distinguishes two
+        # batches of one fragment whose violation payloads are identical
+        self._row_offset: dict[str, int] = {}
 
     def _ref_violations(self, batch: pa.Table,
                         hash_cache: dict | None = None
@@ -157,6 +161,8 @@ class ValidateAndSink:
     def _process_group(self, batch: pa.Table, path: str) -> dict:
         t0 = time.perf_counter()
         pid = self.path_to_pid.get(path, -1)
+        row_offset = self._row_offset.get(path, 0)
+        self._row_offset[path] = row_offset + batch.num_rows
         masks = self.vb.masks(batch)
         ok, _ = self.vb.verdict_columns(batch, masks)
         viol = self.vb.violations(batch, masks)
@@ -173,12 +179,15 @@ class ValidateAndSink:
             vdir.mkdir(parents=True, exist_ok=True)
             out_viol = viol.append_column(
                 "partition_id", pa.array([pid] * viol.num_rows, type=pa.int32()))
-            # deterministic file name per (fragment, batch content): a Ray
-            # task retry re-writes the SAME file instead of duplicating
-            # rows for downstream violation-parquet consumers
+            # deterministic file name per (fragment, batch position,
+            # batch content): a Ray task retry re-writes the SAME file
+            # instead of duplicating rows; the row offset keeps two
+            # DIFFERENT batches of one fragment with identical violation
+            # payloads (duplicate/null row keys) from colliding
             import hashlib
             hsh = hashlib.sha1(
-                f"{path}|{batch.num_rows}|{viol.num_rows}".encode())
+                f"{path}|{row_offset}|{batch.num_rows}|{viol.num_rows}"
+                .encode())
             hsh.update(repr(viol["check_id"].to_pylist()).encode())
             hsh.update(repr(viol["row_key"].to_pylist()).encode())
             pq.write_table(out_viol, vdir / f"{hsh.hexdigest()[:20]}.parquet")

@@ -490,7 +490,7 @@ def knn_mmr(ds, vec_col: str, id_col: str, query_vec: np.ndarray,
 
 def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
                     n_lists: int = 16, sample_size: int = 4096,
-                    seed: int = 5) -> dict:
+                    seed: int = 5, overwrite: bool = False) -> dict:
     """Materialize an IVF index on disk:
 
     - ``centroids.npy`` + ``meta.json`` (driver-side, tiny)
@@ -499,15 +499,32 @@ def build_ivf_index(ds, vec_col: str, id_col: str, index_dir: str,
       fixed-width binary — so a later search READS ONLY the probed
       lists (partition pruning at the read, never a corpus scan).
 
-    Returns the meta dict. Build is one linear scan + a partitioned
-    write; resumable by re-running (overwrites per-partition files).
+    Returns the meta dict. Rebuilding into an existing index requires
+    ``overwrite=True`` (the directory is removed first — Ray's
+    write_parquet appends uniquely-named files, so writing into a live
+    index would duplicate every vector).
     """
     import json as _json
     import os
+    import shutil
     import ray
 
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        if not overwrite:
+            raise FileExistsError(
+                f"IVF index already exists at {index_dir}; pass "
+                "overwrite=True to rebuild (appending would duplicate "
+                "every vector)")
+        shutil.rmtree(index_dir)
+
+    # a REAL random sample: random_sample(1.0).limit(n) keeps all rows
+    # and takes the FIRST n — biased centroids on ordered/clustered
+    # corpora (ADVICE r2). Sample a fraction sized ~1.2x the target,
+    # floored to keep small corpora intact, then cap at sample_size.
+    n_rows = ds.count()
+    frac = min(1.0, (sample_size * 1.2) / max(n_rows, 1))
     sample = np.stack(
-        ds.random_sample(1.0, seed=seed).limit(sample_size)
+        ds.random_sample(frac, seed=seed).limit(sample_size)
           .to_pandas()[vec_col].tolist()).astype(np.float64)
     cent = kmeans_fit(sample, n_lists, seed=seed)
     dim = cent.shape[1]

@@ -262,3 +262,32 @@ def test_bm25_multi_matches_single(ray_session):
         assert got["doc_id"].tolist() == single["doc_id"].tolist(), qid
         assert np.allclose(got["bm25"].to_numpy(),
                            single["bm25"].to_numpy())
+
+
+def test_ivf_rebuild_guard(ray_session, tmp_path):
+    """Rebuilding into a live index must fail fast (write_parquet appends
+    uniquely-named files — appending would duplicate every vector); with
+    overwrite=True the old index is removed first."""
+    import numpy as np
+    import pytest
+    import ray.data as rd
+    from prompture_ray.stages import similarity as sim
+    rng = np.random.RandomState(3)
+    mat = rng.randn(64, 8).astype(np.float32)
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(range(64), type=pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in mat],
+                              type=pa.list_(pa.float32()))}))
+    idx = str(tmp_path / "ivf2")
+    sim.build_ivf_index(ds, "embedding", "vec_id", idx, n_lists=4)
+    with pytest.raises(FileExistsError):
+        sim.build_ivf_index(ds, "embedding", "vec_id", idx, n_lists=4)
+    meta = sim.build_ivf_index(ds, "embedding", "vec_id", idx, n_lists=4,
+                               overwrite=True)
+    assert meta["n_lists"] == 4
+    out = sim.ivf_index_search(idx, mat[:1].astype(np.float64), k=3,
+                               query_ids=[0], n_probe=4)
+    # no duplicated neighbors after rebuild
+    assert out["id"].tolist() == sorted(set(out["id"]),
+                                        key=out["id"].tolist().index)
+    assert len(out) == 3
