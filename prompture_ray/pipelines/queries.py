@@ -2090,6 +2090,30 @@ QUERIES["ann_index_knn"] = ann_index_knn
 ORACLE["ann_index_knn"] = KNN_EMBEDDINGS_SQL
 
 
+def bm25_index_topk_docs(sf_dir: str):
+    """BM25 top-k served from the PERSISTED text index (built once per sf
+    dir under /tmp; postings partitioned by term-hash bucket, search
+    reads only the probed buckets). Same query and oracle as
+    bm25_topk_docs — the index path must reproduce the scan path."""
+    import os
+    from prompture_ray.stages.text_index import (
+        build_text_index, text_index_search)
+
+    index_dir = f"/tmp/prompture_ray_tidx/{Path(sf_dir).name}"
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        ds = _read(sf_dir, "documents", ["doc_id", "text"])
+        build_text_index(ds, "text", "doc_id", index_dir, n_buckets=32)
+    df = text_index_search(index_dir, "hash join stream", k=10)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+        "bm25": pa.array(df["bm25"].round(6), type=pa.float64()),
+    })
+
+
+QUERIES["bm25_index_topk_docs"] = bm25_index_topk_docs
+ORACLE["bm25_index_topk_docs"] = BM25_TOPK_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows

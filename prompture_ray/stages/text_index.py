@@ -1,0 +1,193 @@
+"""Persisted sparse (BM25) text index — the inverted-index counterpart of
+``build_ivf_index`` (VERDICT r2 "what's missing" #6).
+
+Build (one corpus tokenize, ever):
+
+- postings parquet partitioned by ``bucket = hash64(term) % n_buckets``:
+  rows (term, doc_id, tf, dl) — a search reads ONLY the buckets its query
+  terms hash into (partition pruning at the read, like the IVF lists)
+- ``bucket=-1/`` holds one sentinel row per document (term null, dl) —
+  the per-doc length table, written in the same pass
+- ``df.parquet`` (term → document frequency) + ``meta.json``
+  (n_docs, avgdl), derived from the WRITTEN postings by narrow disk
+  re-reads — the corpus text itself is never scanned twice
+
+Search: tokenize the query, read the probed buckets with a term filter,
+score Okapi BM25 vectorized per batch (same idf/score form as
+``similarity.bm25_topk``), groupby-doc sum, top-k. Reference scoring
+semantics: prompture/rag/retrievers/hybrid.py:12-19,130-190.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prompture_ray.functions.sketches import hash64
+from prompture_ray.stages.similarity import bm25_tokenize
+
+
+def _term_bucket(terms: np.ndarray, n_buckets: int) -> np.ndarray:
+    return (hash64(terms) % np.uint64(n_buckets)).astype(np.int32)
+
+
+def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
+                     n_buckets: int = 32, overwrite: bool = False) -> dict:
+    """One corpus pass → partitioned postings + df table + meta."""
+    import ray.data as rd
+
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        if not overwrite:
+            raise FileExistsError(
+                f"text index already exists at {index_dir}; pass "
+                "overwrite=True to rebuild")
+        shutil.rmtree(index_dir)
+
+    def extract(t: pa.Table) -> pa.Table:
+        from prompture_ray.functions import limit_arrow_threads
+        limit_arrow_threads(1)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(pc.fill_null(col, ""))))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        row_len = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        parent = np.repeat(np.arange(len(ids)), row_len)
+        # empty texts split to [""] — drop those tokens, dl becomes 0
+        nonempty = flat != ""
+        dl = row_len - np.bincount(parent[~nonempty], minlength=len(ids))
+        pdf = pd.DataFrame({"row": parent[nonempty],
+                            "term": flat[nonempty]})
+        tf = pdf.groupby(["row", "term"], sort=False).size() \
+            .reset_index(name="tf")
+        rows = tf["row"].to_numpy()
+        terms = tf["term"].to_numpy(dtype=object)
+        post = pa.table({
+            "bucket": pa.array(_term_bucket(terms, n_buckets)),
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "doc_id": pa.array(ids[rows]),
+            "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
+            "dl": pa.array(dl[rows], type=pa.int64()),
+        })
+        sentinel = pa.table({
+            "bucket": pa.array(np.full(len(ids), -1, dtype=np.int32)),
+            "term": pa.array([None] * len(ids), type=pa.string()),
+            "doc_id": pa.array(ids),
+            "tf": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "dl": pa.array(dl, type=pa.int64()),
+        })
+        return pa.concat_tables([post, sentinel])
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(extract, batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["bucket"])
+
+    # derived tables come from narrow DISK re-reads of what was written —
+    # the corpus is never re-tokenized
+    doc_paths = sorted(glob.glob(
+        os.path.join(index_dir, "bucket=-1", "*.parquet")))
+    docs = rd.read_parquet(doc_paths, columns=["dl"])
+    n_docs = docs.count()
+    total_len = int(docs.sum("dl") or 0)
+
+    post_paths = [p for p in glob.glob(
+        os.path.join(index_dir, "bucket=*", "*.parquet"))
+        if "bucket=-1" not in p]
+    if post_paths:
+        from ray.data.aggregate import Count
+        df_tbl = rd.read_parquet(post_paths, columns=["term"]) \
+            .groupby("term").aggregate(Count(alias_name="df"))
+        df_tbl.write_parquet(os.path.join(index_dir, "df"))
+
+    meta = {"n_docs": int(n_docs), "total_len": total_len,
+            "avgdl": total_len / n_docs if n_docs else 0.0,
+            "n_buckets": int(n_buckets), "id_col": id_col}
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def text_index_search(index_dir: str, query: str, k: int = 10,
+                      k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
+    """BM25 top-k from the persisted index: reads ONLY the buckets the
+    query terms hash into plus the tiny df rows for those terms."""
+    import duckdb
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    terms = bm25_tokenize(query)
+    uniq = sorted(set(terms))
+    id_col = meta["id_col"]
+    empty = pd.DataFrame({id_col: pd.Series([], dtype=object),
+                          "bm25": pd.Series([], dtype=float)})
+    if not uniq or meta["n_docs"] == 0 or meta["avgdl"] == 0.0:
+        return empty
+
+    # df lookup for the query terms only (tiny predicate-pushdown read)
+    df_dir = os.path.join(index_dir, "df")
+    df_map = {t: 0 for t in uniq}
+    if os.path.isdir(df_dir):
+        in_list = ",".join("'" + t.replace("'", "''") + "'" for t in uniq)
+        got = duckdb.sql(
+            f"SELECT term, df FROM '{df_dir}/*.parquet' "
+            f"WHERE term IN ({in_list})").fetchdf()
+        df_map.update(dict(zip(got["term"], got["df"].astype(int))))
+
+    n_docs, avgdl = meta["n_docs"], meta["avgdl"]
+    idf = {t: float(np.log((n_docs - df_map[t] + 0.5)
+                           / (df_map[t] + 0.5) + 1.0)) for t in uniq}
+
+    buckets = sorted({int(bkt) for bkt in
+                      _term_bucket(np.asarray(uniq, dtype=object),
+                                   meta["n_buckets"])})
+    paths = []
+    for bkt in buckets:
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={bkt}", "*.parquet"))))
+    if not paths:
+        return empty
+    post = rd.read_parquet(paths, columns=["term", "doc_id", "tf", "dl"])
+
+    term_set = set(uniq)
+    q_counts = {t: terms.count(t) for t in uniq}   # dup terms score x n
+
+    def score(t: pa.Table) -> pa.Table:
+        mask = pa.array([x in term_set for x in t["term"].to_pylist()])
+        t = t.filter(mask)
+        if t.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.array([idf[x] * q_counts[x]
+                      for x in t["term"].to_pylist()])
+        norm = k1 * (1.0 - b + b * dl / avgdl)
+        s = w * tf * (k1 + 1.0) / (tf + norm)
+        return pa.table({"doc_id": t["doc_id"],
+                         "s": pa.array(s, type=pa.float64())})
+
+    from ray.data.aggregate import Sum
+    scored = post.map_batches(score, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("s", alias_name="bm25")) \
+        .to_pandas()
+    if scored.empty:
+        return empty
+    scored = scored[scored["bm25"] > 0.0]
+    out = scored.rename(columns={"doc_id": id_col}) \
+        .sort_values(["bm25", id_col], ascending=[False, True],
+                     kind="mergesort").head(k).reset_index(drop=True)
+    return out[[id_col, "bm25"]]
