@@ -1045,6 +1045,93 @@ SELECT doc_id FROM documents ORDER BY doc_id
 """
 
 
+def _planted_token_text(i: int, n_tokens: int, salt: str) -> str:
+    """Deterministic per-doc token sequence (sha-hex tokens → cross-doc
+    overlap is negligible) for the planting oracles."""
+    import hashlib
+    return " ".join(
+        hashlib.sha256(f"{salt}:{i}:{j}".encode()).hexdigest()[:16]
+        for j in range(n_tokens))
+
+
+def _plant_copies(t: pa.Table, n_tokens: int, salt: str) -> pa.Table:
+    """doc_id column → (doc_id, text) with EXACT copies planted at
+    doc_id+10000 for doc_id%10==0."""
+    ids = t["doc_id"].to_pylist()
+    out_ids, texts = [], []
+    for i in ids:
+        txt = _planted_token_text(i, n_tokens, salt)
+        out_ids.append(i)
+        texts.append(txt)
+        if i % 10 == 0:
+            out_ids.append(i + 10000)
+            texts.append(txt)
+    return pa.table({"doc_id": pa.array(out_ids, type=pa.int64()),
+                     "text": pa.array(texts, type=pa.string())})
+
+
+def simhash_planted_pairs(sf_dir: str):
+    """SimHash near-dup pairs (4×16-bit pigeonhole bucketing, Hamming ≤ 3)
+    over planted token texts with exact copies at doc_id+10000 for
+    doc_id%10==0: identical texts give identical simhashes (distance 0,
+    guaranteed bucket collision); distinct random-token docs need a
+    ≤3-of-48-bit match after a chunk collision (~6e-11/pair) — so the
+    pair set is exactly the planted copies."""
+    from functools import partial
+    from prompture_ray.stages.dedup import simhash_pairs
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    planted = ds.map_batches(partial(_plant_copies, n_tokens=8,
+                                     salt="sh"),
+                             batch_format="pyarrow")
+    pairs = simhash_pairs(planted, "text", "doc_id", max_hamming=3)
+
+    def project(g):
+        import pandas as pd
+        return pd.DataFrame({
+            "id_a": g["id_a"].astype("int64"),
+            "id_b": g["id_b"].astype("int64"),
+            "hamming": g["hamming"].astype("int64")})
+
+    return pairs.map_batches(project, batch_format="pandas")
+
+
+SIMHASH_PLANTED_SQL = """
+SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 0 AS hamming
+FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a
+"""
+
+
+def fingerprint_planted_pairs(sf_dir: str):
+    """Winnowing fingerprints (rolling 8-token windows, 4 smallest hashes
+    → hex digest) over planted texts with exact copies: identical texts
+    share the digest, distinct random-token docs collide with ~2^-256
+    probability — duplicate-digest groups are exactly the planted pairs."""
+    from functools import partial
+    from prompture_ray.stages.textstats import fingerprint_docs
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    planted = ds.map_batches(partial(_plant_copies, n_tokens=12,
+                                     salt="fp"),
+                             batch_format="pyarrow")
+    fps = fingerprint_docs(planted, "text", "doc_id")
+
+    def dup_pairs(g):
+        import pandas as pd
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64")})
+        ids = sorted(g["doc_id"].tolist())
+        return pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[-1]]})
+
+    return fps.groupby("fingerprint").map_groups(dup_pairs,
+                                                 batch_format="pandas")
+
+
+FINGERPRINT_PLANTED_SQL = """
+SELECT doc_id AS id_a, doc_id + 10000 AS id_b
+FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a
+"""
+
+
 # planted language-ID inputs: one strongly-marked text per doc_id%5 class.
 # Marker counts / word counts / script-char ratios are fixed per class, so
 # the oracle reconstructs lang_conf arithmetically (8 en markers in 14
@@ -1104,6 +1191,8 @@ QUERIES.update({
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_planted_docs": minhash_planted_docs,
     "simhash_docs": simhash_docs,
+    "simhash_planted_pairs": simhash_planted_pairs,
+    "fingerprint_planted_pairs": fingerprint_planted_pairs,
     "fingerprint_docs": fingerprint_docs_q,
     "langid_docs": langid_docs,
     "langid_planted_docs": langid_planted_docs,
@@ -1125,6 +1214,8 @@ ORACLE.update({
     "sessions_per_user": SESSIONS_SQL,
     "asof_event_order": ASOF_SQL,
     "minhash_planted_docs": MINHASH_PLANTED_SQL,
+    "simhash_planted_pairs": SIMHASH_PLANTED_SQL,
+    "fingerprint_planted_pairs": FINGERPRINT_PLANTED_SQL,
     "langid_planted_docs": LANGID_PLANTED_SQL,
     "drift_events": DRIFT_EVENTS_SQL,
     "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
