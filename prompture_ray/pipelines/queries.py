@@ -822,6 +822,125 @@ FROM documents ORDER BY doc_id
 """
 
 
+def markdown_strip_docs(sf_dir: str):
+    """Markdown→text + frontmatter (reference MarkdownParser,
+    ingestion/parsers/markdown.py): planted markdown derived from doc_id
+    — the stripped text and the frontmatter title are pure string
+    concatenations SQL reconstructs exactly."""
+    from prompture_ray.functions.extract_markdown import MarkdownTextStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        mds = [f"---\ntitle: Doc {i}\n---\n# Head {i}\n"
+               f"**bold{i}** and [label{i}](http://example.com/{i})\n"
+               f"`c{i}` plain" for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "markdown": pa.array(mds, type=pa.string())})
+
+    staged = ds.map_batches(plant, batch_format="pyarrow") \
+               .map_batches(MarkdownTextStage("markdown", "text",
+                                              frontmatter_col="fm"),
+                            batch_format="pyarrow")
+
+    def project(t: pa.Table) -> pa.Table:
+        import json
+        titles = [json.loads(m).get("title") for m in t["fm"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text": t["text"],
+            "title": pa.array(titles, type=pa.string()),
+        })
+
+    return staged.map_batches(project, batch_format="pyarrow")
+
+
+MARKDOWN_STRIP_SQL = """
+SELECT doc_id,
+       'Head ' || doc_id || chr(10) ||
+       'bold' || doc_id || ' and label' || doc_id || chr(10) ||
+       'c' || doc_id || ' plain' AS text,
+       'Doc ' || doc_id AS title
+FROM documents ORDER BY doc_id
+"""
+
+
+def hopping_events(sf_dir: str):
+    """Hopping (sliding) windows: 2h window / 1h hop — each event lands
+    in 2 overlapping windows (vectorized replication, one grouped
+    aggregate)."""
+    from prompture_ray.stages.windows import hopping_window
+    ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+    out = hopping_window(ds, "ts", ["event_type"], window="2h", hop="1h",
+                         agg_col="value")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "window_start": t["window_start"],
+            "n": pc.cast(t["n"], pa.int64()),
+            "sum_value": t["sum_value"],
+        }), batch_format="pyarrow")
+
+
+HOPPING_EVENTS_SQL = """
+SELECT event_type,
+       -- epoch_us // floors sub-second timestamps like the engine's
+       -- us→s integer division (CAST(epoch() AS BIGINT) would ROUND)
+       make_timestamp((((epoch_us(ts) // 1000000) // 3600) - j.j)
+                      * 3600 * 1000000) AS window_start,
+       count(*) AS n,
+       sum(value) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) j(j)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def stratified_sample_docs(sf_dir: str):
+    """Deterministic stratified sampling (Knuth multiplicative hash on
+    doc_id — reproducible under any block layout, auditable in SQL):
+    keep 25% of 'en', 50% of 'de', 75% of everything else."""
+    from prompture_ray.stages.sampling import stratified_sample
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = stratified_sample(ds, "doc_id", "lang",
+                            {"en": 0.25, "de": 0.5}, default=0.75)
+    return out.select_columns(["doc_id", "lang"])
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 <
+      CAST(floor(CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                 ELSE 0.75 END * 4294967296.0) AS BIGINT)
+ORDER BY doc_id
+"""
+
+
+def value_quantiles_by_type(sf_dir: str):
+    """EXACT per-group discrete quantiles of event value (index
+    ceil(q*n)-1 of the sorted group, computed with integer arithmetic on
+    both sides — no float q*n, no quantile_disc dependence)."""
+    from prompture_ray.stages.windows import group_quantiles
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return group_quantiles(ds, "event_type", "value", (0.5, 0.9, 0.99))
+
+
+VALUE_QUANTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         count(*) OVER (PARTITION BY event_type) AS n
+  FROM events WHERE value IS NOT NULL)
+SELECT event_type,
+       max(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+                THEN value END) AS q5,
+       max(CASE WHEN rn * 10 >= 9 * n AND (rn - 1) * 10 < 9 * n
+                THEN value END) AS q9,
+       max(CASE WHEN rn * 100 >= 99 * n AND (rn - 1) * 100 < 99 * n
+                THEN value END) AS q99
+FROM ranked GROUP BY event_type ORDER BY event_type
+"""
+
+
 def toon_roundtrip_docs(sf_dir: str):
     """TOON tabular projection (reference _dataframe_to_toon,
     extraction/core.py:1909): encode (doc_id, lang) per Ray block into a
@@ -1203,6 +1322,10 @@ QUERIES.update({
     "media_wav_stats": media_wav_stats,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
+    "hopping_events": hopping_events,
+    "stratified_sample_docs": stratified_sample_docs,
+    "value_quantiles_by_type": value_quantiles_by_type,
+    "markdown_strip_docs": markdown_strip_docs,
     "drift_events": drift_events,
 })
 
@@ -1222,6 +1345,10 @@ ORACLE.update({
     "media_wav_stats": MEDIA_WAV_STATS_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
+    "hopping_events": HOPPING_EVENTS_SQL,
+    "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
+    "value_quantiles_by_type": VALUE_QUANTILES_SQL,
+    "markdown_strip_docs": MARKDOWN_STRIP_SQL,
 })
 
 

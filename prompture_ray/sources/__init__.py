@@ -60,3 +60,53 @@ def read_jsonl(paths, **kwargs):
     """JSONL reader (reference write_dataset's inverse, formats.py:71-88)."""
     import ray.data as rd
     return rd.read_json(paths, **kwargs)
+
+
+def read_markdown_files(paths, **kwargs):
+    """Raw .md files → rows of (path, markdown, text, frontmatter_json):
+    the reference MarkdownParser's ingestion path
+    (prompture/ingestion/parsers/markdown.py) as read_binary_files +
+    strip/frontmatter in map_batches."""
+    import json
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from prompture_ray.functions.extract_markdown import (
+        extract_frontmatter, strip_markdown)
+
+    ds = rd.read_binary_files(paths, include_paths=True, **kwargs)
+
+    def parse(t: pa.Table) -> pa.Table:
+        blobs = t["bytes"].to_pylist()
+        mds = [b.decode("utf-8", errors="replace") for b in blobs]
+        texts, metas = [], []
+        for md in mds:
+            content, meta = extract_frontmatter(md)
+            texts.append(strip_markdown(content))
+            metas.append(json.dumps(meta, sort_keys=True))
+        return pa.table({
+            "path": t["path"],
+            "markdown": pa.array(mds, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+            "frontmatter_json": pa.array(metas, type=pa.string()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=256)
+
+
+def read_csv_files(paths, delimiter: str | None = None, **kwargs):
+    """CSV/TSV reader (reference CsvParser,
+    prompture/ingestion/parsers/csv_parser.py — stdlib csv semantics) via
+    Ray's arrow-native read_csv; delimiter auto-detected from the
+    extension like the reference when not given."""
+    import ray.data as rd
+    from pyarrow import csv as pacsv
+
+    if delimiter is None:
+        first = paths[0] if isinstance(paths, (list, tuple)) else paths
+        delimiter = "\t" if str(first).lower().endswith(".tsv") else ","
+    return rd.read_csv(
+        paths,
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+        **kwargs)

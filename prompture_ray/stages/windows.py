@@ -160,3 +160,76 @@ def session_windows_bucketed(ds, key_col: str, ts_col: str,
 
     return partial.groupby(key_col).map_groups(stitch,
                                                batch_format="pandas")
+
+
+def hopping_window(ds, ts_col: str, keys: list[str], window: str = "2h",
+                   hop: str = "1h", agg_col: str | None = None):
+    """Hopping (sliding) event-time window: each event lands in
+    ``window/hop`` overlapping windows. Replication happens vectorized
+    inside map_batches (numpy tile — no per-row loop, no shuffle before
+    the single grouped aggregate). ``window`` must be an integer multiple
+    of ``hop``; the output ``window_start`` is a timestamp."""
+    from ray.data.aggregate import Count, Sum
+
+    window_s = int(pd.Timedelta(window).total_seconds())
+    hop_s = int(pd.Timedelta(hop).total_seconds())
+    if window_s % hop_s:
+        raise ValueError("window must be an integer multiple of hop")
+    k = window_s // hop_s
+
+    def replicate(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        sec = pc.cast(ts, pa.int64()).to_numpy(zero_copy_only=False) \
+            // 10**6                       # timestamp[us] → whole seconds
+        n = len(sec)
+        base = (sec // hop_s) * hop_s
+        # j-th replica: window starting j hops earlier (still covers ts)
+        starts = np.concatenate([base - j * hop_s for j in range(k)])
+        cols = {}
+        for key in keys:
+            arr = t[key]
+            if isinstance(arr, pa.ChunkedArray):
+                arr = arr.combine_chunks()
+            cols[key] = pa.chunked_array([arr] * k).combine_chunks()
+        cols["window_start"] = pa.array(
+            starts * 10**6, type=pa.int64()).cast(pa.timestamp("us"))
+        if agg_col:
+            v = t[agg_col]
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            cols[agg_col] = pa.chunked_array([v] * k).combine_chunks()
+        return pa.table(cols)
+
+    aggs = [Count(alias_name="n")]
+    if agg_col:
+        aggs.append(Sum(agg_col, alias_name=f"sum_{agg_col}"))
+    return ds.map_batches(replicate, batch_format="pyarrow") \
+             .groupby(keys + ["window_start"]).aggregate(*aggs)
+
+
+def group_quantiles(ds, key_col: str, value_col: str,
+                    qs: tuple = (0.5, 0.9, 0.99)):
+    """EXACT per-group discrete quantiles (value at index ceil(q·n)−1 of
+    the sorted group — SQL ``quantile_disc`` semantics; the KLL sketch in
+    functions/sketches.py is the approximate/streaming form). Groups are
+    shuffled once; inside each group the computation is one numpy sort."""
+
+    from fractions import Fraction
+    fracs = [(q, Fraction(str(q))) for q in qs]
+
+    def quant(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g[value_col].to_numpy(dtype=np.float64))
+        v = v[~np.isnan(v)]
+        row = {key_col: [g[key_col].iloc[0]]}
+        for q, fr in fracs:
+            # EXACT integer ceil(q*n) — float q*n is off-by-one at an ulp
+            # for some (q, n); the SQL oracle uses the same integer form
+            idx = max(0, -(-fr.numerator * len(v) // fr.denominator) - 1) \
+                if len(v) else 0
+            name = f"q{str(q).replace('0.', '')}"
+            row[name] = [float(v[idx])] if len(v) else [float("nan")]
+        return pd.DataFrame(row)
+
+    return ds.groupby(key_col).map_groups(quant, batch_format="pandas")
