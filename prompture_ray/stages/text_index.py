@@ -162,21 +162,26 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
         return empty
     post = rd.read_parquet(paths, columns=["term", "doc_id", "tf", "dl"])
 
-    term_set = set(uniq)
-    q_counts = {t: terms.count(t) for t in uniq}   # dup terms score x n
+    term_arr = pa.array(uniq, type=pa.string())
+    # per-term weight = idf × query multiplicity (dup query terms score ×n)
+    weights = np.array([idf[t] * terms.count(t) for t in uniq])
 
     def score(t: pa.Table) -> pa.Table:
-        mask = pa.array([x in term_set for x in t["term"].to_pylist()])
-        t = t.filter(mask)
+        col = t["term"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        codes = pc.index_in(col, value_set=term_arr)
+        keep = pc.is_valid(codes)
+        t = t.filter(keep)
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
                              "s": pa.array([], type=pa.float64())})
+        c = codes.filter(keep).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         tf = t["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
         dl = t["dl"].to_numpy(zero_copy_only=False).astype(np.float64)
-        w = np.array([idf[x] * q_counts[x]
-                      for x in t["term"].to_pylist()])
         norm = k1 * (1.0 - b + b * dl / avgdl)
-        s = w * tf * (k1 + 1.0) / (tf + norm)
+        s = weights[c] * tf * (k1 + 1.0) / (tf + norm)
         return pa.table({"doc_id": t["doc_id"],
                          "s": pa.array(s, type=pa.float64())})
 
