@@ -603,6 +603,42 @@ FROM events e ASOF JOIN orders o
 """
 
 
+def range_join_signup_events(sf_dir: str):
+    """Interval (range) join, 1:N: every event within 1 hour AFTER a
+    'signup' event by the same user (s.ts <= ts < s.ts + 1h) — the
+    stream-enrichment shape (attribute activity to an activation
+    window). Vectorized contiguous-run expansion per key group over a
+    broadcast start-sorted right side."""
+    import pyarrow.parquet as pq
+    from prompture_ray.stages.joins import broadcast_interval_join
+    ev = pq.read_table(f"{sf_dir}/events.parquet",
+                       columns=["event_id", "user_id", "ts",
+                                "event_type"]).to_pandas()
+    signups = ev[ev["event_type"] == "signup"] \
+        .rename(columns={"event_id": "signup_event_id"})
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    out = broadcast_interval_join(ds, signups, key="user_id", ts="ts",
+                                  right_key="user_id", right_start="ts",
+                                  length="1h",
+                                  right_cols=["signup_event_id"])
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "signup_event_id": pc.cast(t["signup_event_id"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+RANGE_JOIN_SQL = """
+SELECT e.event_id, s.event_id AS signup_event_id
+FROM events e JOIN events s
+  ON e.user_id = s.user_id
+ AND s.event_type = 'signup'
+ AND s.ts <= e.ts
+ AND e.ts < s.ts + INTERVAL 1 HOUR
+ORDER BY e.event_id, signup_event_id
+"""
+
+
 # ---- rows-only operators (no SQL equivalent; driver records row counts) --
 
 def minhash_dedup_docs(sf_dir: str):
@@ -1307,6 +1343,7 @@ QUERIES.update({
     "knn_embeddings": knn_embeddings,
     "sessions_per_user": sessions_per_user,
     "asof_event_order": asof_event_order,
+    "range_join_signup_events": range_join_signup_events,
     "minhash_dedup_docs": minhash_dedup_docs,
     "minhash_planted_docs": minhash_planted_docs,
     "simhash_docs": simhash_docs,
@@ -1336,6 +1373,7 @@ ORACLE.update({
     "knn_embeddings": KNN_EMBEDDINGS_SQL,
     "sessions_per_user": SESSIONS_SQL,
     "asof_event_order": ASOF_SQL,
+    "range_join_signup_events": RANGE_JOIN_SQL,
     "minhash_planted_docs": MINHASH_PLANTED_SQL,
     "simhash_planted_pairs": SIMHASH_PLANTED_SQL,
     "fingerprint_planted_pairs": FINGERPRINT_PLANTED_SQL,

@@ -151,3 +151,75 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# interval (range) join
+# ---------------------------------------------------------------------------
+
+
+def broadcast_interval_join(ds, right_df: "pd.DataFrame", key: str, ts: str,
+                            right_key: str, right_start: str,
+                            length, right_cols: list[str]):
+    """1:N range join with a broadcast right side of FIXED-length
+    intervals: emit one output row per (left row, right row) with the
+    same key and ``right_start <= ts < right_start + length``.
+
+    Equal-length intervals make containment a CONTIGUOUS run in the
+    per-key start-sorted array (start ∈ (ts−length, ts]), so each key
+    group resolves with two vectorized searchsorted calls and a repeat —
+    no per-row Python, no shuffle. Variable-length intervals need the
+    bucketed form (sort both sides and sweep), not this one.
+    """
+    import ray
+
+    length_us = int(pd.Timedelta(length).value // 1000)  # ns → us
+
+    def _us(arr) -> np.ndarray:
+        return pd.to_datetime(arr).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+
+    prep: dict = {}
+    srt = right_df.sort_values(right_start, kind="mergesort")
+    for k, g in srt.groupby(right_key):
+        prep[k] = (_us(g[right_start]),
+                   {c: g[c].to_numpy() for c in right_cols})
+    ref = ray.put(prep)
+
+    def join(batch: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(ref)
+        tv = _us(batch[ts])
+        left_rows: list[np.ndarray] = []
+        right_taken: dict[str, list] = {c: [] for c in right_cols}
+        for k, idx in batch.groupby(key, sort=False).indices.items():
+            entry = table.get(k)
+            if entry is None:
+                continue
+            starts, cols = entry
+            t = tv[idx]
+            lo = np.searchsorted(starts, t - length_us, side="right")
+            hi = np.searchsorted(starts, t, side="right")
+            counts = hi - lo
+            has = counts > 0
+            if not has.any():
+                continue
+            # expand: left row r repeats counts[r] times; right indices
+            # are the contiguous runs [lo, hi) per row
+            reps = counts[has]
+            left_rows.append(np.repeat(idx[has], reps))
+            ridx = np.concatenate([np.arange(a, b)
+                                   for a, b in zip(lo[has], hi[has])])
+            for c in right_cols:
+                right_taken[c].append(cols[c][ridx])
+        if not left_rows:
+            out = batch.iloc[0:0].copy()
+            for c in right_cols:
+                out[c] = pd.Series([], dtype=object)
+            return out
+        li = np.concatenate(left_rows)
+        out = batch.iloc[li].copy()
+        for c in right_cols:
+            out[c] = np.concatenate(right_taken[c])
+        return out.reset_index(drop=True)
+
+    return ds.map_batches(join, batch_format="pandas")

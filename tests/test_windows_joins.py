@@ -216,3 +216,32 @@ def test_session_windows_bucketed_equals_single_group(ray_session):
     for c in ("user_id", "session_start", "session_end", "n_events"):
         assert (pd.Series(single[c]).reset_index(drop=True) ==
                 pd.Series(bucketed[c]).reset_index(drop=True)).all(), c
+
+
+def test_broadcast_interval_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.joins import broadcast_interval_join
+    left = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "k": pa.array(["a", "a", "a", "b"]),
+        "ts": pa.array(pd.to_datetime([
+            "2024-01-05 00:00:00", "2024-01-08 00:00:00",
+            "2024-02-01 00:00:00", "2024-01-05 00:00:00"]),
+            type=pa.timestamp("us")),
+    }))
+    right = pd.DataFrame({
+        "k": ["a", "a", "b"],
+        "start": pd.to_datetime(["2024-01-01", "2024-01-04",
+                                 "2023-12-30"]),
+        "val": [10, 20, 30],
+    })
+    out = broadcast_interval_join(left, right, key="k", ts="ts",
+                                  right_key="k", right_start="start",
+                                  length="7d", right_cols=["val"]) \
+        .to_pandas().sort_values(["id", "val"], ignore_index=True)
+    # id=1 (Jan 5): inside [Jan1,Jan8) AND [Jan4,Jan11) -> both
+    # id=2 (Jan 8 exactly): [Jan1,Jan8) excludes (half-open), [Jan4,..) in
+    # id=3 (Feb 1): nothing; id=4 key b (Jan 5): [Dec30,Jan6) -> 30
+    assert list(zip(out["id"], out["val"])) == [
+        (1, 10), (1, 20), (2, 20), (4, 30)]
