@@ -901,6 +901,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def warc_roundtrip_docs(sf_dir: str):
+    """WARC container round trip (sources/warc.py): per doc_id a
+    well-formed single-record WARC blob is built, parsed back and the
+    HTML body extracted — url and text are closed-form strings of
+    doc_id, so the oracle checks the full build→parse→extract path."""
+    from prompture_ray.sources.warc import build_warc, parse_warc_records
+    from prompture_ray.functions.extract_html import extract_text
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        urls, texts = [], []
+        for i in ids:
+            blob = build_warc([{
+                "url": f"http://site{i}.example/page",
+                "warc_ts": "2024-01-01T00:00:00Z",
+                "html": f"<html><body>doc {i}</body></html>"
+                        .encode()}], compress=i % 2 == 0)
+            rec = parse_warc_records(blob)[0]
+            urls.append(rec["url"])
+            texts.append(extract_text(rec["html"]))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "text": pa.array(texts, type=pa.string()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+WARC_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'http://site' || doc_id || '.example/page' AS url,
+       'doc ' || doc_id AS text
+FROM documents ORDER BY doc_id
+"""
+
+
 def hopping_events(sf_dir: str):
     """Hopping (sliding) windows: 2h window / 1h hop — each event lands
     in 2 overlapping windows (vectorized replication, one grouped
@@ -1363,6 +1401,7 @@ QUERIES.update({
     "stratified_sample_docs": stratified_sample_docs,
     "value_quantiles_by_type": value_quantiles_by_type,
     "markdown_strip_docs": markdown_strip_docs,
+    "warc_roundtrip_docs": warc_roundtrip_docs,
     "drift_events": drift_events,
 })
 
@@ -1387,6 +1426,7 @@ ORACLE.update({
     "stratified_sample_docs": STRATIFIED_SAMPLE_SQL,
     "value_quantiles_by_type": VALUE_QUANTILES_SQL,
     "markdown_strip_docs": MARKDOWN_STRIP_SQL,
+    "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
 })
 
 
