@@ -186,3 +186,68 @@ def test_run_callbacks(ray_session, tmp_path):
     assert {p["partition_id"] for p in seen["parts"]} == {0, 1, 2}
     assert any(c["check_id"] == "url-unique" for c in seen["checks"])
     assert seen["reports"][0]["run"]["rows"] == report["run"]["rows"]
+
+
+def test_merge_partials_grouping_invariant(ray_session):
+    """MergePartials must be associative: merging partial rows under ANY
+    block grouping, then driver-folding, equals folding the raw rows."""
+    import json
+    import pickle
+    import pyarrow as pa
+    from prompture_ray.specs import Suite
+    from prompture_ray.stages.stats import StatsAccumulator
+    from prompture_ray.pipelines.validate_pipeline import (
+        MergePartials, PARTIAL_SCHEMA)
+
+    suite = Suite.from_dict({"meta": {}, "checks": [
+        {"id": "len-stats", "column": "text", "kind": "stats",
+         "sketches": ["kll", "hll"]}]})
+    checks = suite.table_checks
+
+    def partial_row(path, rows, ok, counts, values, hashes):
+        acc = StatsAccumulator(checks)
+        acc.update(pa.table({"text": pa.array(values)}))
+        return {"path": path, "rows": rows, "ok_rows": ok,
+                "viol_json": json.dumps(counts, sort_keys=True),
+                "sketches": acc.dumps(),
+                "key_hashes": pickle.dumps(
+                    {"u": bytes(hashes)}) if hashes else None,
+                "elapsed_ms": 1.0}
+
+    raw = [
+        partial_row("f1", 10, 8, {"a": 2}, ["xx", "yyy"], [1, 2, 3]),
+        partial_row("f1", 5, 5, {}, ["zzzz"], [4]),
+        partial_row("f2", 7, 6, {"a": 1, "b": 1}, ["w"], []),
+        partial_row("f1", 3, 2, {"b": 4}, [], [5, 6]),
+    ]
+
+    def fold(rows):
+        seen = {}
+        for r in rows:
+            st = seen.setdefault(r["path"], {
+                "rows": 0, "ok": 0, "by": {}, "acc": StatsAccumulator(checks),
+                "hashes": b""})
+            st["rows"] += r["rows"]
+            st["ok"] += r["ok_rows"]
+            for k, v in json.loads(r["viol_json"]).items():
+                st["by"][k] = st["by"].get(k, 0) + v
+            if r["sketches"]:
+                st["acc"].merge_bytes(r["sketches"])
+            if r["key_hashes"]:
+                st["hashes"] += pickle.loads(r["key_hashes"])["u"]
+        return {p: {"rows": s["rows"], "ok": s["ok"], "by": s["by"],
+                    "summ": json.dumps(s["acc"].summaries(),
+                                       sort_keys=True, default=str),
+                    "hashes": sorted(s["hashes"])}
+                for p, s in seen.items()}
+
+    direct = fold(raw)
+    mp = MergePartials(checks)
+    for grouping in ([[0, 1, 2, 3]], [[0], [1], [2], [3]],
+                     [[0, 2], [1, 3]], [[0, 1], [2], [3]]):
+        merged_rows = []
+        for grp in grouping:
+            tbl = pa.Table.from_pylist([raw[i] for i in grp],
+                                       schema=PARTIAL_SCHEMA)
+            merged_rows.extend(mp(tbl).to_pylist())
+        assert fold(merged_rows) == direct, grouping
