@@ -901,6 +901,29 @@ FROM documents ORDER BY doc_id
 """
 
 
+def orders_customer_join(sf_dir: str):
+    """Large-large equi-join (both sides shuffled, neither broadcast):
+    hash-bucket orders and customer on custkey, pd.merge per bucket —
+    the 100-TB-both-sides join shape, shuffling only the projected
+    columns."""
+    from prompture_ray.stages.joins import bucketed_equi_join
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    out = bucketed_equi_join(orders, cust, key="o_custkey",
+                             right_key="c_custkey")
+    return out.map_batches(
+        lambda df: df[["o_orderkey", "c_name"]].astype(
+            {"o_orderkey": "int64"}),
+        batch_format="pandas")
+
+
+ORDERS_CUSTOMER_JOIN_SQL = """
+SELECT o.o_orderkey, c.c_name
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY o.o_orderkey
+"""
+
+
 def warc_roundtrip_docs(sf_dir: str):
     """WARC container round trip (sources/warc.py): per doc_id a
     well-formed single-record WARC blob is built, parsed back and the
@@ -1402,6 +1425,7 @@ QUERIES.update({
     "value_quantiles_by_type": value_quantiles_by_type,
     "markdown_strip_docs": markdown_strip_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "orders_customer_join": orders_customer_join,
     "drift_events": drift_events,
 })
 
@@ -1427,6 +1451,7 @@ ORACLE.update({
     "value_quantiles_by_type": VALUE_QUANTILES_SQL,
     "markdown_strip_docs": MARKDOWN_STRIP_SQL,
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
+    "orders_customer_join": ORDERS_CUSTOMER_JOIN_SQL,
 })
 
 

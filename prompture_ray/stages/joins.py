@@ -223,3 +223,54 @@ def broadcast_interval_join(ds, right_df: "pd.DataFrame", key: str, ts: str,
         return out.reset_index(drop=True)
 
     return ds.map_batches(join, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# large-large equi-join
+# ---------------------------------------------------------------------------
+
+
+def bucketed_equi_join(left_ds, right_ds, key: str,
+                       right_key: str | None = None,
+                       how: str = "inner", n_buckets: int = 32,
+                       left_cols: list[str] | None = None,
+                       right_cols: list[str] | None = None):
+    """Both-sides-large equi-join: hash-bucket each side on its key (ONE
+    narrow shuffle over the projected columns), union, and pd.merge per
+    bucket. The shuffle moves only ``left_cols``/``right_cols`` — project
+    before joining, like every wide operator here. Skewed keys land in
+    one bucket; salt the key upstream (stages/salted.py pattern) if a
+    single key's rows exceed a worker's heap.
+
+    Broadcast beats this whenever one side fits in the object store —
+    use ``broadcast_join`` there; this is the 100-TB-both-sides form.
+    """
+    from prompture_ray.functions.sketches import hash64
+    right_key = right_key or key
+
+    def tag(side, k, cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[cols].copy() if cols else b.copy()
+            h = hash64(b[k].to_numpy())
+            b["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            b["__side"] = side
+            return b
+        return fn
+
+    tagged = left_ds.map_batches(tag("L", key, left_cols),
+                                 batch_format="pandas").union(
+        right_ds.map_batches(tag("R", right_key, right_cols),
+                             batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["__side"] == "L"].drop(columns=["__bucket", "__side"]) \
+            .dropna(axis=1, how="all")
+        right = g[g["__side"] == "R"].drop(columns=["__bucket", "__side"]) \
+            .dropna(axis=1, how="all")
+        if left.empty or (right.empty and how == "inner"):
+            return left.iloc[0:0]
+        return pd.merge(left, right, left_on=key, right_on=right_key,
+                        how=how)
+
+    return tagged.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")

@@ -64,22 +64,31 @@ def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
         row_len = pc.list_value_length(lists).to_numpy(
             zero_copy_only=False).astype(np.int64)
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        flat = np.asarray(lists.flatten().to_pylist(), dtype=object)
+        # dictionary-encode the token stream: only the per-batch VOCAB
+        # ever becomes Python strings — the stream itself stays int32
+        # (the naive to_pylist materialized every token as an object)
+        dict_arr = lists.flatten().dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
         parent = np.repeat(np.arange(len(ids)), row_len)
-        # empty texts split to [""] — drop those tokens, dl becomes 0
-        nonempty = flat != ""
+        empty_code = -1
+        empty_hit = np.flatnonzero(vocab == "")
+        if empty_hit.size:
+            empty_code = int(empty_hit[0])
+        nonempty = codes != empty_code
         dl = row_len - np.bincount(parent[~nonempty], minlength=len(ids))
-        pdf = pd.DataFrame({"row": parent[nonempty],
-                            "term": flat[nonempty]})
-        tf = pdf.groupby(["row", "term"], sort=False).size() \
-            .reset_index(name="tf")
-        rows = tf["row"].to_numpy()
-        terms = tf["term"].to_numpy(dtype=object)
+        # per-(doc, term) tf via ONE np.unique over a combined int key
+        combo = parent[nonempty] * len(vocab) + codes[nonempty]
+        uc, counts = np.unique(combo, return_counts=True)
+        rows = uc // len(vocab)
+        term_codes = uc % len(vocab)
+        terms = vocab[term_codes]
         post = pa.table({
             "bucket": pa.array(_term_bucket(terms, n_buckets)),
             "term": pa.array(terms.tolist(), type=pa.string()),
             "doc_id": pa.array(ids[rows]),
-            "tf": pa.array(tf["tf"].to_numpy(), type=pa.int64()),
+            "tf": pa.array(counts, type=pa.int64()),
             "dl": pa.array(dl[rows], type=pa.int64()),
         })
         sentinel = pa.table({

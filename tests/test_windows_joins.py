@@ -245,3 +245,24 @@ def test_broadcast_interval_join(ray_session):
     # id=3 (Feb 1): nothing; id=4 key b (Jan 5): [Dec30,Jan6) -> 30
     assert list(zip(out["id"], out["val"])) == [
         (1, 10), (1, 20), (2, 20), (4, 30)]
+
+
+def test_bucketed_equi_join(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.joins import bucketed_equi_join
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 9], type=pa.int64()),
+        "lv": pa.array(["a", "b", "c", "d", "e"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array([2, 2, 3, 4], type=pa.int64()),
+        "rv": pa.array(["X", "Y", "Z", "W"]),
+    }))
+    out = bucketed_equi_join(left, right, key="k", right_key="rk",
+                             n_buckets=4).to_pandas() \
+        .sort_values(["k", "lv", "rv"], ignore_index=True)
+    # 1:N x M:N expansion: k=2 gives 2x2=4 rows, k=3 gives 1, others none
+    assert list(zip(out["k"], out["lv"], out["rv"])) == [
+        (2, "b", "X"), (2, "b", "Y"), (2, "c", "X"), (2, "c", "Y"),
+        (3, "d", "Z")]
