@@ -387,3 +387,37 @@ def parse_partial_json(text: str):
         except _json.JSONDecodeError:
             pass
     return None
+
+
+_TOON_PREFIXES = ("here is the toon data:", "here's the toon format:",
+                  "toon output:", "result:")
+_TOON_ARRAY_RE = re.compile(r"^([^\n:]+?\[\d+\]:)([^\n]+)$", re.MULTILINE)
+
+
+def clean_toon_text(text: str) -> str:
+    """Extract TOON content from a model response (reference
+    clean_toon_text, extraction/tools.py): strip think tags, markdown
+    fences (```toon / ```), chatty lead-ins, and normalize
+    semicolon-separated inline arrays to commas."""
+    cleaned = strip_think_tags(text or "").strip()
+    if cleaned.startswith("```toon"):
+        cleaned = cleaned[len("```toon"):]
+    elif cleaned.startswith("```"):
+        cleaned = cleaned[3:]
+    if cleaned.endswith("```"):
+        cleaned = cleaned[:-3]
+    cleaned = cleaned.strip()
+    low = cleaned.lower()
+    for p in _TOON_PREFIXES:
+        if low.startswith(p):
+            cleaned = cleaned[len(p):].strip()
+            break
+
+    def _norm(m: "re.Match") -> str:
+        head, vals = m.group(1), m.group(2)
+        if ";" not in vals:
+            return m.group(0)
+        return head + ",".join(v.strip() for v in vals.split(";")
+                               if v.strip())
+
+    return _TOON_ARRAY_RE.sub(_norm, cleaned)

@@ -133,3 +133,18 @@ def test_fenced_block_batch():
     assert out == ["x=1", None, None]
     out_py = tf.fenced_block_batch(col, language="py").to_pylist()
     assert out_py == ["x=1", None, None]
+
+
+def test_clean_toon_text():
+    from prompture_ray.functions.textfuncs import clean_toon_text
+    raw = ("<think>hmm</think>```toon\n"
+           "Result: items[3]: 1; 2; 3\n```")
+    out = clean_toon_text(raw)
+    assert "```" not in out and "<think>" not in out
+    assert "items[3]:1,2,3" in out.replace("Result: ", "")
+    assert clean_toon_text("Here is the TOON data: x[1]{a}:\n  1") \
+        == "x[1]{a}:\n  1"
+    assert clean_toon_text("") == ""
+    # plain fences and no-op inputs
+    assert clean_toon_text("```\nplain\n```") == "plain"
+    assert clean_toon_text("already clean") == "already clean"
