@@ -1317,6 +1317,37 @@ FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a
 """
 
 
+def ngram_jaccard_pairs(sf_dir: str):
+    """Exact char-5-shingle Jaccard verification of LSH candidates
+    (the reference dedup_shingle semantics, dedup.py:104-115, with
+    candidates from the MinHash bands instead of O(n²)): over planted
+    exact copies the verified pair set is exactly the planted list with
+    jaccard 1.0."""
+    import pandas as pd
+    from functools import partial
+    from prompture_ray.stages.dedup import (
+        minhash_candidate_pairs, verify_jaccard_pairs)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    planted = ds.map_batches(partial(_plant_copies, n_tokens=10,
+                                     salt="nj"),
+                             batch_format="pyarrow")
+    cand = minhash_candidate_pairs(planted, "text", "doc_id",
+                                   threshold=0.8).to_pandas()
+    verified = verify_jaccard_pairs(planted, cand, "text", "doc_id",
+                                    threshold=0.8)
+    return pa.table({
+        "id_a": pa.array(verified["id_a"].astype("int64")),
+        "id_b": pa.array(verified["id_b"].astype("int64")),
+        "jaccard": pa.array(verified["jaccard"].astype("float64")),
+    })
+
+
+NGRAM_JACCARD_SQL = """
+SELECT doc_id AS id_a, doc_id + 10000 AS id_b, 1.0 AS jaccard
+FROM documents WHERE doc_id % 10 = 0 ORDER BY id_a
+"""
+
+
 def fingerprint_planted_pairs(sf_dir: str):
     """Winnowing fingerprints (rolling 8-token windows, 4 smallest hashes
     → hex digest) over planted texts with exact copies: identical texts
@@ -1410,6 +1441,7 @@ QUERIES.update({
     "simhash_docs": simhash_docs,
     "simhash_planted_pairs": simhash_planted_pairs,
     "fingerprint_planted_pairs": fingerprint_planted_pairs,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "fingerprint_docs": fingerprint_docs_q,
     "langid_docs": langid_docs,
     "langid_planted_docs": langid_planted_docs,
@@ -1440,6 +1472,7 @@ ORACLE.update({
     "minhash_planted_docs": MINHASH_PLANTED_SQL,
     "simhash_planted_pairs": SIMHASH_PLANTED_SQL,
     "fingerprint_planted_pairs": FINGERPRINT_PLANTED_SQL,
+    "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
     "langid_planted_docs": LANGID_PLANTED_SQL,
     "drift_events": DRIFT_EVENTS_SQL,
     "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
