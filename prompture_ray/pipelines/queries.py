@@ -924,6 +924,46 @@ ORDER BY o.o_orderkey
 """
 
 
+def office_roundtrip_docs(sf_dir: str):
+    """DOCX / XLSX / PDF parsers (stdlib zip+XML and zlib-Flate
+    implementations, sources/office.py + sources/pdf.py): per doc_id a
+    real file of each format is built and parsed back — all extracted
+    values are closed-form strings of doc_id."""
+    from prompture_ray.sources.office import (
+        build_docx, parse_docx, build_xlsx, parse_xlsx)
+    from prompture_ray.sources.pdf import build_pdf, extract_pdf_text
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        dx, xl, pf = [], [], []
+        for i in ids:
+            dx.append(parse_docx(build_docx(
+                [f"heading {i}", f"body {i}"])))
+            rows = parse_xlsx(build_xlsx(
+                [["k", "v"], [f"key{i}", i * 3]]))
+            xl.append(f"{rows[1][0]}={rows[1][1]}")
+            pf.append(extract_pdf_text(build_pdf(
+                [f"pdf line {i}"], compress=i % 2 == 0)))
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "docx_text": pa.array(dx, type=pa.string()),
+            "xlsx_kv": pa.array(xl, type=pa.string()),
+            "pdf_text": pa.array(pf, type=pa.string()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+OFFICE_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'heading ' || doc_id || chr(10) || 'body ' || doc_id AS docx_text,
+       'key' || doc_id || '=' || (doc_id * 3) AS xlsx_kv,
+       'pdf line ' || doc_id AS pdf_text
+FROM documents ORDER BY doc_id
+"""
+
+
 def warc_roundtrip_docs(sf_dir: str):
     """WARC container round trip (sources/warc.py): per doc_id a
     well-formed single-record WARC blob is built, parsed back and the
@@ -1457,6 +1497,7 @@ QUERIES.update({
     "value_quantiles_by_type": value_quantiles_by_type,
     "markdown_strip_docs": markdown_strip_docs,
     "warc_roundtrip_docs": warc_roundtrip_docs,
+    "office_roundtrip_docs": office_roundtrip_docs,
     "orders_customer_join": orders_customer_join,
     "drift_events": drift_events,
 })
@@ -1484,6 +1525,7 @@ ORACLE.update({
     "value_quantiles_by_type": VALUE_QUANTILES_SQL,
     "markdown_strip_docs": MARKDOWN_STRIP_SQL,
     "warc_roundtrip_docs": WARC_ROUNDTRIP_SQL,
+    "office_roundtrip_docs": OFFICE_ROUNDTRIP_SQL,
     "orders_customer_join": ORDERS_CUSTOMER_JOIN_SQL,
 })
 
