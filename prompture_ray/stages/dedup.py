@@ -317,7 +317,36 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
     import ray
 
     stage = MinHashStage(text_col, id_col, n_perm, n_bands, shingle_k)
-    sigs = ds.map_batches(stage, batch_format="pyarrow", batch_size=2048)
+    sigs = ds.map_batches(stage, batch_format="pyarrow",
+                          batch_size=2048).materialize()
+
+    # prune SINGLETON buckets before the per-group pass: ~99% of band
+    # buckets hold one doc, and map_groups pays a pandas frame per
+    # group — one vectorized count + a broadcast multi-bucket set keeps
+    # the per-group cost proportional to actual near-duplicates. The
+    # multi-bucket set is driver-bound by the candidate-pair count
+    # (every multi bucket yields ≥1 candidate), same bound as stage 2.
+    from ray.data.aggregate import Count
+    bc = sigs.groupby(["band", "band_key"]) \
+        .aggregate(Count(alias_name="n")) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["n"], pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+    multi = set(zip(bc["band"].astype(int), bc["band_key"].astype(int)))
+    multi_ref = ray.put(multi)
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        m = ray.get(multi_ref)
+        if not m:
+            return t.slice(0, 0)
+        bands = t["band"].to_numpy(zero_copy_only=False)
+        keys = t["band_key"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((int(b), int(k)) in m
+                            for b, k in zip(bands, keys)),
+                           dtype=bool, count=len(bands))
+        return t.filter(pa.array(mask))
+
+    sigs = sigs.map_batches(keep_multi, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "bucket_dropped": []})
