@@ -1400,17 +1400,17 @@ def fingerprint_planted_pairs(sf_dir: str):
                                      salt="fp"),
                              batch_format="pyarrow")
     fps = fingerprint_docs(planted, "text", "doc_id")
-
-    def dup_pairs(g):
-        import pandas as pd
-        if len(g) < 2:
-            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
-                                 "id_b": pd.Series([], dtype="int64")})
-        ids = sorted(g["doc_id"].tolist())
-        return pd.DataFrame({"id_a": [ids[0]], "id_b": [ids[-1]]})
-
-    return fps.groupby("fingerprint").map_groups(dup_pairs,
-                                                 batch_format="pandas")
+    # duplicate-digest pairs as ONE vectorized aggregate (no per-group
+    # pandas): groups of size 2 by construction → (min, max)
+    from ray.data.aggregate import Count, Max, Min
+    agg = fps.groupby("fingerprint").aggregate(
+        Min("doc_id", alias_name="id_a"),
+        Max("doc_id", alias_name="id_b"),
+        Count(alias_name="n"))
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], pa.scalar(1, pa.int64())))
+                   .select(["id_a", "id_b"]),
+        batch_format="pyarrow")
 
 
 FINGERPRINT_PLANTED_SQL = """

@@ -578,8 +578,33 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     """Pairs within Hamming ≤ max_hamming via chunk bucketing. A bucket
     over ``max_bucket`` emits an oversized/dropped counter into
     ``stats_out`` — truncation is never silent."""
+    import ray
     sigs = ds.map_batches(SimHashStage(text_col, id_col),
-                          batch_format="pyarrow", batch_size=2048)
+                          batch_format="pyarrow",
+                          batch_size=2048).materialize()
+    # same singleton-bucket pruning as minhash_candidate_pairs: only
+    # multi-member chunk buckets can yield pairs
+    from ray.data.aggregate import Count
+    bc = sigs.groupby(["chunk", "chunk_key"]) \
+        .aggregate(Count(alias_name="n")) \
+        .map_batches(lambda t: t.filter(
+            pc.greater(t["n"], pa.scalar(1, pa.int64()))),
+            batch_format="pyarrow").to_pandas()
+    multi = set(zip(bc["chunk"].astype(int), bc["chunk_key"].astype(int)))
+    multi_ref = ray.put(multi)
+
+    def keep_multi(t: pa.Table) -> pa.Table:
+        m = ray.get(multi_ref)
+        if not m:
+            return t.slice(0, 0)
+        cs = t["chunk"].to_numpy(zero_copy_only=False)
+        ks = t["chunk_key"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(((int(c), int(k)) in m
+                            for c, k in zip(cs, ks)),
+                           dtype=bool, count=len(cs))
+        return t.filter(pa.array(mask))
+
+    sigs = sigs.map_batches(keep_multi, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": [],
