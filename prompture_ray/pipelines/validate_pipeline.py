@@ -24,10 +24,11 @@ metrics always come from manifest records so nothing double-counts.
 Scale notes: the one linear scan carries the whole row-level suite; the
 only shuffles are the uniqueness groupby and (when the right side is big)
 the referential anti-join — both over projected key columns, never over
-``html``. Sketch partials are a few hundred KB per block and merge in a
-streaming fold; on a real cluster the fold's first level would run as a
-``map_batches`` merge stage per partition (the merge is associative), the
-driver only folds per-partition results.
+``html``. Sketch partials are a few hundred KB per block; the
+``MergePartials`` map_batches level collapses them to ONE row per
+fragment before they transit the driver (the merge is associative —
+tested under arbitrary groupings), so the driver fold is O(fragments)
+in rows as well as state.
 """
 
 from __future__ import annotations
