@@ -554,11 +554,12 @@ QUALIFY row_number() OVER (
 
 
 def sessions_per_user(sf_dir: str):
-    """Session windows (30-min gap) per user — groupby.map_groups over the
-    sorted per-key log (stream-shaped operator, SURVEY §2.9)."""
-    from prompture_ray.stages.windows import session_counts
+    """Session windows (30-min gap) per user — hot-key-safe bucketed
+    sessionizer (group size bounded by key × day, not by a key's whole
+    history; stream-shaped operator, SURVEY §2.9)."""
+    from prompture_ray.stages.windows import session_counts_bucketed
     ds = _read(sf_dir, "events", ["user_id", "ts"])
-    return session_counts(ds, "user_id", "ts", gap="30min")
+    return session_counts_bucketed(ds, "user_id", "ts", gap="30min")
 
 
 SESSIONS_SQL = """
@@ -578,15 +579,14 @@ FROM d GROUP BY user_id
 
 def asof_event_order(sf_dir: str):
     """As-of join: for each event, the latest order date of that customer
-    at event time (broadcast as-of; bucketed merge_asof beyond threshold)."""
-    import pyarrow.parquet as pq
-    from prompture_ray.stages.joins import broadcast_asof_join
-    orders = pq.read_table(f"{sf_dir}/orders.parquet",
-                           columns=["o_custkey", "o_orderdate"]).to_pandas()
+    at event time. Size-aware dispatch (joins.asof_join): broadcast under
+    the row threshold, hash-bucketed merge_asof beyond it."""
+    from prompture_ray.stages.joins import asof_join
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = broadcast_asof_join(ds, orders, key="user_id", ts="ts",
-                              right_key="o_custkey", right_ts="o_orderdate",
-                              value_cols=[], inner=True)
+    out = asof_join(ds, orders, key="user_id", ts="ts",
+                    right_key="o_custkey", right_ts="o_orderdate",
+                    value_cols=[], inner=True)
     df = out.to_pandas()[["event_id", "o_orderdate"]] \
             .rename(columns={"o_orderdate": "last_order_ts"})
     return pa.table({
@@ -607,20 +607,23 @@ def range_join_signup_events(sf_dir: str):
     """Interval (range) join, 1:N: every event within 1 hour AFTER a
     'signup' event by the same user (s.ts <= ts < s.ts + 1h) — the
     stream-enrichment shape (attribute activity to an activation
-    window). Vectorized contiguous-run expansion per key group over a
-    broadcast start-sorted right side."""
-    import pyarrow.parquet as pq
-    from prompture_ray.stages.joins import broadcast_interval_join
-    ev = pq.read_table(f"{sf_dir}/events.parquet",
-                       columns=["event_id", "user_id", "ts",
-                                "event_type"]).to_pandas()
-    signups = ev[ev["event_type"] == "signup"] \
-        .rename(columns={"event_id": "signup_event_id"})
+    window). The signup side is derived DISTRIBUTED (filtered at the
+    read — only signup rows ever leave the workers); size-aware dispatch
+    broadcasts it when small, hash-buckets both sides when not."""
+    from prompture_ray.stages.joins import interval_join
+
+    def signup_rows(t: pa.Table) -> pa.Table:
+        s = t.filter(pc.equal(t["event_type"], "signup"))
+        return pa.table({"signup_event_id": s["event_id"],
+                         "user_id": s["user_id"], "ts": s["ts"]})
+
+    signups = _read(sf_dir, "events",
+                    ["event_id", "user_id", "ts", "event_type"]) \
+        .map_batches(signup_rows, batch_format="pyarrow")
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-    out = broadcast_interval_join(ds, signups, key="user_id", ts="ts",
-                                  right_key="user_id", right_start="ts",
-                                  length="1h",
-                                  right_cols=["signup_event_id"])
+    out = interval_join(ds, signups, key="user_id", ts="ts",
+                        right_key="user_id", right_start="ts",
+                        length="1h", right_cols=["signup_event_id"])
     return out.map_batches(
         lambda t: pa.table({
             "event_id": pc.cast(t["event_id"], pa.int64()),

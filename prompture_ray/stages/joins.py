@@ -17,6 +17,100 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+
+def _canon_key(v: np.ndarray, ctx: str) -> np.ndarray:
+    """Canonicalize a join-key array before hashing so the two sides of a
+    bucketed join hash EQUAL keys identically even when they materialize
+    to different numpy dtypes (an int64 side with nulls becomes float64 /
+    object — hash64(int64) != hash64(object), the repo's round-2 rule).
+    Integers and integral floats → int64; real floats → float64;
+    datetimes → microsecond int64; strings/objects → str objects.
+    Null keys are rejected: a null never equi-matches, so callers must
+    drop null-key rows first."""
+    kind = v.dtype.kind
+    if kind in "iu":
+        return v.astype(np.int64, copy=False)
+    if kind == "b":
+        return v.astype(np.int64)
+    if kind == "f":
+        if np.isnan(v).any():
+            raise ValueError(f"{ctx}: null join keys are not supported — "
+                             "filter null-key rows before the join")
+        iv = v.astype(np.int64)
+        if (iv == v).all():
+            return iv
+        return v.astype(np.float64, copy=False)
+    if kind in "mM":
+        return v.astype("datetime64[us]").astype(np.int64)
+    if kind == "U":
+        return v.astype(object)
+    # object: all-int → int64 (matches an int64 other side); else str
+    if kind == "O":
+        if any(x is None for x in v):
+            raise ValueError(f"{ctx}: null join keys are not supported — "
+                             "filter null-key rows before the join")
+        try:
+            return v.astype(np.int64)
+        except (TypeError, ValueError, OverflowError):
+            return np.asarray([str(x) for x in v], dtype=object)
+    return v
+
+
+def _bucket_of(series: "pd.Series", n_buckets: int, ctx: str) -> np.ndarray:
+    from prompture_ray.functions.sketches import hash64
+    h = hash64(_canon_key(series.to_numpy(), ctx))
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def _int_cols_of(schema) -> frozenset:
+    """Names of integer-typed columns in a Ray Schema. Pandas-backed
+    datasets report Python classes instead of Arrow types — those are
+    skipped (nothing to restore for them)."""
+    return frozenset(n for n, t in zip(schema.names, schema.types)
+                     if isinstance(t, pa.DataType) and pa.types.is_integer(t))
+
+
+def _empty_frame(schema, cols: list) -> pd.DataFrame:
+    """Typed empty pandas frame for one side of a bucketed join — the
+    per-bucket fallback when a group block carries only the OTHER side's
+    columns (a sort block can hold rows of a single side)."""
+    dtypes = {}
+    for n, t in zip(schema.names, schema.types):
+        if n not in cols:
+            continue
+        try:
+            if isinstance(t, pa.DataType):
+                dtypes[n] = np.dtype(t.to_pandas_dtype())
+            else:
+                dtypes[n] = np.dtype(t)
+        except (TypeError, NotImplementedError):
+            dtypes[n] = np.dtype(object)
+    return pd.DataFrame({c: pd.Series(dtype=dtypes.get(c, np.dtype(object)))
+                         for c in cols})
+
+
+def _side_frame(g: pd.DataFrame, side: str, cols: list,
+                int_cols: frozenset, empty_tmpl: pd.DataFrame) -> pd.DataFrame:
+    """Rows of one side of a tagged union group, with that side's fixed
+    column list and integer dtypes restored. A group block missing this
+    side's columns has no rows of this side — return the typed empty."""
+    sub = g.loc[g["__side"] == side]
+    if any(c not in sub.columns for c in cols):
+        return empty_tmpl.copy()
+    return _restore_int_cols(sub[cols].copy(), int_cols)
+
+
+def _restore_int_cols(df: pd.DataFrame, int_cols: frozenset) -> pd.DataFrame:
+    """Undo the int64→float64 widening that Ray's union-schema null fill
+    applies to a side's integer columns (NaN-free after side-split)."""
+    for name in int_cols:
+        if name in df.columns and df[name].dtype.kind == "f":
+            vals = df[name].to_numpy()
+            if len(vals) == 0 or not np.isnan(vals).any():
+                df[name] = df[name].astype(np.int64)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # broadcast hash join
 # ---------------------------------------------------------------------------
@@ -118,30 +212,31 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
                        n_buckets: int = 32):
     """Both-sides-large as-of join: hash-bucket on the key, per-bucket
     ``pd.merge_asof`` over sorted frames (one narrow shuffle)."""
-    from prompture_ray.functions.sketches import hash64
     right_key = right_key or key
     right_ts = right_ts or ts
+    ls, rs = left_ds.schema(), right_ds.schema()
+    lc, rc = list(ls.names), list(rs.names)
+    l_ints, r_ints = _int_cols_of(ls), _int_cols_of(rs)
+    l_empty, r_empty = _empty_frame(ls, lc), _empty_frame(rs, rc)
 
-    def tag(side, k):
+    def tag(side, k, cols):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b.copy()
-            h = hash64(b[k].to_numpy())
-            b["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            b = b[cols].copy()
+            b["__bucket"] = _bucket_of(b[k], n_buckets, "bucketed_asof_join")
             b["__side"] = side
             return b
         return fn
 
-    tagged = left_ds.map_batches(tag("L", key), batch_format="pandas").union(
-        right_ds.map_batches(tag("R", right_key), batch_format="pandas"))
+    tagged = left_ds.map_batches(tag("L", key, lc),
+                                 batch_format="pandas").union(
+        right_ds.map_batches(tag("R", right_key, rc),
+                             batch_format="pandas"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == "L"].drop(columns=["__bucket", "__side"])
-        right = g[g["__side"] == "R"].drop(columns=["__bucket", "__side"])
-        if left.empty or right.empty:
-            return left.iloc[0:0].dropna(axis=1, how="all")
-        left = left.dropna(axis=1, how="all").sort_values(ts, kind="mergesort")
-        right = right.dropna(axis=1, how="all") \
-                     .sort_values(right_ts, kind="mergesort")
+        left = _side_frame(g, "L", lc, l_ints, l_empty)
+        right = _side_frame(g, "R", rc, r_ints, r_empty)
+        left = left.sort_values(ts, kind="mergesort")
+        right = right.sort_values(right_ts, kind="mergesort")
         # unify timestamp resolutions (arrow→pandas may yield us vs ns)
         left[ts] = pd.to_datetime(left[ts]).astype("datetime64[us]")
         right[right_ts] = pd.to_datetime(right[right_ts]) \
@@ -151,6 +246,32 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
                                                  batch_format="pandas")
+
+
+ASOF_BROADCAST_MAX = 2_000_000
+
+
+def asof_join(left_ds, right_ds, key: str, ts: str,
+              right_key: str | None = None, right_ts: str | None = None,
+              value_cols: list[str] | None = None, inner: bool = True,
+              broadcast_max: int = ASOF_BROADCAST_MAX, n_buckets: int = 32):
+    """Size-aware as-of join dispatch (mirrors REF_BROADCAST_MAX in
+    validate_pipeline): a right side within ``broadcast_max`` rows is
+    collected once and broadcast (no shuffle); a larger one goes through
+    the hash-bucketed ``pd.merge_asof`` path. The broadcast path renames
+    colliding right columns to ``right_<col>``; the bucketed path keeps
+    merge_asof's suffixing — project the columns you need downstream."""
+    right_key = right_key or key
+    right_ts = right_ts or ts
+    if right_ds.count() <= broadcast_max:
+        return broadcast_asof_join(left_ds, right_ds.to_pandas(), key, ts,
+                                   right_key, right_ts, value_cols, inner)
+    out = bucketed_asof_join(left_ds, right_ds, key, ts,
+                             right_key, right_ts, n_buckets)
+    if inner:
+        out = out.map_batches(lambda b: b[b[right_ts].notna()],
+                              batch_format="pandas")
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +346,104 @@ def broadcast_interval_join(ds, right_df: "pd.DataFrame", key: str, ts: str,
     return ds.map_batches(join, batch_format="pandas")
 
 
+def bucketed_interval_join(left_ds, right_ds, key: str, ts: str,
+                           right_key: str, right_start: str,
+                           length, right_cols: list[str],
+                           n_buckets: int = 32):
+    """Both-sides-large fixed-length interval join: hash-bucket both
+    sides on the key (one narrow shuffle), then run the same contiguous-
+    run searchsorted expansion as the broadcast form per bucket."""
+    length_us = int(pd.Timedelta(length).value // 1000)
+    ls, rs = left_ds.schema(), right_ds.schema()
+    lc = list(ls.names)
+    rc = list(dict.fromkeys([right_key, right_start] + list(right_cols)))
+    l_ints = _int_cols_of(ls)
+    r_ints = _int_cols_of(rs) & frozenset(rc)
+    l_empty = _empty_frame(ls, lc)
+    r_empty = _empty_frame(rs, rc)
+
+    def tag(side, k, cols):
+        def fn(b: pd.DataFrame) -> pd.DataFrame:
+            b = b[cols].copy()
+            b["__bucket"] = _bucket_of(b[k], n_buckets,
+                                       "bucketed_interval_join")
+            b["__side"] = side
+            return b
+        return fn
+
+    tagged = left_ds.map_batches(tag("L", key, lc),
+                                 batch_format="pandas").union(
+        right_ds.map_batches(tag("R", right_key, rc),
+                             batch_format="pandas"))
+
+    def _us(arr) -> np.ndarray:
+        return pd.to_datetime(arr).astype("datetime64[us]") \
+            .astype("int64").to_numpy()
+
+    out_right_cols = [c for c in right_cols if c != right_key]
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = _side_frame(g, "L", lc, l_ints, l_empty)
+        right = _side_frame(g, "R", rc, r_ints, r_empty)
+        if left.empty or right.empty:
+            out = left.iloc[0:0].copy()
+            for c in out_right_cols:
+                out[c] = pd.Series([], dtype=r_empty[c].dtype
+                                   if c in r_empty else object)
+            return out
+        right = right.sort_values(right_start, kind="mergesort")
+        rgroups = {k: g for k, g in right.groupby(right_key, sort=False)}
+        tv = _us(left[ts])
+        left_rows, right_taken = [], {c: [] for c in out_right_cols}
+        for k, idx in left.groupby(key, sort=False).indices.items():
+            rg = rgroups.get(k)
+            if rg is None:
+                continue
+            starts = _us(rg[right_start])
+            t = tv[idx]
+            lo = np.searchsorted(starts, t - length_us, side="right")
+            hi = np.searchsorted(starts, t, side="right")
+            counts = hi - lo
+            has = counts > 0
+            if not has.any():
+                continue
+            left_rows.append(np.repeat(idx[has], counts[has]))
+            ridx = np.concatenate([np.arange(a, b)
+                                   for a, b in zip(lo[has], hi[has])])
+            for c in out_right_cols:
+                right_taken[c].append(rg[c].to_numpy()[ridx])
+        if not left_rows:
+            out = left.iloc[0:0].copy()
+            for c in out_right_cols:
+                out[c] = pd.Series([], dtype=r_empty[c].dtype
+                                   if c in r_empty else object)
+            return out
+        li = np.concatenate(left_rows)
+        out = left.iloc[li].copy()
+        for c in out_right_cols:
+            out[c] = np.concatenate(right_taken[c])
+        return out.reset_index(drop=True)
+
+    return tagged.groupby("__bucket").map_groups(per_bucket,
+                                                 batch_format="pandas")
+
+
+def interval_join(left_ds, right_ds, key: str, ts: str, right_key: str,
+                  right_start: str, length, right_cols: list[str],
+                  broadcast_max: int = ASOF_BROADCAST_MAX,
+                  n_buckets: int = 32):
+    """Size-aware fixed-length interval-join dispatch: broadcast the
+    right side when it fits (``broadcast_max`` rows), else hash-bucket
+    both sides (VERDICT-r3 size-aware-dispatch item)."""
+    if right_ds.count() <= broadcast_max:
+        return broadcast_interval_join(left_ds, right_ds.to_pandas(), key,
+                                       ts, right_key, right_start, length,
+                                       right_cols)
+    return bucketed_interval_join(left_ds, right_ds, key, ts, right_key,
+                                  right_start, length, right_cols,
+                                  n_buckets)
+
+
 # ---------------------------------------------------------------------------
 # large-large equi-join
 # ---------------------------------------------------------------------------
@@ -245,30 +464,36 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
     Broadcast beats this whenever one side fits in the object store —
     use ``broadcast_join`` there; this is the 100-TB-both-sides form.
     """
-    from prompture_ray.functions.sketches import hash64
     right_key = right_key or key
+    # fixed per-side column lists: every bucket's output is reindexed to
+    # the same schema, so sparser data (a bucket with an all-null column
+    # or no right-side rows) can't diverge block schemas (ADVICE r3)
+    ls, rs = left_ds.schema(), right_ds.schema()
+    lc = list(left_cols) if left_cols else list(ls.names)
+    rc = list(right_cols) if right_cols else list(rs.names)
+    l_ints = _int_cols_of(ls) & frozenset(lc)
+    r_ints = _int_cols_of(rs) & frozenset(rc)
+    l_empty = _empty_frame(ls, lc)
+    r_empty = _empty_frame(rs, rc)
 
     def tag(side, k, cols):
         def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[cols].copy() if cols else b.copy()
-            h = hash64(b[k].to_numpy())
-            b["__bucket"] = (h % np.uint64(n_buckets)).astype(np.int64)
+            b = b[cols].copy()
+            b["__bucket"] = _bucket_of(b[k], n_buckets, "bucketed_equi_join")
             b["__side"] = side
             return b
         return fn
 
-    tagged = left_ds.map_batches(tag("L", key, left_cols),
+    tagged = left_ds.map_batches(tag("L", key, lc),
                                  batch_format="pandas").union(
-        right_ds.map_batches(tag("R", right_key, right_cols),
+        right_ds.map_batches(tag("R", right_key, rc),
                              batch_format="pandas"))
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["__side"] == "L"].drop(columns=["__bucket", "__side"]) \
-            .dropna(axis=1, how="all")
-        right = g[g["__side"] == "R"].drop(columns=["__bucket", "__side"]) \
-            .dropna(axis=1, how="all")
-        if left.empty or (right.empty and how == "inner"):
-            return left.iloc[0:0]
+        left = _side_frame(g, "L", lc, l_ints, l_empty)
+        right = _side_frame(g, "R", rc, r_ints, r_empty)
+        # merge even when a side is empty: pd.merge of correctly-typed
+        # empty frames yields the same columns/dtypes as a hit bucket
         return pd.merge(left, right, left_on=key, right_on=right_key,
                         how=how)
 

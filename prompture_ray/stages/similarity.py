@@ -246,7 +246,14 @@ def _batch_term_tf(col, terms: list[str]):
     split, empty tokens dropped like ``str.split``) → per-row non-empty
     token count ``dl`` and a ``{term: tf array}`` map. Replaces the old
     per-doc ``text.lower().split()`` + ``toks.count(term)`` Python loop
-    (the round-2 cost driver: the corpus was tokenized twice in Python)."""
+    (the round-2 cost driver: the corpus was tokenized twice in Python).
+
+    Whitespace-set caveat (ADVICE r3): Arrow's split uses the Unicode
+    White_Space set while Python ``str.split`` additionally treats the
+    control chars \\x1c-\\x1f as separators. The two tokenizations (and
+    so dl/tf) are bit-identical only for texts WITHOUT \\x1c-\\x1f; a
+    corpus containing them diverges from ``bm25_tokenize`` on those
+    rows. Normalize those control chars upstream if that matters."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
