@@ -861,6 +861,149 @@ FROM documents ORDER BY doc_id
 """
 
 
+def media_png_dims(sf_dir: str):
+    """REAL PNG decode (stdlib zlib codec, stages/multimodal.py): solid
+    8-bit RGB PNGs with dimensions and color derived from doc_id —
+    width/height/top intensity bin all have closed SQL forms (same
+    planted pattern as media_bmp_dims, new real codec)."""
+    from prompture_ray.stages.multimodal import ImageDecodeStage, synth_png
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [synth_png(12 + i % 12, 6 + i % 6,
+                              ((i * 3) % 256, (i * 5) % 256, (i * 11) % 256))
+                    for i in ids]
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(ImageDecodeStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=256)
+
+    def project(t: pa.Table) -> pa.Table:
+        feats = t["features"].to_pylist()
+        top = [int(np.argmax(f)) for f in feats]
+        return pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "top_bin": pa.array(top, type=pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+MEDIA_PNG_DIMS_SQL = """
+SELECT doc_id,
+       12 + doc_id % 12 AS width,
+       6 + doc_id % 6 AS height,
+       (((doc_id * 3) % 256 + (doc_id * 5) % 256 + (doc_id * 11) % 256)
+         // 3) // 16 AS top_bin
+FROM documents ORDER BY doc_id
+"""
+
+
+def media_transform_docs(sf_dir: str):
+    """Imaging transforms (contrast-stretch then negative) on REAL
+    planted PNGs: all pixel math is exact integer arithmetic
+    (stages/multimodal._apply_pixel_ops), so the output mean intensity
+    of a solid-color image is (f(r)+f(g)+f(b))/3.0 — IEEE division of
+    exact integers, bit-identical on both sides."""
+    from prompture_ray.stages.multimodal import ImageTransformStage, synth_png
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [synth_png(4, 3, ((i * 3) % 256, (i * 5) % 256,
+                                     (i * 11) % 256)) for i in ids]
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(ImageTransformStage(
+                "payload", ops=[("contrast", 3, 2), ("negative",)]),
+                batch_format="pyarrow", batch_size=256)
+
+    def project(t: pa.Table) -> pa.Table:
+        # decode one pixel back: containers round-trip (payload is the
+        # transformed PNG)
+        return pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "mean_intensity": t["mean_intensity"],
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# f(v) = 255 - clip((v-128)*3//2+128, 0, 255). numpy's // FLOORS toward
+# -inf while DuckDB's integer // truncates toward zero on negatives —
+# use an explicit floor() (exact: operands are small ints in a double)
+_PNG_TRANSFORM_F = ("(255 - least(greatest(CAST(floor((({v}) - 128) * 3"
+                    " / 2.0) AS BIGINT) + 128, 0), 255))")
+
+MEDIA_TRANSFORM_SQL = f"""
+SELECT doc_id,
+       ({_PNG_TRANSFORM_F.format(v='(doc_id * 3) % 256')}
+        + {_PNG_TRANSFORM_F.format(v='(doc_id * 5) % 256')}
+        + {_PNG_TRANSFORM_F.format(v='(doc_id * 11) % 256')}) / 3.0
+         AS mean_intensity
+FROM documents ORDER BY doc_id
+"""
+
+
+def media_frame_stats(sf_dir: str):
+    """REAL video frame sampling (stdlib RIFF/AVI codec): planted
+    uncompressed AVIs — 3..6 solid-gray frames per doc with intensity
+    (doc_id*7 + frame*11) % 256 — sampled 4-evenly by FrameSampleStage;
+    frame index selection and per-frame mean are closed-form in SQL."""
+    from prompture_ray.stages.multimodal import FrameSampleStage, synth_avi
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            nf = 3 + i % 4
+            payloads.append(synth_avi(
+                4 + i % 5, 3 + i % 3,
+                [(i * 7 + j * 11) % 256 for j in range(nf)], fps=10))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(FrameSampleStage("payload", n_frames=4,
+                                          decoder="real",
+                                          id_type=pa.int64()),
+                         batch_format="pyarrow", batch_size=128)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_intensity": t["mean_intensity"],
+        }), batch_format="pyarrow")
+
+
+MEDIA_FRAME_STATS_SQL = """
+WITH n AS (SELECT doc_id, 3 + doc_id % 4 AS nf FROM documents),
+f AS (
+  SELECT n.doc_id, n.nf, r.range AS j
+  FROM n, range(0, 4) r
+  WHERE r.range < least(n.nf, 4)
+)
+SELECT doc_id,
+       CASE WHEN nf <= 4 THEN j ELSE (j * nf) // 4 END AS frame_idx,
+       4 + doc_id % 5 AS width,
+       3 + doc_id % 3 AS height,
+       CAST((doc_id * 7
+             + (CASE WHEN nf <= 4 THEN j ELSE (j * nf) // 4 END) * 11)
+            % 256 AS DOUBLE) AS mean_intensity
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 def markdown_strip_docs(sf_dir: str):
     """Markdown→text + frontmatter (reference MarkdownParser,
     ingestion/parsers/markdown.py): planted markdown derived from doc_id
@@ -1493,6 +1636,9 @@ QUERIES.update({
     "media_features": media_features,
     "media_bmp_dims": media_bmp_dims,
     "media_wav_stats": media_wav_stats,
+    "media_png_dims": media_png_dims,
+    "media_transform_docs": media_transform_docs,
+    "media_frame_stats": media_frame_stats,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1521,6 +1667,9 @@ ORACLE.update({
     "drift_events": DRIFT_EVENTS_SQL,
     "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
     "media_wav_stats": MEDIA_WAV_STATS_SQL,
+    "media_png_dims": MEDIA_PNG_DIMS_SQL,
+    "media_transform_docs": MEDIA_TRANSFORM_SQL,
+    "media_frame_stats": MEDIA_FRAME_STATS_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,

@@ -172,3 +172,125 @@ def test_real_resize_stage(ray_session):
     assert tuple(px[0, 0]) == (3, 2, 1)
     # small image untouched byte-for-byte
     assert out.loc["small", "payload"] == mm.synth_bmp(8, 4, (9, 8, 7))
+
+
+def test_png_codec_roundtrip():
+    import numpy as np
+    rng = np.random.RandomState(3)
+    for nch in (1, 2, 3, 4):
+        px = rng.randint(0, 256, size=(7, 5, nch)).astype(np.uint8)
+        payload = mm.encode_png(px)
+        w, h, c, out = mm.decode_png(payload)
+        assert (w, h, c) == (5, 7, nch)
+        assert (out == px).all()
+    # magic-dispatch integration
+    w, h, c, out = mm.decode_image(mm.synth_png(9, 4, (10, 20, 30)))
+    assert (w, h, c) == (9, 4, 3)
+    assert (out[0, 0] == [10, 20, 30]).all()
+
+
+def test_png_all_filter_types_decode():
+    """Hand-built PNGs exercising filters 1 (sub), 2 (up), 3 (average),
+    4 (paeth) must reconstruct the same pixels as filter 0."""
+    import zlib
+    import numpy as np
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(6, 4, 3)).astype(np.uint8)
+    ref = mm.decode_png(mm.encode_png(px))[3]
+    h, w, nch = px.shape
+    stride = w * nch
+    flat = px.reshape(h, stride).astype(np.int32)
+    for f in (1, 2, 3, 4):
+        scan = bytearray()
+        for y in range(h):
+            scan.append(f)
+            prev = flat[y - 1] if y else np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(flat[y, x - nch]) if x >= nch else 0
+                b = int(prev[x])
+                c = int(prev[x - nch]) if (x >= nch and y) else 0
+                if f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    p = a + b - c
+                    pa_, pb_, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else \
+                        (b if pb_ <= pc_ else c)
+                scan.append((int(flat[y, x]) - pred) & 0xFF)
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, 2, 0, 0, 0]))
+        payload = (mm._PNG_MAGIC + mm._png_chunk(b"IHDR", ihdr)
+                   + mm._png_chunk(b"IDAT", zlib.compress(bytes(scan)))
+                   + mm._png_chunk(b"IEND", b""))
+        out = mm.decode_png(payload)[3]
+        assert (out == ref).all(), f"filter {f}"
+
+
+def test_pixel_ops_exact():
+    import numpy as np
+    px = np.array([[[0, 100, 255]]], dtype=np.uint8)
+    neg = mm._apply_pixel_ops(px, [("negative",)])
+    assert neg.ravel().tolist() == [255, 155, 0]
+    bright = mm._apply_pixel_ops(px, [("brightness", 30)])
+    assert bright.ravel().tolist() == [30, 130, 255]
+    contr = mm._apply_pixel_ops(px, [("contrast", 3, 2)])
+    # (v-128)*3//2+128 clipped: 0->-64->0 ; 100->86 ; 255->318->255
+    assert contr.ravel().tolist() == [0, 86, 255]
+
+
+def test_image_transform_stage_roundtrip(ray_session):
+    import numpy as np
+    import ray.data as rd
+    t = pa.table({
+        "media_id": pa.array(["a", "b", "c"]),
+        "payload": pa.array([
+            mm.synth_png(4, 3, (10, 20, 30)),
+            mm.synth_bmp(5, 2, (200, 100, 50)),
+            mm.encode_ppm(np.full((2, 2, 3), 60, dtype=np.uint8)),
+        ], type=pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        mm.ImageTransformStage("payload", ops=[("negative",)]),
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    # containers preserved + pixels inverted
+    pays = out["payload"].tolist()
+    assert pays[0][:8] == mm._PNG_MAGIC
+    assert pays[1][:2] == b"BM"
+    assert pays[2][:2] == b"P6"
+    px = mm.decode_png(pays[0])[3]
+    assert (px[0, 0] == [245, 235, 225]).all()
+    assert abs(out["mean_intensity"].iloc[0] - (245 + 235 + 225) / 3) < 1e-9
+    # BGR bmp of (200,100,50) RGB -> stored BGR(50,100,200); negative
+    px_b = mm.decode_bmp(pays[1])[3]
+    assert (px_b[0, 0] == [205, 155, 55]).all()
+
+
+def test_avi_codec_roundtrip():
+    import numpy as np
+    rng = np.random.RandomState(5)
+    frames = [rng.randint(0, 256, size=(6, 7, 3)).astype(np.uint8)
+              for _ in range(5)]
+    payload = mm.build_avi(frames, fps=12)
+    w, h, fps, out = mm.decode_avi(payload)
+    assert (w, h, fps, len(out)) == (7, 6, 12, 5)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
+
+
+def test_frame_sample_stage_real(ray_session):
+    import ray.data as rd
+    t = pa.table({
+        "media_id": pa.array(["v0"]),
+        "payload": pa.array([mm.synth_avi(4, 3, [10, 20, 30, 40, 50, 60],
+                                          fps=10)], type=pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        mm.FrameSampleStage("payload", n_frames=3, decoder="real"),
+        batch_format="pyarrow").to_pandas().sort_values("frame_idx")
+    assert out["frame_idx"].tolist() == [0, 2, 4]
+    assert out["mean_intensity"].tolist() == [10.0, 30.0, 50.0]
+    assert out["width"].tolist() == [4, 4, 4]
