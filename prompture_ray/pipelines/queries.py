@@ -1004,6 +1004,56 @@ FROM f ORDER BY doc_id, frame_idx
 """
 
 
+def stream_snapshot_docs(sf_dir: str):
+    """Emit-on-change streaming snapshots (reference stream_extract,
+    extraction/streaming.py:215-306): planted per-doc delta sequences
+    where delta 2 leaves the parse unchanged (a dangling key) — the
+    emitted (seq, snapshot) rows and the strict final row are exact
+    string constructions SQL reproduces; the suppressed seq-2 row proves
+    the emit-on-change semantics in the oracle."""
+    from prompture_ray.stages.stream_extract import stream_snapshots
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        sid, seq, delta = [], [], []
+        for i in ids:
+            parts = [f'{{"a": {i}, ', f'"b": "x{i}", ', '"c": ',
+                     f'{i % 10}}}']
+            for j, p in enumerate(parts):
+                sid.append(i)
+                seq.append(j)
+                delta.append(p)
+        return pa.table({"doc_id": pa.array(sid, type=pa.int64()),
+                         "seq": pa.array(seq, type=pa.int64()),
+                         "delta": pa.array(delta, type=pa.string())})
+
+    out = stream_snapshots(ds.map_batches(plant, batch_format="pyarrow"),
+                           "doc_id", "seq", "delta")
+    return out.map_batches(
+        lambda b: b.astype({"doc_id": "int64", "seq": "int64"}),
+        batch_format="pandas")
+
+
+STREAM_SNAPSHOT_SQL = """
+WITH s AS (SELECT doc_id FROM documents)
+SELECT doc_id, 0 AS seq,
+       '{"a": ' || doc_id || '}' AS snapshot, FALSE AS is_final FROM s
+UNION ALL
+SELECT doc_id, 1,
+       '{"a": ' || doc_id || ', "b": "x' || doc_id || '"}', FALSE FROM s
+UNION ALL
+SELECT doc_id, 3,
+       '{"a": ' || doc_id || ', "b": "x' || doc_id || '", "c": '
+         || (doc_id % 10) || '}', FALSE FROM s
+UNION ALL
+SELECT doc_id, 3,
+       '{"a": ' || doc_id || ', "b": "x' || doc_id || '", "c": '
+         || (doc_id % 10) || '}', TRUE FROM s
+ORDER BY doc_id, seq, is_final
+"""
+
+
 def markdown_strip_docs(sf_dir: str):
     """Markdown→text + frontmatter (reference MarkdownParser,
     ingestion/parsers/markdown.py): planted markdown derived from doc_id
@@ -1639,6 +1689,7 @@ QUERIES.update({
     "media_png_dims": media_png_dims,
     "media_transform_docs": media_transform_docs,
     "media_frame_stats": media_frame_stats,
+    "stream_snapshot_docs": stream_snapshot_docs,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1670,6 +1721,7 @@ ORACLE.update({
     "media_png_dims": MEDIA_PNG_DIMS_SQL,
     "media_transform_docs": MEDIA_TRANSFORM_SQL,
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,
+    "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,

@@ -82,3 +82,56 @@ def test_synth_roundtrip_byte_identical():
     texts = pages["text"].to_pylist()
     matches = sum(extract_text(h) == t for h, t in zip(htmls, texts))
     assert 0.94 <= matches / 500 <= 0.99  # ~3% deliberately corrupted
+
+
+# ---------------------------------------------------------------------------
+# emit-on-change streaming snapshots (reference stream_extract semantics)
+# ---------------------------------------------------------------------------
+
+def test_replay_stream_emit_on_change():
+    from prompture_ray.stages.stream_extract import replay_stream
+    deltas = [(0, '{"a": 1, '), (1, '"b": "x", '), (2, '"c": '),
+              (3, '2}')]
+    out = replay_stream(deltas)
+    assert [(s, f) for s, _, f in out] == [
+        (0, False), (1, False), (3, False), (3, True)]
+    assert out[0][1] == '{"a": 1}'
+    assert out[1][1] == '{"a": 1, "b": "x"}'
+    assert out[2][1] == '{"a": 1, "b": "x", "c": 2}'
+    assert out[3][1] == out[2][1]
+
+
+def test_replay_stream_fields_filter_and_unchanged():
+    from prompture_ray.stages.stream_extract import replay_stream
+    deltas = [(0, '{"a": 1, '), (1, '"z": 9, '), (2, '"b": 3}')]
+    out = replay_stream(deltas, fields=("a", "b"))
+    # the z-only delta doesn't change the filtered snapshot
+    assert [s for s, _, f in out if not f] == [0, 2]
+    # emit_unchanged re-emits every parseable prefix
+    out2 = replay_stream(deltas, fields=("a", "b"), emit_unchanged=True)
+    assert [s for s, _, f in out2 if not f] == [0, 1, 2]
+
+
+def test_replay_stream_invalid_final_no_strict_row():
+    from prompture_ray.stages.stream_extract import replay_stream
+    out = replay_stream([(0, '{"a": 1, "b": ')])
+    assert all(not f for _, _, f in out)
+
+
+def test_stream_snapshots_dataset(ray_session):
+    import ray.data as rd
+    import pandas as pd
+    from prompture_ray.stages.stream_extract import stream_snapshots
+    rows = []
+    for sid in (10, 20):
+        for j, p in enumerate(['{"a": %d, ' % sid, '"b": 1}']):
+            rows.append({"stream_id": sid, "seq": j, "delta": p})
+    # shuffled input order: the operator sorts by seq inside the group
+    ds = rd.from_pandas(pd.DataFrame(rows).iloc[::-1].reset_index(drop=True))
+    out = stream_snapshots(ds, "stream_id", "seq", "delta").to_pandas() \
+        .sort_values(["stream_id", "seq", "is_final"], ignore_index=True)
+    assert len(out) == 6      # 2 partials + 1 final per stream
+    s10 = out[out["stream_id"] == 10]
+    assert s10["snapshot"].tolist() == [
+        '{"a": 10}', '{"a": 10, "b": 1}', '{"a": 10, "b": 1}']
+    assert s10["is_final"].tolist() == [False, False, True]
