@@ -1054,6 +1054,69 @@ ORDER BY doc_id, seq, is_final
 """
 
 
+def kg_two_hop_docs(sf_dir: str):
+    """KG multi-hop traversal (reference neighbors walks,
+    kg/core.py:183-211): planted edge table from doc_ids — chain edges
+    i→i+1 (except chain tails) plus skip edges i→i+2 on multiples of 7 —
+    BFS 2-hop from seeds doc_id%50==0; min-hop labels have a closed
+    two-level-join SQL form."""
+    from prompture_ray.stages.entity_store import k_hop_neighbors
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        u, v = [], []
+        for i in ids:
+            if i % 10 != 9:
+                u.append(i)
+                v.append(i + 1)
+            if i % 7 == 0 and i % 10 < 8:
+                u.append(i)
+                v.append(i + 2)
+        return pa.table({
+            "subject_id": pa.array(u, type=pa.int64()),
+            "predicate": pa.array(["linked"] * len(u), type=pa.string()),
+            "object_id": pa.array(v, type=pa.int64())})
+
+    rel = ds.map_batches(edges, batch_format="pyarrow")
+
+    def seed_rows(t: pa.Table) -> pa.Table:
+        v = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(v[v % 50 == 0],
+                                            type=pa.int64())})
+
+    seeds = ds.map_batches(seed_rows, batch_format="pyarrow") \
+        .unique("doc_id")
+    out = k_hop_neighbors(rel, seeds, k=2, direction="out")
+    return pa.table({
+        "entity_id": pa.array(out["entity_id"], type=pa.int64()),
+        "hop": pa.array(out["hop"], type=pa.int64())})
+
+
+KG_TWO_HOP_SQL = """
+WITH e AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM documents WHERE doc_id % 10 <> 9
+  UNION ALL
+  SELECT doc_id, doc_id + 2 FROM documents
+  WHERE doc_id % 7 = 0 AND doc_id % 10 < 8
+),
+seeds AS (SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0),
+h1 AS (
+  SELECT DISTINCT e.v AS id FROM e JOIN seeds s ON e.u = s.id
+  WHERE e.v NOT IN (SELECT id FROM seeds)
+),
+h2 AS (
+  SELECT DISTINCT e.v AS id FROM e JOIN h1 ON e.u = h1.id
+  WHERE e.v NOT IN (SELECT id FROM seeds)
+    AND e.v NOT IN (SELECT id FROM h1)
+)
+SELECT id AS entity_id, 1 AS hop FROM h1
+UNION ALL
+SELECT id, 2 FROM h2
+ORDER BY entity_id
+"""
+
+
 def markdown_strip_docs(sf_dir: str):
     """Markdown→text + frontmatter (reference MarkdownParser,
     ingestion/parsers/markdown.py): planted markdown derived from doc_id
@@ -1690,6 +1753,7 @@ QUERIES.update({
     "media_transform_docs": media_transform_docs,
     "media_frame_stats": media_frame_stats,
     "stream_snapshot_docs": stream_snapshot_docs,
+    "kg_two_hop_docs": kg_two_hop_docs,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1722,6 +1786,7 @@ ORACLE.update({
     "media_transform_docs": MEDIA_TRANSFORM_SQL,
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
+    "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,

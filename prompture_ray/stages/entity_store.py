@@ -160,21 +160,81 @@ def upsert_entities_from_mentions(ds, mention_col: str, store: EntityStore,
     return pd.concat([store.entities, new_rows], ignore_index=True)
 
 
-def neighbors_of(relations_ds, entity_ids, direction: str = "out"):
-    """Relations touching the given entity ids (reference neighbors
-    traversal): broadcast id set → vectorized membership filter over the
-    (subject_id, predicate, object_id) table."""
+def _ids_array(entity_ids):
+    """Broadcast-ready sorted array of ids (numeric → searchsorted path
+    in the membership filter, else object array for pc.is_in)."""
+    import numpy as np
+    arr = np.asarray(list(entity_ids))
+    if arr.dtype.kind in "iuf":
+        return np.sort(arr)
+    return np.asarray(sorted(set(arr.tolist())), dtype=object)
+
+
+def neighbors_of(relations_ds, entity_ids, direction: str = "out",
+                 predicate: str | None = None):
+    """Relations touching the given entity ids (reference ``neighbors``
+    traversal, kg/core.py:183-206): broadcast id array → vectorized
+    membership filter over the (subject_id, predicate, object_id) table.
+    ``direction``: "out" (subject side), "in" (object side), "both"."""
     import ray
-    ids_ref = ray.put(set(entity_ids))
-    col = "subject_id" if direction == "out" else "object_id"
+    import pyarrow.compute as pc
+    from prompture_ray.stages.dedup import _id_filter_fn
+    ids_ref = ray.put(_ids_array(entity_ids))
+    cols = {"out": ["subject_id"], "in": ["object_id"],
+            "both": ["subject_id", "object_id"]}[direction]
 
     def fn(t: pa.Table) -> pa.Table:
-        import ray as _ray
-        ids = _ray.get(ids_ref)
-        arr = t[col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        mask = pa.array([v in ids for v in arr.to_pylist()])
+        mask = None
+        for col in cols:
+            m = _id_filter_fn(t[col], ids_ref)
+            mask = m if mask is None else pc.or_(mask, m)
+        if predicate is not None:
+            mask = pc.and_(mask, pc.equal(t["predicate"], predicate))
         return t.filter(mask)
 
     return relations_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def mentions_of(mentions_ds, entity_ids):
+    """Every mention row of the given entities (reference ``mentions``,
+    kg/core.py:208-211) — vectorized broadcast-id filter."""
+    import ray
+    from prompture_ray.stages.dedup import _id_filter_fn
+    ids_ref = ray.put(_ids_array(entity_ids))
+
+    def fn(t: pa.Table) -> pa.Table:
+        return t.filter(_id_filter_fn(t["entity_id"], ids_ref))
+
+    return mentions_ds.map_batches(fn, batch_format="pyarrow")
+
+
+def k_hop_neighbors(relations_ds, seed_ids, k: int = 2,
+                    direction: str = "out"):
+    """Multi-hop graph traversal: BFS frontier expansion over the
+    relations Dataset, ``k`` rounds. Returns a pandas frame
+    ``(entity_id, hop)`` — each reached node once, at its MINIMUM hop,
+    seeds excluded.
+
+    Shape: each hop is one distributed membership filter over the edge
+    table (broadcast frontier array) + a distinct on the far column; only
+    the frontier/visited id sets live on the driver — O(reached nodes),
+    the standard BFS bound, never O(edges). For traversals whose reached
+    set outgrows the driver, the label-propagation pattern
+    (stages/dedup.components_label_propagation) is the precedent for a
+    fully distributed variant."""
+    import pandas as pd
+    if direction not in ("out", "in"):
+        raise ValueError("k_hop_neighbors: direction must be 'out' or 'in'")
+    dst = "object_id" if direction == "out" else "subject_id"
+    visited = set(seed_ids)
+    frontier = set(seed_ids)
+    rows = []
+    for hop in range(1, k + 1):
+        if not frontier:
+            break
+        edges = neighbors_of(relations_ds, frontier, direction=direction)
+        nxt = set(edges.unique(dst)) - visited
+        rows.extend((i, hop) for i in sorted(nxt))
+        visited |= nxt
+        frontier = nxt
+    return pd.DataFrame(rows, columns=["entity_id", "hop"])

@@ -74,3 +74,54 @@ def test_neighbors(ray_session):
     assert sorted(out["predicate"]) == ["founded", "works_at"]
     inc = neighbors_of(rel, ["org:openai"], direction="in").to_pandas()
     assert sorted(inc["predicate"]) == ["founded", "works_at"]
+
+
+def test_neighbors_of_directions_and_predicate(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    rel = rd.from_arrow(pa.table({
+        "subject_id": pa.array([1, 2, 3], type=pa.int64()),
+        "predicate": pa.array(["a", "b", "a"]),
+        "object_id": pa.array([2, 3, 1], type=pa.int64()),
+    }))
+    from prompture_ray.stages.entity_store import neighbors_of
+    out = neighbors_of(rel, [1], direction="out").to_pandas()
+    assert out["object_id"].tolist() == [2]
+    out = neighbors_of(rel, [1], direction="in").to_pandas()
+    assert out["subject_id"].tolist() == [3]
+    out = neighbors_of(rel, [1], direction="both").to_pandas() \
+        .sort_values("subject_id")
+    assert out["subject_id"].tolist() == [1, 3]
+    out = neighbors_of(rel, [1], direction="both",
+                       predicate="b").to_pandas()
+    assert len(out) == 0
+
+
+def test_k_hop_neighbors_min_hop(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    # 1->2->3->4, plus shortcut 1->3: node 3 is hop 1, never hop 2
+    rel = rd.from_arrow(pa.table({
+        "subject_id": pa.array([1, 2, 3, 1], type=pa.int64()),
+        "predicate": pa.array(["x"] * 4),
+        "object_id": pa.array([2, 3, 4, 3], type=pa.int64()),
+    }))
+    from prompture_ray.stages.entity_store import k_hop_neighbors
+    out = k_hop_neighbors(rel, [1], k=2, direction="out")
+    got = dict(zip(out["entity_id"], out["hop"]))
+    assert got == {2: 1, 3: 1, 4: 2}
+    out3 = k_hop_neighbors(rel, [4], k=3, direction="in")
+    got3 = dict(zip(out3["entity_id"], out3["hop"]))
+    assert got3 == {3: 1, 2: 2, 1: 2}
+
+
+def test_mentions_of(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    m = rd.from_arrow(pa.table({
+        "entity_id": pa.array([1, 2, 1], type=pa.int64()),
+        "doc_id": pa.array([10, 20, 30], type=pa.int64()),
+    }))
+    from prompture_ray.stages.entity_store import mentions_of
+    out = mentions_of(m, [1]).to_pandas().sort_values("doc_id")
+    assert out["doc_id"].tolist() == [10, 30]
