@@ -1054,6 +1054,27 @@ ORDER BY doc_id, seq, is_final
 """
 
 
+def gpt2_token_rows(sf_dir: str):
+    """LLM-budget token estimate per document: ONE vectorized RE2 pass
+    with the GPT-2 pre-tokenizer split pattern. RE2 is the regex engine
+    on both sides (pyarrow + DuckDB), so the oracle shares the exact
+    tokenizer semantics — no planted inputs needed, the REAL corpus is
+    oracle-checked."""
+    from prompture_ray.stages.textstats import add_gpt2_token_counts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = add_gpt2_token_counts(ds, "text")
+    return out.select_columns(["doc_id", "n_gpt2_tokens"])
+
+
+GPT2_TOKEN_ROWS_SQL = r"""
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'
+       ))::BIGINT AS n_gpt2_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
 def kg_two_hop_docs(sf_dir: str):
     """KG multi-hop traversal (reference neighbors walks,
     kg/core.py:183-211): planted edge table from doc_ids — chain edges
@@ -1754,6 +1775,7 @@ QUERIES.update({
     "media_frame_stats": media_frame_stats,
     "stream_snapshot_docs": stream_snapshot_docs,
     "kg_two_hop_docs": kg_two_hop_docs,
+    "gpt2_token_rows": gpt2_token_rows,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1787,6 +1809,7 @@ ORACLE.update({
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
+    "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,
@@ -2831,7 +2854,7 @@ _WINDOW_PRIORITY = [
     # (a) never driver-checked / once-failed / new this round
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
-    "stream_snapshot_docs", "kg_two_hop_docs",
+    "stream_snapshot_docs", "kg_two_hop_docs", "gpt2_token_rows",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -2850,7 +2873,7 @@ _WINDOW_PRIORITY = [
     "events_hourly", "dedup_first_events", "distinct_users",
     "ref_events_supplier", "ref_orders_customer",
     "duplicate_custkeys_in_orders", "dedup_exact_docs", "knn_embeddings",
-    "drift_events", "langid_planted_docs",
+    "drift_events",
 ]
 
 

@@ -86,6 +86,31 @@ def chunk_tokens(text: str, n_tokens: int = 256, overlap: int = 0) -> list[str]:
             for i in range(0, len(toks), step) if toks[i:i + n_tokens]]
 
 
+# Python-re equivalent of textstats.GPT2_SPLIT_RE (Python has no \p{L}:
+# [^\W\d_] = unicode letters, \d = Nd digits — \p{N}'s No/Nl characters
+# fall to the punctuation class here, a documented deviation). Every
+# character is matched by exactly one alternative, so joining the tokens
+# reproduces the text byte-for-byte.
+_GPT2_PY_RE = re.compile(
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[^\W\d_]+| ?\d+| ?(?:[^\s\w]|_)+|\s+")
+
+
+def chunk_gpt2_tokens(text: str, n_tokens: int = 256,
+                      overlap: int = 0) -> list[str]:
+    """Token-budget chunking in GPT-2 pre-tokenizer units (the reference
+    TokenChunker's budget semantics, rag/chunkers/token.py:60-75, with
+    the public split-pattern approximation instead of tiktoken). Chunks
+    concatenate to the original text when overlap=0."""
+    if not text:
+        return []
+    toks = _GPT2_PY_RE.findall(text)
+    if not toks:
+        return []
+    step = max(1, n_tokens - overlap)
+    return ["".join(toks[i:i + n_tokens]).strip()
+            for i in range(0, len(toks), step) if toks[i:i + n_tokens]]
+
+
 # "#" ... "######" with optional title — a bare "#" line is an (empty)
 # ATX heading per CommonMark and must delimit, not leak into content
 _MD_HEADER_RE = re.compile(r"^(#{1,6})(?:\s+(.*))?\s*$")
@@ -175,8 +200,8 @@ def chunk_semantic(text: str, buffer_size: int = 1,
 _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 
 CHUNKERS = {"fixed": chunk_fixed, "recursive": chunk_recursive,
-            "tokens": chunk_tokens, "markdown": chunk_markdown,
-            "semantic": chunk_semantic}
+            "tokens": chunk_tokens, "gpt2_tokens": chunk_gpt2_tokens,
+            "markdown": chunk_markdown, "semantic": chunk_semantic}
 
 
 def chunk_documents(ds, text_col: str, id_col: str, strategy: str = "recursive",

@@ -22,6 +22,16 @@ from prompture_ray.functions.sketches import hash64
 # ---------------------------------------------------------------------------
 _BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
+# GPT-2 pre-tokenizer pattern, RE2-compatible form: the published pattern
+# minus the `\s+(?!\S)` lookahead (RE2 has no lookahead; trailing
+# whitespace folds into the final \s+ alternative instead). RE2 is the
+# regex engine on BOTH sides (pyarrow and DuckDB), so engine and oracle
+# token counts agree exactly, unicode included. tiktoken itself is not in
+# this environment — this is the standard public approximation of its
+# GPT-2 split stage (merges would only LOWER counts).
+GPT2_SPLIT_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
+                 r" ?[^\s\p{L}\p{N}]+|\s+")
+
 
 def add_token_counts(ds, text_col: str = "text"):
     """Whitespace tokens + a BPE-ish regex token count, vectorized."""
@@ -31,6 +41,19 @@ def add_token_counts(ds, text_col: str = "text"):
         bpe = pc.count_substring_regex(t[text_col], _BPE_ISH)
         t = t.append_column("n_ws_tokens", pc.cast(ws, pa.int64()))
         return t.append_column("n_bpe_tokens", pc.cast(bpe, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def add_gpt2_token_counts(ds, text_col: str = "text",
+                          out_col: str = "n_gpt2_tokens"):
+    """LLM-budget token estimate: one vectorized RE2 pass with the GPT-2
+    pre-tokenizer split pattern (the reference TokenChunker's budget
+    unit, rag/chunkers/token.py — tiktoken-free approximation)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(t[text_col], GPT2_SPLIT_RE)
+        return t.append_column(out_col, pc.cast(n, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -331,3 +331,35 @@ def test_toon_roundtrip(ray_session):
     assert len(blocks) == 2
     total = sum(len(toon_decode(b)[1]) for b in blocks)
     assert total == 3
+
+
+def test_chunk_gpt2_tokens_lossless_and_budget():
+    from prompture_ray.stages.chunk import chunk_gpt2_tokens, _GPT2_PY_RE
+    text = "Hello world, it's a test! Don't stop; 42 items _now_.\nNew line."
+    # every char matched exactly once -> join reproduces the text
+    assert "".join(_GPT2_PY_RE.findall(text)) == text
+    chunks = chunk_gpt2_tokens(text, n_tokens=5)
+    assert chunks
+    toks = _GPT2_PY_RE.findall(text)
+    # all chunks except the last carry exactly 5 tokens
+    assert all(len(_GPT2_PY_RE.findall(" " + c)) <= 5 + 1 for c in chunks)
+    assert chunk_gpt2_tokens("", 5) == []
+    # overlap: consecutive chunks share tokens
+    ov = chunk_gpt2_tokens(text, n_tokens=6, overlap=2)
+    assert len(ov) >= len(chunk_gpt2_tokens(text, n_tokens=6))
+
+
+def test_gpt2_token_count_matches_duckdb():
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from prompture_ray.stages.textstats import GPT2_SPLIT_RE
+    texts = ["Hello world, it's 42 tokens-ish! Ünïcøde tëst.", "",
+             "a  b\n\nc", "don't stop", "  leading and trailing  "]
+    eng = pc.count_substring_regex(pa.array(texts), GPT2_SPLIT_RE) \
+        .to_pylist()
+    con = duckdb.connect()
+    sql = [r[0] for r in con.execute(
+        "SELECT len(regexp_extract_all(t, ?)) "
+        "FROM (SELECT unnest(?) AS t)", [GPT2_SPLIT_RE, texts]).fetchall()]
+    assert eng == sql
