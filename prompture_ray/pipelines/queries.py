@@ -1054,6 +1054,40 @@ ORDER BY doc_id, seq, is_final
 """
 
 
+def running_sum_events(sf_dir: str):
+    """Per-key running sum in the hot-key-safe bucketed form
+    (windows.running_aggregate_bucketed): group size bounded by
+    key × day, offsets joined back distributed. Values are summed in
+    exact integer cents so the per-row oracle is association-order-free
+    (the q1 integer-units trick; no (user_id, ts) ties in the data)."""
+    from prompture_ray.stages.windows import running_aggregate_bucketed
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "cents": cents})
+
+    out = running_aggregate_bucketed(ds.map_batches(
+        to_cents, batch_format="pyarrow"), "user_id", "ts", "cents")
+    return out.map_batches(
+        lambda t: pa.table({
+            "event_id": pc.cast(t["event_id"], pa.int64()),
+            "running_cents": pc.cast(t["running_sum"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+RUNNING_SUM_SQL = """
+SELECT event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts
+         ROWS UNBOUNDED PRECEDING)::BIGINT AS running_cents
+FROM events ORDER BY event_id
+"""
+
+
 def gpt2_token_rows(sf_dir: str):
     """LLM-budget token estimate per document: ONE vectorized RE2 pass
     with the GPT-2 pre-tokenizer split pattern. RE2 is the regex engine
@@ -1776,6 +1810,7 @@ QUERIES.update({
     "stream_snapshot_docs": stream_snapshot_docs,
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
+    "running_sum_events": running_sum_events,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1810,6 +1845,7 @@ ORACLE.update({
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
+    "running_sum_events": RUNNING_SUM_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,
@@ -2855,6 +2891,7 @@ _WINDOW_PRIORITY = [
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
     "stream_snapshot_docs", "kg_two_hop_docs", "gpt2_token_rows",
+    "running_sum_events",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -2873,7 +2910,6 @@ _WINDOW_PRIORITY = [
     "events_hourly", "dedup_first_events", "distinct_users",
     "ref_events_supplier", "ref_orders_customer",
     "duplicate_custkeys_in_orders", "dedup_exact_docs", "knn_embeddings",
-    "drift_events",
 ]
 
 

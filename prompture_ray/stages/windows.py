@@ -93,6 +93,79 @@ def running_aggregate(ds, key_col: str, ts_col: str, value_col: str):
     return ds.groupby(key_col).map_groups(run, batch_format="pandas")
 
 
+def running_aggregate_bucketed(ds, key_col: str, ts_col: str,
+                               value_col: str,
+                               bucket: "pd.Timedelta | str" = "1d"):
+    """Hot-key-safe per-key running sum: the plain ``running_aggregate``
+    holds one key's entire history in a single pandas group. This form
+    bounds group size by (key × coarse time bucket):
+
+    phase 1 — groupby (key, bucket): local cumsum inside each bucket,
+    emitting one (key, bucket, bucket_sum) summary row per group;
+    phase 2 — groupby (key) over the SUMMARY rows only (buckets per key
+    ≪ rows per key): exclusive prefix-sum → an offset per (key, bucket);
+    phase 3 — hash-bucketed join of data rows × offsets on the combined
+    (key, bucket) id, then one vectorized add. No driver state at any
+    phase — the offsets stay a Dataset.
+
+    Ties within (key, ts) accumulate in input order inside a bucket like
+    the plain form. Equality against ``running_aggregate`` is pinned by
+    test; the oracle is a SQL window cumsum."""
+    from prompture_ray.stages.joins import bucketed_equi_join
+    bucket_td = pd.Timedelta(bucket)
+    bucket_us = int(bucket_td.total_seconds() * 1e6)
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        b = pc.multiply(pc.divide(us, bucket_us), bucket_us)
+        t = t.append_column("__bucket", b)
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kb = pc.binary_join_element_wise(
+            pc.cast(key, pa.string()), pc.cast(b, pa.string()), "|")
+        return t.append_column("__kb", kb)
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="mergesort").copy()
+        g["__local_cum"] = g[value_col].cumsum()
+        g["__bucket_sum"] = float(g[value_col].sum())
+        return g
+
+    part = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby([key_col, "__bucket"]) \
+        .map_groups(local, batch_format="pandas").materialize()
+
+    # phase 2: summary rows only — one per (key, bucket)
+    sums = part.groupby([key_col, "__bucket"]).map_groups(
+        lambda g: g.head(1)[[key_col, "__bucket", "__kb", "__bucket_sum"]],
+        batch_format="pandas")
+
+    def prefix(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__bucket", kind="mergesort").copy()
+        g["__offset"] = g["__bucket_sum"].cumsum() - g["__bucket_sum"]
+        return g[["__kb", "__offset"]]
+
+    offs = sums.groupby(key_col).map_groups(prefix, batch_format="pandas")
+
+    # phase 3: join offsets back and add (one narrow shuffle each side)
+    joined = bucketed_equi_join(
+        part, offs, key="__kb",
+        left_cols=[c for c in part.schema().names
+                   if c not in ("__bucket", "__bucket_sum")],
+        right_cols=["__kb", "__offset"])
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["running_sum"] = b["__local_cum"] + b["__offset"]
+        return b.drop(columns=["__kb", "__local_cum", "__offset"])
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
 def session_windows_bucketed(ds, key_col: str, ts_col: str,
                              gap: "pd.Timedelta | str" = "30min",
                              bucket: "pd.Timedelta | str" = "1d"):

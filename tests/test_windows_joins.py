@@ -381,3 +381,30 @@ def test_bucketed_equi_join_mixed_key_dtypes(ray_session):
                                n_buckets=8).to_pandas() \
         .sort_values("k", ignore_index=True)
     assert sorted(out["rv"].tolist()) == ["X", "Y"]
+
+
+def test_running_aggregate_bucketed_equals_plain(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.windows import (
+        running_aggregate, running_aggregate_bucketed)
+    rng = np.random.RandomState(13)
+    rows = []
+    base = pd.Timestamp("2024-04-01")
+    eid = 0
+    for uid in range(8):
+        t = base
+        for _ in range(rng.randint(15, 50)):
+            t = t + pd.Timedelta(minutes=int(rng.choice([7, 90, 700])))
+            rows.append({"eid": eid, "user_id": uid, "ts": t,
+                         "value": int(rng.randint(1, 100))})
+            eid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows).sample(frac=1.0, random_state=2))
+    plain = running_aggregate(ds, "user_id", "ts", "value") \
+        .to_pandas().sort_values("eid", ignore_index=True)
+    bucketed = running_aggregate_bucketed(ds, "user_id", "ts", "value",
+                                          bucket="6h") \
+        .to_pandas().sort_values("eid", ignore_index=True)
+    assert plain["running_sum"].tolist() == \
+        bucketed["running_sum"].tolist()
