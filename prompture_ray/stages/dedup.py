@@ -476,9 +476,16 @@ def _score_pairs_bucketed(cand, sig_ds, n_perm: int, threshold: float,
     """Distributed pair scoring: two hash-bucketed equi-joins attach
     sig_a / sig_b to each candidate pair, then a vectorized agreement
     kernel computes est_jaccard. No driver-held signature map — the
-    VERDICT-r3 scale fix (pairs × sig rows join on id)."""
+    VERDICT-r3 scale fix (pairs × sig rows join on id).
+
+    ``sig_ds`` (candidate rows only — sparse) and the first join are
+    materialized: the joins probe ``.schema()`` on their inputs, and an
+    unmaterialized input would re-run the full corpus signature scan
+    once per probe plus once per execution (measured 3× the scan cost).
+    """
     from prompture_ray.stages.joins import bucketed_equi_join
 
+    sig_ds = sig_ds.materialize()
     sig_a = sig_ds.map_batches(
         lambda t: pa.table({"id_a": t["id"], "sig_a": t["sig"]}),
         batch_format="pyarrow")
@@ -486,7 +493,7 @@ def _score_pairs_bucketed(cand, sig_ds, n_perm: int, threshold: float,
         lambda t: pa.table({"id_b": t["id"], "sig_b": t["sig"]}),
         batch_format="pyarrow")
     j1 = bucketed_equi_join(cand, sig_a, key="id_a",
-                            n_buckets=n_buckets)
+                            n_buckets=n_buckets).materialize()
     j2 = bucketed_equi_join(j1, sig_b, key="id_b",
                             n_buckets=n_buckets)
 
