@@ -1004,6 +1004,64 @@ FROM f ORDER BY doc_id, frame_idx
 """
 
 
+def media_jpeg_stats(sf_dir: str):
+    """REAL baseline-JPEG decode (pure numpy codec, stages/jpeg.py —
+    huffman + dequant + IDCT, no Pillow): planted solid-gray JPEGs with
+    dims/value/quant derived from doc_id. The decoded gray level is the
+    documented closed form clip(floor((QDC*q + 1028)/8), 0, 255) with
+    QDC = floor(8*(v-128)/q + 0.5) — reproduced verbatim in SQL."""
+    from prompture_ray.stages.jpeg import synth_jpeg_gray
+    from prompture_ray.stages.multimodal import ImageDecodeStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [synth_jpeg_gray(9 + i % 10, 5 + i % 7,
+                                    (i * 13) % 256, 8 + 8 * (i % 3))
+                    for i in ids]
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(ImageDecodeStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=128)
+
+    def project(t: pa.Table) -> pa.Table:
+        # dominant intensity bin of a solid gray image = value >> 4
+        feats = t["features"].to_pylist()
+        top = [int(np.argmax(f)) for f in feats]
+        return pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "top_bin": pa.array(top, type=pa.int64()),
+        })
+
+    return out.map_batches(project, batch_format="pyarrow")
+
+
+# decoded solid-gray value: QDC = floor(8*(v-128)/q + 0.5);
+# out = clip(floor((QDC*q + 1028)/8), 0, 255); top_bin = out // 16
+MEDIA_JPEG_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (doc_id * 13) % 256 AS v,
+         8 + 8 * (doc_id % 3) AS q
+  FROM documents
+), d AS (
+  SELECT doc_id,
+         CAST(floor(8.0 * (v - 128) / q + 0.5) AS BIGINT) AS qdc, q
+  FROM p
+)
+SELECT doc_id,
+       9 + doc_id % 10 AS width,
+       5 + doc_id % 7 AS height,
+       least(greatest(CAST(floor((qdc * q + 1028) / 8.0) AS BIGINT), 0),
+             255) // 16 AS top_bin
+FROM d ORDER BY doc_id
+"""
+
+
 def stream_snapshot_docs(sf_dir: str):
     """Emit-on-change streaming snapshots (reference stream_extract,
     extraction/streaming.py:215-306): planted per-doc delta sequences
@@ -1808,6 +1866,7 @@ QUERIES.update({
     "media_transform_docs": media_transform_docs,
     "media_frame_stats": media_frame_stats,
     "stream_snapshot_docs": stream_snapshot_docs,
+    "media_jpeg_stats": media_jpeg_stats,
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
@@ -1843,6 +1902,7 @@ ORACLE.update({
     "media_transform_docs": MEDIA_TRANSFORM_SQL,
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
+    "media_jpeg_stats": MEDIA_JPEG_SQL,
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
@@ -2890,8 +2950,8 @@ _WINDOW_PRIORITY = [
     # (a) never driver-checked / once-failed / new this round
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
-    "stream_snapshot_docs", "kg_two_hop_docs", "gpt2_token_rows",
-    "running_sum_events",
+    "stream_snapshot_docs", "media_jpeg_stats", "kg_two_hop_docs",
+    "gpt2_token_rows", "running_sum_events",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -2909,7 +2969,7 @@ _WINDOW_PRIORITY = [
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
     "events_hourly", "dedup_first_events", "distinct_users",
     "ref_events_supplier", "ref_orders_customer",
-    "duplicate_custkeys_in_orders", "dedup_exact_docs", "knn_embeddings",
+    "duplicate_custkeys_in_orders", "dedup_exact_docs",
 ]
 
 

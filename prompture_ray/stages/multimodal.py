@@ -244,9 +244,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         return decode_ppm(payload)
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from prompture_ray.stages.jpeg import decode_jpeg
+        return decode_jpeg(payload)      # RGB (or HxWx1 grayscale)
     raise ValueError(
-        "unsupported image format (BMP/PPM/PNG supported; JPEG needs "
-        "Pillow, unavailable in this environment)")
+        "unsupported image format (BMP/PPM/PNG/baseline-JPEG supported)")
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -385,7 +387,8 @@ class ImageResizeStage:
             yi = (np.arange(nh) * h) // nh
             xi = (np.arange(nw) * w) // nw
             small = px[yi][:, xi]
-            if p[:8] == _PNG_MAGIC:                 # RGB(A)/gray → BGR
+            if p[:8] == _PNG_MAGIC or p[:2] == b"\xff\xd8":
+                # RGB(A)/gray-ordered sources (PNG, JPEG) → BGR
                 if small.shape[2] == 4:
                     small = small[..., :3]
                 elif small.shape[2] == 2:
@@ -455,10 +458,11 @@ def _apply_pixel_ops(px: np.ndarray, ops) -> np.ndarray:
 
 class ImageTransformStage:
     """Actor-pool stage: image payload → transformed payload (same
-    container: BMP→BMP, PPM→PPM, PNG→PNG) + output mean intensity.
-    Real pixel math on the stdlib codecs — the pixel-transform operator
-    a training-data pipeline runs before feature extraction (negative /
-    brightness / contrast normalization)."""
+    container: BMP→BMP, PPM→PPM, PNG→PNG; lossy JPEG input is
+    re-encoded LOSSLESS as PNG so the transform is applied exactly once)
+    + output mean intensity. Real pixel math on the stdlib codecs — the
+    pixel-transform operator a training-data pipeline runs before
+    feature extraction (negative / brightness / contrast)."""
 
     def __init__(self, payload_col: str = "payload",
                  ops=(("negative",),)):

@@ -1,0 +1,102 @@
+"""Baseline JPEG codec: closed-form solid-gray arithmetic, near-lossless
+round-trips at quant=1, format guards, dispatch integration."""
+
+import numpy as np
+import pytest
+
+from prompture_ray.stages import jpeg as J
+from prompture_ray.stages import multimodal as mm
+
+
+def test_solid_gray_closed_form_sweep():
+    for v in range(0, 256, 7):
+        for q in (1, 7, 16, 50, 255):
+            payload = J.synth_jpeg_gray(13, 9, v, q)
+            w, h, c, px = J.decode_jpeg(payload)
+            assert (w, h, c) == (13, 9, 1)
+            assert (px == J.jpeg_solid_gray_decoded_value(v, q)).all(), \
+                (v, q)
+
+
+def test_gray_roundtrip_near_lossless_q1():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(24, 17)).astype(np.uint8)
+    payload = J.encode_jpeg(img, quant=np.ones(64, dtype=np.int64))
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (17, 24, 1)
+    assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_roundtrip_q1():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(16, 19, 3)).astype(np.uint8)
+    payload = J.encode_jpeg(img, quant=np.ones(64, dtype=np.int64))
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h, c) == (19, 16, 3)
+    # YCbCr round-trip + DCT rounding bound
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_non_multiple_of_8_crop_and_padding():
+    img = np.tile(np.arange(100, 121, dtype=np.uint8), (5, 1))  # 5x21
+    payload = J.encode_jpeg(img, quant=np.ones(64, dtype=np.int64))
+    w, h, c, px = J.decode_jpeg(payload)
+    assert (w, h) == (21, 5)
+    assert np.abs(px[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+def test_unsupported_formats_rejected():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        J.decode_jpeg(b"\x00\x01")
+    # progressive SOF2 marker stream
+    bogus = (b"\xff\xd8\xff\xc2\x00\x0b" + bytes([8]) + b"\x00\x08\x00\x08"
+             + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg(bogus + b"\xff\xd9")
+    with pytest.raises(ValueError, match="quant"):
+        J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8),
+                      quant=np.zeros(64, dtype=np.int64))
+
+
+def test_decode_image_dispatch_jpeg():
+    payload = J.synth_jpeg_gray(11, 6, 77, 16)
+    w, h, c, px = mm.decode_image(payload)
+    assert (w, h, c) == (11, 6, 1)
+    img3 = np.full((8, 8, 3), 90, dtype=np.uint8)
+    payload3 = J.encode_jpeg(img3, quant=np.ones(64, dtype=np.int64))
+    w, h, c, px3 = mm.decode_image(payload3)
+    assert (w, h, c) == (8, 8, 3)
+    assert np.abs(px3.astype(int) - 90).max() <= 3
+
+
+def test_image_decode_stage_real_jpeg(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    t = pa.table({
+        "media_id": pa.array(["j1", "j2"]),
+        "payload": pa.array([J.synth_jpeg_gray(16, 8, 200, 16),
+                             J.synth_jpeg_gray(9, 9, 40, 16)],
+                            type=pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        mm.ImageDecodeStage("payload", decoder="real"),
+        batch_format="pyarrow").to_pandas().sort_values("media_id")
+    assert out["width"].tolist() == [16, 9]
+    assert out["height"].tolist() == [8, 9]
+
+
+def test_resize_stage_real_jpeg(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    big = np.full((32, 48, 3), 120, dtype=np.uint8)
+    t = pa.table({
+        "media_id": pa.array(["v"]),
+        "payload": pa.array([J.encode_jpeg(big)], type=pa.binary()),
+    })
+    out = rd.from_arrow(t).map_batches(
+        mm.ImageResizeStage("payload", max_w=16, max_h=16, decoder="real"),
+        batch_format="pyarrow").to_pandas()
+    assert out["width"].iloc[0] == 16
+    assert out["height"].iloc[0] <= 16
+    px = mm.decode_bmp(out["payload"].iloc[0])[3]
+    assert np.abs(px.astype(int) - 120).max() <= 3
