@@ -253,9 +253,15 @@ def _blocks_of(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, H // 8, W // 8
 
 
-def _encode_plane_coeffs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
-    """plane → (n_blocks, 64) zigzagged quantized coefficients."""
-    blocks, _, _ = _blocks_of(plane)
+def _encode_plane_coeffs(plane: np.ndarray, quant: np.ndarray,
+                         grid_h: int, grid_w: int) -> np.ndarray:
+    """plane → (grid_h*grid_w, 64) zigzagged quantized coefficients,
+    edge-padded to the MCU-aligned (grid_h*8, grid_w*8) raster."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, grid_h * 8 - h), (0, grid_w * 8 - w)),
+                    mode="edge")
+    blocks = padded.reshape(grid_h, 8, grid_w, 8).swapaxes(1, 2) \
+        .reshape(-1, 8, 8)
     shifted = blocks.astype(np.float64) - 128.0
     coeffs = _snap(np.einsum("ux,nxy,vy->nuv", _C, shifted, _C))
     # quant arrives in zigzag order (like DQT); map to natural order
@@ -263,6 +269,16 @@ def _encode_plane_coeffs(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
     qnat[ZIGZAG] = quant
     quantized = _round_half_up(coeffs / qnat.reshape(8, 8)).astype(np.int64)
     return quantized.reshape(-1, 64)[:, ZIGZAG]
+
+
+def _downsample2(plane: np.ndarray) -> np.ndarray:
+    """2×2 mean downsample (edge-padded to even dims), floor(x+0.5)."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, h % 2), (0, w % 2)), mode="edge") \
+        .astype(np.float64)
+    m = (padded[0::2, 0::2] + padded[0::2, 1::2]
+         + padded[1::2, 0::2] + padded[1::2, 1::2]) / 4.0
+    return np.clip(_round_half_up(m), 0, 255).astype(np.uint8)
 
 
 def _entropy_symbols(zz: np.ndarray, prev_dc: int):
@@ -289,36 +305,57 @@ def _entropy_symbols(zz: np.ndarray, prev_dc: int):
     return (s, bits), ac, int(zz[0])
 
 
-def encode_jpeg(px: np.ndarray, quant=None) -> bytes:
+def encode_jpeg(px: np.ndarray, quant=None, subsample: str = "444") -> bytes:
     """HxW uint8 grayscale or HxWx3 uint8 RGB → baseline JFIF bytes.
     ``quant``: 64 zigzag-order quantization values (1..255), shared by
-    every component (keeps the planted-oracle arithmetic one-table)."""
+    every component (keeps the planted-oracle arithmetic one-table).
+    ``subsample``: "444" (default) or "420" (2×2-mean chroma — the
+    layout virtually every web JPEG uses)."""
     quant = np.asarray(quant if quant is not None else DEFAULT_QUANT,
                        dtype=np.int64)
     if quant.shape != (64,) or quant.min() < 1 or quant.max() > 255:
         raise ValueError("quant must be 64 zigzag values in 1..255")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
-        planes = [px]
+        planes = [(px, 1, 1)]
     else:
         ycc = rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsample == "420":
+            planes = [(ycc[..., 0], 2, 2),
+                      (_downsample2(ycc[..., 1]), 1, 1),
+                      (_downsample2(ycc[..., 2]), 1, 1)]
+        else:
+            planes = [(ycc[..., 0], 1, 1), (ycc[..., 1], 1, 1),
+                      (ycc[..., 2], 1, 1)]
+    hmax = max(p[1] for p in planes)
+    vmax = max(p[2] for p in planes)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = [(mh * vi, mw * hi) for _p, hi, vi in planes]
+    coeff = [_encode_plane_coeffs(p, quant, gh, gw)
+             for (p, _hi, _vi), (gh, gw) in zip(planes, grids)]
 
-    coeff = [_encode_plane_coeffs(p, quant) for p in planes]
-    n_blocks = coeff[0].shape[0]
-
-    # first pass: collect used symbols per table class (flat tables)
+    # first pass: collect used symbols per table class (flat tables),
+    # emitting blocks in interleaved MCU order (vi×hi blocks per comp)
     dc_syms, ac_syms = set(), set()
-    streams = []                                 # per block per comp
+    streams = []
     prev = [0] * len(planes)
-    for b in range(n_blocks):
-        for ci in range(len(planes)):
-            (s, bits), ac, dc_now = _entropy_symbols(coeff[ci][b], prev[ci])
-            prev[ci] = dc_now
-            dc_syms.add(s)
-            ac_syms.update(sym for sym, _, _ in ac)
-            streams.append((ci, (s, bits), ac))
+    for my in range(mh):
+        for mx in range(mw):
+            for ci, (_p, hi, vi) in enumerate(planes):
+                gw = grids[ci][1]
+                for v_ in range(vi):
+                    for u in range(hi):
+                        b = (my * vi + v_) * gw + (mx * hi + u)
+                        (s, bits), ac, dc_now = _entropy_symbols(
+                            coeff[ci][b], prev[ci])
+                        prev[ci] = dc_now
+                        dc_syms.add(s)
+                        ac_syms.update(sym for sym, _, _ in ac)
+                        streams.append((ci, (s, bits), ac))
     dc_bits, dc_list = _flat_table(dc_syms)
     ac_bits, ac_list = _flat_table(ac_syms)
     dc_codes = _canonical_codes(dc_bits, dc_list)
@@ -342,11 +379,11 @@ def encode_jpeg(px: np.ndarray, quant=None) -> bytes:
     out = bytearray(b"\xff\xd8")                              # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in quant))
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
         + bytes([ncomp])
-    for cid in range(1, ncomp + 1):
-        sof += bytes([cid, 0x11, 0])            # 1x1 sampling, table 0
+    for cid, (_p, hi, vi) in enumerate(planes, start=1):
+        sof += bytes([cid, (hi << 4) | vi, 0])  # sampling, quant table 0
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits)
                + bytes(dc_list))                # DC table 0
@@ -412,10 +449,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             comps = []
             for i in range(nc):
                 cid, samp, tq = data[6 + 3 * i:9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
-                        "chroma subsampling unsupported (4:4:4 only)")
-                comps.append({"id": cid, "tq": tq})
+                        f"unsupported sampling factors {hi}x{vi} "
+                        "(1-2 each supported: 4:4:4, 4:2:2, 4:2:0)")
+                comps.append({"id": cid, "tq": tq, "hi": hi, "vi": vi})
         elif marker == 0xC4:
             p = 0
             while p < len(data):
@@ -440,9 +479,12 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         raise ValueError("JPEG missing SOF0/SOS")
 
     nc = len(comps)
-    bh, bw = (h + 7) // 8, (w + 7) // 8
-    n_blocks = bh * bw
-    planes = [np.zeros((bh * 8, bw * 8), dtype=np.uint8) for _ in range(nc)]
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mh * c["vi"] * 8, mw * c["hi"] * 8),
+                       dtype=np.uint8) for c in comps]
     rdr = _BitReader(payload, pos)
     prev = [0] * nc
     qnat = []
@@ -452,45 +494,59 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         qn[ZIGZAG] = qz
         qnat.append(qn.reshape(8, 8))
 
-    for b in range(n_blocks):
-        if restart_interval and b and b % restart_interval == 0:
-            rdr.align_restart()
-            prev = [0] * nc
-        by, bx = divmod(b, bw)
-        for ci in range(nc):
-            sc = scan_comps[ci]
-            zz = np.zeros(64, dtype=np.int64)
-            s = _read_symbol(rdr, huff[(0, sc["dc"])])
-            diff = _extend(rdr.read(s), s) if s else 0
-            prev[ci] += diff
-            zz[0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(rdr, huff[(1, sc["ac"])])
-                if sym == 0x00:                 # EOB
-                    break
-                run, sz = sym >> 4, sym & 0xF
-                if sz == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16                     # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(rdr.read(sz), sz)
-                k += 1
-            coeff = np.zeros(64, dtype=np.float64)
-            coeff[ZIGZAG] = zz
-            block = _snap(_C.T @ (coeff.reshape(8, 8) * qnat[ci]) @ _C)
-            sample = np.clip(_round_half_up(block + 128.0), 0, 255) \
-                .astype(np.uint8)
-            planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = sample
+    def read_block(ci: int) -> np.ndarray:
+        sc = scan_comps[ci]
+        zz = np.zeros(64, dtype=np.int64)
+        s = _read_symbol(rdr, huff[(0, sc["dc"])])
+        diff = _extend(rdr.read(s), s) if s else 0
+        prev[ci] += diff
+        zz[0] = prev[ci]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(rdr, huff[(1, sc["ac"])])
+            if sym == 0x00:                     # EOB
+                break
+            run, sz = sym >> 4, sym & 0xF
+            if sz == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16                         # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC run overflows block")
+            zz[k] = _extend(rdr.read(sz), sz)
+            k += 1
+        coeff = np.zeros(64, dtype=np.float64)
+        coeff[ZIGZAG] = zz
+        block = _snap(_C.T @ (coeff.reshape(8, 8) * qnat[ci]) @ _C)
+        return np.clip(_round_half_up(block + 128.0), 0, 255) \
+            .astype(np.uint8)
 
-    cropped = [p[:h, :w] for p in planes]
+    mcu = 0
+    for my in range(mh):
+        for mx in range(mw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                rdr.align_restart()
+                prev = [0] * nc
+            mcu += 1
+            for ci, c in enumerate(comps):
+                for v_ in range(c["vi"]):
+                    for u in range(c["hi"]):
+                        by, bx = my * c["vi"] + v_, mx * c["hi"] + u
+                        planes[ci][by * 8:(by + 1) * 8,
+                                   bx * 8:(bx + 1) * 8] = read_block(ci)
+
+    # upsample subsampled planes by pixel replication, crop to (h, w)
+    full = []
+    for p, c in zip(planes, comps):
+        fy, fx = vmax // c["vi"], hmax // c["hi"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        full.append(p[:h, :w])
     if nc == 1:
-        return w, h, 1, cropped[0][:, :, None]
-    ycc = np.stack(cropped, axis=-1)
+        return w, h, 1, full[0][:, :, None]
+    ycc = np.stack(full, axis=-1)
     return w, h, 3, ycbcr_to_rgb(ycc)
 
 

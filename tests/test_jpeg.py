@@ -100,3 +100,34 @@ def test_resize_stage_real_jpeg(ray_session):
     assert out["height"].iloc[0] <= 16
     px = mm.decode_bmp(out["payload"].iloc[0])[3]
     assert np.abs(px.astype(int) - 120).max() <= 3
+
+
+def test_420_subsampled_roundtrip():
+    # solid color: constant chroma subsamples exactly
+    img = np.full((20, 22, 3), [90, 140, 60], dtype=np.uint8)
+    p = J.encode_jpeg(img, quant=np.ones(64, dtype=np.int64),
+                      subsample="420")
+    w, h, c, px = J.decode_jpeg(p)
+    assert (w, h, c) == (22, 20, 3)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+    # odd dimensions exercise MCU padding + chroma edge padding
+    img2 = np.full((9, 11, 3), [10, 200, 100], dtype=np.uint8)
+    p2 = J.encode_jpeg(img2, quant=np.ones(64, dtype=np.int64),
+                       subsample="420")
+    w, h, c, px2 = J.decode_jpeg(p2)
+    assert (w, h) == (11, 9)
+    assert np.abs(px2.astype(int) - img2.astype(int)).max() <= 3
+    # smooth gradients: bounded by chroma-replication loss
+    yy, xx = np.mgrid[0:32, 0:24]
+    img3 = np.stack([(yy * 4) % 256, (xx * 5) % 256,
+                     ((xx + yy) * 3) % 256], axis=-1).astype(np.uint8)
+    p3 = J.encode_jpeg(img3, quant=np.ones(64, dtype=np.int64),
+                       subsample="420")
+    _, _, _, px3 = J.decode_jpeg(p3)
+    assert np.abs(px3.astype(int) - img3.astype(int)).max() <= 8
+
+
+def test_bad_subsample_arg():
+    with pytest.raises(ValueError, match="subsample"):
+        J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
+                      subsample="422")
