@@ -281,6 +281,15 @@ def _downsample2(plane: np.ndarray) -> np.ndarray:
     return np.clip(_round_half_up(m), 0, 255).astype(np.uint8)
 
 
+def _downsample_h(plane: np.ndarray) -> np.ndarray:
+    """Horizontal 1×2 mean downsample (4:2:2 chroma), floor(x+0.5)."""
+    h, w = plane.shape
+    padded = np.pad(plane, ((0, 0), (0, w % 2)), mode="edge") \
+        .astype(np.float64)
+    m = (padded[:, 0::2] + padded[:, 1::2]) / 2.0
+    return np.clip(_round_half_up(m), 0, 255).astype(np.uint8)
+
+
 def _entropy_symbols(zz: np.ndarray, prev_dc: int):
     """One block's zigzag coeffs → (dc_sym, dc_bits), [(ac_sym, bits)]."""
     dc_diff = int(zz[0]) - prev_dc
@@ -309,14 +318,14 @@ def encode_jpeg(px: np.ndarray, quant=None, subsample: str = "444") -> bytes:
     """HxW uint8 grayscale or HxWx3 uint8 RGB → baseline JFIF bytes.
     ``quant``: 64 zigzag-order quantization values (1..255), shared by
     every component (keeps the planted-oracle arithmetic one-table).
-    ``subsample``: "444" (default) or "420" (2×2-mean chroma — the
-    layout virtually every web JPEG uses)."""
+    ``subsample``: "444" (default), "420" (2×2-mean chroma — the layout
+    virtually every web JPEG uses) or "422" (horizontal-only)."""
     quant = np.asarray(quant if quant is not None else DEFAULT_QUANT,
                        dtype=np.int64)
     if quant.shape != (64,) or quant.min() < 1 or quant.max() > 255:
         raise ValueError("quant must be 64 zigzag values in 1..255")
-    if subsample not in ("444", "420"):
-        raise ValueError("subsample must be '444' or '420'")
+    if subsample not in ("444", "420", "422"):
+        raise ValueError("subsample must be '444', '420' or '422'")
     gray = px.ndim == 2
     h, w = px.shape[:2]
     if gray:
@@ -327,6 +336,10 @@ def encode_jpeg(px: np.ndarray, quant=None, subsample: str = "444") -> bytes:
             planes = [(ycc[..., 0], 2, 2),
                       (_downsample2(ycc[..., 1]), 1, 1),
                       (_downsample2(ycc[..., 2]), 1, 1)]
+        elif subsample == "422":
+            planes = [(ycc[..., 0], 2, 1),
+                      (_downsample_h(ycc[..., 1]), 1, 1),
+                      (_downsample_h(ycc[..., 2]), 1, 1)]
         else:
             planes = [(ycc[..., 0], 1, 1), (ycc[..., 1], 1, 1),
                       (ycc[..., 2], 1, 1)]

@@ -130,4 +130,13 @@ def test_420_subsampled_roundtrip():
 def test_bad_subsample_arg():
     with pytest.raises(ValueError, match="subsample"):
         J.encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8),
+                      subsample="411")
+
+
+def test_422_subsampled_roundtrip():
+    img = np.full((10, 13, 3), [55, 180, 220], dtype=np.uint8)
+    p = J.encode_jpeg(img, quant=np.ones(64, dtype=np.int64),
                       subsample="422")
+    w, h, c, px = J.decode_jpeg(p)
+    assert (w, h, c) == (13, 10, 3)
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
