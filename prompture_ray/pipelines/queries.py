@@ -1062,6 +1062,60 @@ FROM d ORDER BY doc_id
 """
 
 
+def media_gif_frames(sf_dir: str):
+    """REAL animated-GIF decode (pure-Python LZW codec, stages/gif.py):
+    planted multi-frame solid-gray GIFs — GIF is LOSSLESS over its
+    palette, so every sampled frame's mean intensity equals the planted
+    gray exactly; the 4-even frame-sampling rule is the same closed form
+    as media_frame_stats."""
+    from prompture_ray.stages.gif import synth_gif
+    from prompture_ray.stages.multimodal import FrameSampleStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            nf = 2 + i % 5
+            g = [(i * 9 + j * 17) % 256 for j in range(nf)]
+            payloads.append(synth_gif(3 + i % 6, 2 + i % 4,
+                                      [(v, v, v) for v in g]))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(FrameSampleStage("payload", n_frames=4,
+                                          decoder="real",
+                                          id_type=pa.int64()),
+                         batch_format="pyarrow", batch_size=128)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "frame_idx": pc.cast(t["frame_idx"], pa.int64()),
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+            "mean_intensity": t["mean_intensity"],
+        }), batch_format="pyarrow")
+
+
+MEDIA_GIF_FRAMES_SQL = """
+WITH n AS (SELECT doc_id, 2 + doc_id % 5 AS nf FROM documents),
+f AS (
+  SELECT n.doc_id, n.nf, r.range AS j
+  FROM n, range(0, 4) r
+  WHERE r.range < least(n.nf, 4)
+)
+SELECT doc_id,
+       CASE WHEN nf <= 4 THEN j ELSE (j * nf) // 4 END AS frame_idx,
+       3 + doc_id % 6 AS width,
+       2 + doc_id % 4 AS height,
+       CAST((doc_id * 9
+             + (CASE WHEN nf <= 4 THEN j ELSE (j * nf) // 4 END) * 17)
+            % 256 AS DOUBLE) AS mean_intensity
+FROM f ORDER BY doc_id, frame_idx
+"""
+
+
 def stream_snapshot_docs(sf_dir: str):
     """Emit-on-change streaming snapshots (reference stream_extract,
     extraction/streaming.py:215-306): planted per-doc delta sequences
@@ -1867,6 +1921,7 @@ QUERIES.update({
     "media_frame_stats": media_frame_stats,
     "stream_snapshot_docs": stream_snapshot_docs,
     "media_jpeg_stats": media_jpeg_stats,
+    "media_gif_frames": media_gif_frames,
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
@@ -1903,6 +1958,7 @@ ORACLE.update({
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
     "media_jpeg_stats": MEDIA_JPEG_SQL,
+    "media_gif_frames": MEDIA_GIF_FRAMES_SQL,
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
@@ -2950,8 +3006,8 @@ _WINDOW_PRIORITY = [
     # (a) never driver-checked / once-failed / new this round
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
-    "stream_snapshot_docs", "media_jpeg_stats", "kg_two_hop_docs",
-    "gpt2_token_rows", "running_sum_events",
+    "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
+    "kg_two_hop_docs", "gpt2_token_rows", "running_sum_events",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -2969,7 +3025,7 @@ _WINDOW_PRIORITY = [
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
     "events_hourly", "dedup_first_events", "distinct_users",
     "ref_events_supplier", "ref_orders_customer",
-    "duplicate_custkeys_in_orders", "dedup_exact_docs",
+    "duplicate_custkeys_in_orders",
 ]
 
 

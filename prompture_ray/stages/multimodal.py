@@ -247,8 +247,13 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     if payload[:2] == b"\xff\xd8":
         from prompture_ray.stages.jpeg import decode_jpeg
         return decode_jpeg(payload)      # RGB (or HxWx1 grayscale)
+    if payload[:4] == b"GIF8":
+        from prompture_ray.stages.gif import decode_gif
+        w, h, frames = decode_gif(payload)
+        return w, h, 3, frames[0]        # first frame, RGB
     raise ValueError(
-        "unsupported image format (BMP/PPM/PNG/baseline-JPEG supported)")
+        "unsupported image format (BMP/PPM/PNG/baseline-JPEG/GIF "
+        "supported)")
 
 
 def encode_bmp(px: np.ndarray) -> bytes:
@@ -387,8 +392,9 @@ class ImageResizeStage:
             yi = (np.arange(nh) * h) // nh
             xi = (np.arange(nw) * w) // nw
             small = px[yi][:, xi]
-            if p[:8] == _PNG_MAGIC or p[:2] == b"\xff\xd8":
-                # RGB(A)/gray-ordered sources (PNG, JPEG) → BGR
+            if p[:8] == _PNG_MAGIC or p[:2] == b"\xff\xd8" \
+                    or p[:4] == b"GIF8":
+                # RGB(A)/gray-ordered sources (PNG, JPEG, GIF) → BGR
                 if small.shape[2] == 4:
                     small = small[..., :3]
                 elif small.shape[2] == 2:
@@ -667,11 +673,12 @@ def synth_avi(w: int, h: int, intensities: list[int], fps: int = 10) -> bytes:
 class FrameSampleStage:
     """Video → sampled frame rows (flat_map shape: one row in, N out).
 
-    ``decoder="real"`` parses uncompressed RIFF/AVI (``decode_avi``) and
-    emits every n-th frame with its real per-frame mean intensity (the
-    frame-sampling + per-frame-features surface). ``decoder="fake"``
-    keeps the deterministic payload-slice stub for arbitrary bytes;
-    MP4/WebM would need pyav/ffmpeg (absent here)."""
+    ``decoder="real"`` parses uncompressed RIFF/AVI (``decode_avi``) or
+    animated GIF (``decode_gif``, magic-dispatched) and emits every n-th
+    frame with its real per-frame mean intensity (the frame-sampling +
+    per-frame-features surface). ``decoder="fake"`` keeps the
+    deterministic payload-slice stub for arbitrary bytes; MP4/WebM would
+    need pyav/ffmpeg (absent here)."""
 
     def __init__(self, payload_col: str = "payload", n_frames: int = 4,
                  decoder: str = "fake", id_type=pa.string()):
@@ -690,7 +697,11 @@ class FrameSampleStage:
             for mid, p in zip(ids, payloads):
                 if not p:
                     continue
-                w, h, _fps, frames = decode_avi(p)
+                if p[:4] == b"GIF8":
+                    from prompture_ray.stages.gif import decode_gif
+                    w, h, frames = decode_gif(p)
+                else:
+                    w, h, _fps, frames = decode_avi(p)
                 # sample n_frames evenly (all if fewer)
                 n = len(frames)
                 take = range(n) if n <= self.n_frames else \
