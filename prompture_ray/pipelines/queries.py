@@ -530,9 +530,12 @@ def knn_embeddings(sf_dir: str):
     import numpy as np
     import pyarrow.parquet as pq
     from prompture_ray.stages.similarity import knn_brute_force
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"])
-    queries = np.stack(qt.slice(0, 3)["embedding"].to_pylist()).astype(np.float64)
+    # only the 3 query vectors leave storage (first record batch, not
+    # the whole table)
+    first = next(pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+                 .iter_batches(batch_size=3,
+                               columns=["vec_id", "embedding"]))
+    queries = np.stack(first["embedding"].to_pylist()[:3]).astype(np.float64)
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     res = knn_brute_force(ds, "embedding", "vec_id", queries, k=3,
                           query_ids=[0, 1, 2])
