@@ -50,25 +50,71 @@ def _fake_dims(payload: bytes) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """PCM WAV → (sample_rate, n_frames, n_channels, float64 samples).
-    8-bit is unsigned (centered by −128); 16/32-bit little-endian signed.
+    """WAV → (sample_rate, n_frames, n_channels, float64 samples).
+    PCM 8-bit (unsigned, centered by −128), 16/24/32-bit little-endian
+    signed, plus IEEE float32/float64 (format tag 3 — parsed by a manual
+    RIFF fallback since the stdlib ``wave`` module rejects it).
     Reference audio surface: /root/reference/prompture/media/audio.py."""
     import io
     import wave
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        sr = w.getframerate()
-        n = w.getnframes()
-        ch = w.getnchannels()
-        sw = w.getsampwidth()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            sr = w.getframerate()
+            n = w.getnframes()
+            ch = w.getnchannels()
+            sw = w.getsampwidth()
+            raw = w.readframes(n)
+    except wave.Error:
+        return _decode_wav_riff(payload)
     if sw == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64)
     elif sw == 1:
         samples = np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0
+    elif sw == 3:
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+        v = (b[:, 0].astype(np.int32) | (b[:, 1].astype(np.int32) << 8)
+             | (b[:, 2].astype(np.int32) << 16))
+        v = np.where(v >= 1 << 23, v - (1 << 24), v)     # sign-extend
+        samples = v.astype(np.float64)
     elif sw == 4:
         samples = np.frombuffer(raw, dtype="<i4").astype(np.float64)
     else:
         raise ValueError(f"unsupported WAV sample width {sw}")
+    return sr, n, ch, samples
+
+
+def _decode_wav_riff(payload: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Manual RIFF/WAVE parse for formats the stdlib rejects: IEEE
+    float32/float64 (format tag 3)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        ln = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + ln]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunks")
+    tag = int.from_bytes(fmt[0:2], "little")
+    ch = int.from_bytes(fmt[2:4], "little")
+    sr = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if tag != 3:
+        raise ValueError(f"unsupported WAV format tag {tag}")
+    if bits == 32:
+        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+    elif bits == 64:
+        samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    else:
+        raise ValueError(f"unsupported float WAV bit depth {bits}")
+    n = len(samples) // max(ch, 1)
     return sr, n, ch, samples
 
 

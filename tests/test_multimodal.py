@@ -294,3 +294,38 @@ def test_frame_sample_stage_real(ray_session):
     assert out["frame_idx"].tolist() == [0, 2, 4]
     assert out["mean_intensity"].tolist() == [10.0, 30.0, 50.0]
     assert out["width"].tolist() == [4, 4, 4]
+
+
+def test_wav_24bit_pcm():
+    import io
+    import wave
+    import numpy as np
+    vals = np.array([0, 1000, -1000, (1 << 23) - 1, -(1 << 23)],
+                    dtype=np.int32)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in vals)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(3)
+        w.setframerate(16000)
+        w.writeframes(raw)
+    sr, n, ch, samples = mm.decode_wav(buf.getvalue())
+    assert (sr, n, ch) == (16000, 5, 1)
+    assert samples.astype(np.int64).tolist() == vals.tolist()
+
+
+def test_wav_float32():
+    import numpy as np
+    vals = np.array([0.0, 0.5, -0.25, 1.0], dtype=np.float32)
+    data = vals.tobytes()
+    fmt = ((3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little")
+           + (8000 * 4).to_bytes(4, "little")
+           + (4).to_bytes(2, "little") + (32).to_bytes(2, "little"))
+    payload = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data))
+               .to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+               + b"data" + len(data).to_bytes(4, "little") + data)
+    sr, n, ch, samples = mm.decode_wav(payload)
+    assert (sr, n, ch) == (8000, 4, 1)
+    assert np.allclose(samples, vals)

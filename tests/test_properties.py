@@ -238,3 +238,60 @@ def test_interval_containment_formula(starts, ts, length):
         # counts must also match
         assert got == want
         assert hi - lo == sum(1 for s in starts if s <= t < s + length)
+
+
+# ---------------------------------------------------------------------------
+# codec round-trip properties (round 4: PNG / GIF lossless, JPEG bounded)
+# ---------------------------------------------------------------------------
+
+@given(st.integers(1, 12), st.integers(1, 12),
+       st.sampled_from([1, 2, 3, 4]), st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_lossless(w, h, nch, seed):
+    from prompture_ray.stages.multimodal import encode_png, decode_png
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, nch)).astype(np.uint8)
+    dw, dh, dc, out = decode_png(encode_png(px))
+    assert (dw, dh, dc) == (w, h, nch)
+    assert (out == px).all()
+
+
+@given(st.integers(1, 15), st.integers(1, 15),
+       st.sampled_from([2, 4, 8, 16]), st.booleans(),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_lossless(w, h, npal, interlace, seed):
+    from prompture_ray.stages.gif import encode_gif, decode_gif
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, npal, size=(h, w)).astype(np.uint8)
+    pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    dw, dh, frames = decode_gif(encode_gif(idx, pal, interlace=interlace))
+    assert (dw, dh) == (w, h)
+    assert (frames[0] == pal[idx]).all()
+
+
+@given(st.integers(1, 20), st.integers(1, 20),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_gray_q1_roundtrip_bounded(w, h, seed):
+    from prompture_ray.stages.jpeg import encode_jpeg, decode_jpeg
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+    dw, dh, dc, out = decode_jpeg(
+        encode_jpeg(img, quant=np.ones(64, dtype=np.int64)))
+    assert (dw, dh, dc) == (w, h, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+
+@given(st.integers(1, 6), st.integers(1, 6), st.integers(1, 5),
+       st.integers(0, 2**32 - 1))
+@settings(max_examples=30, deadline=None)
+def test_avi_roundtrip_lossless(w, h, nframes, seed):
+    from prompture_ray.stages.multimodal import build_avi, decode_avi
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+              for _ in range(nframes)]
+    dw, dh, _fps, out = decode_avi(build_avi(frames, fps=10))
+    assert (dw, dh, len(out)) == (w, h, nframes)
+    for a, b in zip(frames, out):
+        assert (a == b).all()
