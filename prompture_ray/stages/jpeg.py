@@ -2,13 +2,16 @@
 
 Scope (documented subset, enough for training-pipeline JPEG columns):
 
-- decode: baseline DCT (SOF0), 8-bit precision, grayscale or 3-component
-  YCbCr WITHOUT chroma subsampling (all sampling factors 1x1), canonical
+- decode: baseline DCT (SOF0) AND progressive (SOF2 — spectral
+  selection + successive approximation, incl. the AC correction-bit
+  refinement algorithm), 8-bit precision, grayscale or 3-component
+  YCbCr with sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), canonical
   DHT Huffman tables (any valid tables, not just Annex K), byte
-  stuffing, DRI/RSTn restart markers. Progressive (SOF2), 12-bit,
-  subsampled 4:2:0/4:2:2 and arithmetic coding are rejected with a
-  clear error.
-- encode: the matching inverse — 4:4:4 or grayscale, per-image FLAT
+  stuffing, DRI/RSTn restart markers. 12-bit, hierarchical and
+  arithmetic coding are rejected with a clear error.
+- encode: the matching inverses — ``encode_jpeg`` (baseline, 4:4:4 /
+  4:2:2 / 4:2:0 or grayscale) and ``encode_jpeg_progressive``
+  (DC+AC successive-approximation scan script) with per-image FLAT
   canonical Huffman tables (all used symbols at one code length; always
   a valid prefix code and never the all-ones 16-bit code), quality via
   caller-supplied quantization tables.
@@ -416,9 +419,22 @@ def encode_jpeg(px: np.ndarray, quant=None, subsample: str = "444") -> bytes:
 # decoder
 # ---------------------------------------------------------------------------
 
+def _find_scan_end(payload: bytes, pos: int) -> int:
+    """First non-stuffing, non-RST marker after ``pos`` (end of one
+    scan's entropy data)."""
+    i = pos
+    while i + 1 < len(payload):
+        if payload[i] == 0xFF:
+            nxt = payload[i + 1]
+            if nxt != 0x00 and not (0xD0 <= nxt <= 0xD7):
+                return i
+        i += 1
+    return len(payload)
+
+
 def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
-    """Baseline JPEG → (w, h, channels, HxWxC uint8; RGB for color,
-    C=1 for grayscale)."""
+    """Baseline (SOF0) or progressive (SOF2) JPEG →
+    (w, h, channels, HxWxC uint8; RGB for color, C=1 for grayscale)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -428,6 +444,8 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     h = w = 0
     restart_interval = 0
     scan_comps = None
+    progressive = False
+    scans: list[dict] = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -446,12 +464,13 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                 quant[tq] = np.frombuffer(data[p + 1:p + 65],
                                           dtype=np.uint8).astype(np.int64)
                 p += 65
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "only baseline (SOF0) JPEG is supported "
-                f"(got SOF marker 0x{marker:02X})")
-        elif marker == 0xC0:
+                "only baseline (SOF0) and progressive (SOF2) JPEG are "
+                f"supported (got SOF marker 0x{marker:02X})")
+        elif marker in (0xC0, 0xC2):
+            progressive = marker == 0xC2
             if data[0] != 8:
                 raise ValueError("only 8-bit precision supported")
             h = int.from_bytes(data[1:3], "big")
@@ -485,11 +504,23 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
             for i in range(ns):
                 cs, tt = data[1 + 2 * i], data[2 + 2 * i]
                 scan_comps.append({"cs": cs, "dc": tt >> 4, "ac": tt & 0xF})
-            pos = pos + 2 + ln
-            break
+            if not progressive:
+                pos = pos + 2 + ln
+                break
+            ss, se, a = data[1 + 2 * ns:4 + 2 * ns]
+            start = pos + 2 + ln
+            end = _find_scan_end(payload, start)
+            scans.append({"comps": scan_comps, "ss": ss, "se": se,
+                          "ah": a >> 4, "al": a & 0xF, "start": start,
+                          "dri": restart_interval,
+                          "huff": dict(huff)})
+            pos = end
+            continue
         pos += 2 + ln
-    if comps is None or scan_comps is None:
-        raise ValueError("JPEG missing SOF0/SOS")
+    if comps is None or (scan_comps is None and not scans):
+        raise ValueError("JPEG missing SOF/SOS")
+    if progressive:
+        return _decode_progressive(payload, comps, quant, scans, w, h)
 
     nc = len(comps)
     hmax = max(c["hi"] for c in comps)
@@ -550,17 +581,351 @@ def decode_jpeg(payload: bytes) -> tuple[int, int, int, np.ndarray]:
                         planes[ci][by * 8:(by + 1) * 8,
                                    bx * 8:(bx + 1) * 8] = read_block(ci)
 
-    # upsample subsampled planes by pixel replication, crop to (h, w)
+    return _assemble_planes(planes, comps, hmax, vmax, w, h)
+
+
+def _assemble_planes(planes, comps, hmax, vmax, w, h):
+    """Shared decode tail: replicate-upsample subsampled planes, crop to
+    (h, w), color-convert."""
     full = []
     for p, c in zip(planes, comps):
         fy, fx = vmax // c["vi"], hmax // c["hi"]
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
         full.append(p[:h, :w])
-    if nc == 1:
+    if len(comps) == 1:
         return w, h, 1, full[0][:, :, None]
     ycc = np.stack(full, axis=-1)
     return w, h, 3, ycbcr_to_rgb(ycc)
+
+
+def _decode_progressive(payload: bytes, comps, quant, scans, w, h):
+    """Progressive (SOF2) decode: accumulate per-block coefficients over
+    the scans (spectral selection + successive approximation, incl. the
+    AC refinement correction-bit algorithm), then dequantize + IDCT."""
+    nc = len(comps)
+    hmax = max(c["hi"] for c in comps)
+    vmax = max(c["vi"] for c in comps)
+    mw = (w + 8 * hmax - 1) // (8 * hmax)
+    mh = (h + 8 * vmax - 1) // (8 * vmax)
+    # coefficient store per comp: (grid_h*grid_w, 64) zigzag order
+    grid = [(mh * c["vi"], mw * c["hi"]) for c in comps]
+    coef = [np.zeros((gh * gw, 64), dtype=np.int32) for gh, gw in grid]
+    cid_to_ci = {c["id"]: i for i, c in enumerate(comps)}
+
+    for scan in scans:
+        huff = scan["huff"]
+        ss, se = scan["ss"], scan["se"]
+        ah, al = scan["ah"], scan["al"]
+        dri = scan["dri"]
+        rdr = _BitReader(payload, scan["start"])
+        sel = [(cid_to_ci[sc["cs"]], sc) for sc in scan["comps"]]
+        if ss == 0:
+            # ---- DC scan (interleaved MCU order; refinement = 1 bit) --
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            prev = [0] * nc
+            interleaved = len(sel) > 1
+            if interleaved:
+                units = mh * mw
+            else:
+                ci0 = sel[0][0]
+                c0 = comps[ci0]
+                bwc = (-(-(w * c0["hi"]) // hmax) + 7) // 8
+                bhc = (-(-(h * c0["vi"]) // vmax) + 7) // 8
+                units = bhc * bwc
+            for unit in range(units):
+                if dri and unit and unit % dri == 0:
+                    rdr.align_restart()
+                    prev = [0] * nc
+                if interleaved:
+                    my, mx = divmod(unit, mw)
+                    targets = []
+                    for ci, sc in sel:
+                        c = comps[ci]
+                        for v_ in range(c["vi"]):
+                            for u in range(c["hi"]):
+                                idx = (my * c["vi"] + v_) * grid[ci][1] \
+                                    + (mx * c["hi"] + u)
+                                targets.append((ci, sc, idx))
+                else:
+                    ci, sc = sel[0]
+                    by, bx = divmod(unit, bwc)
+                    targets = [(ci, sc, by * grid[ci][1] + bx)]
+                for ci, sc, idx in targets:
+                    if ah == 0:
+                        s = _read_symbol(rdr, huff[(0, sc["dc"])])
+                        diff = _extend(rdr.read(s), s) if s else 0
+                        prev[ci] += diff
+                        coef[ci][idx, 0] = prev[ci] << al
+                    else:
+                        if rdr.read(1):
+                            coef[ci][idx, 0] |= (1 << al)
+            continue
+        # ---- AC scan: single component, non-interleaved ---------------
+        if len(sel) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci, sc = sel[0]
+        c = comps[ci]
+        table = huff[(1, sc["ac"])]
+        bwc = (-(-(w * c["hi"]) // hmax) + 7) // 8
+        bhc = (-(-(h * c["vi"]) // vmax) + 7) // 8
+        gw = grid[ci][1]
+        eobrun = 0
+        p1 = 1 << al
+        for unit in range(bhc * bwc):
+            if dri and unit and unit % dri == 0:
+                rdr.align_restart()
+                eobrun = 0
+            by, bx = divmod(unit, bwc)
+            blk = coef[ci][by * gw + bx]
+            if ah == 0:
+                # first AC scan for this band
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    sym = _read_symbol(rdr, table)
+                    r, s = sym >> 4, sym & 0xF
+                    if s == 0:
+                        if r == 15:
+                            k += 16              # ZRL
+                            continue
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += rdr.read(r)
+                        break
+                    k += r
+                    if k > se:
+                        raise ValueError("AC run overflows band")
+                    blk[k] = _extend(rdr.read(s), s) << al
+                    k += 1
+            else:
+                # refinement scan (libjpeg decode_mcu_AC_refine logic)
+                k = ss
+                if eobrun == 0:
+                    while k <= se:
+                        sym = _read_symbol(rdr, table)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    eobrun += rdr.read(r)
+                                break
+                            val = 0              # ZRL: 16 zero-history
+                        else:
+                            if s != 1:
+                                raise ValueError(
+                                    "bad refinement AC symbol")
+                            val = p1 if rdr.read(1) else -p1
+                        while k <= se:
+                            cv = blk[k]
+                            if cv:
+                                if rdr.read(1) and (cv & p1) == 0:
+                                    blk[k] = cv + (p1 if cv > 0 else -p1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if k <= se and val:
+                            blk[k] = val
+                        k += 1
+                if eobrun > 0:
+                    while k <= se:
+                        cv = blk[k]
+                        if cv and rdr.read(1) and (cv & p1) == 0:
+                            blk[k] = cv + (p1 if cv > 0 else -p1)
+                        k += 1
+                    eobrun -= 1
+
+    # reconstruct planes from accumulated coefficients
+    planes = []
+    for ci, c in enumerate(comps):
+        gh, gw = grid[ci]
+        qz = quant[c["tq"]]
+        qn = np.empty(64, dtype=np.int64)
+        qn[ZIGZAG] = qz
+        coeffs = np.zeros((gh * gw, 64), dtype=np.float64)
+        coeffs[:, ZIGZAG] = coef[ci]
+        deq = coeffs.reshape(-1, 8, 8) * qn.reshape(8, 8)
+        blocks = _snap(np.einsum("xu,nuv,yv->nxy", _C.T, deq, _C.T))
+        samples = np.clip(_round_half_up(blocks + 128.0), 0, 255) \
+            .astype(np.uint8)
+        plane = samples.reshape(gh, gw, 8, 8).swapaxes(1, 2) \
+            .reshape(gh * 8, gw * 8)
+        planes.append(plane)
+    return _assemble_planes(planes, comps, hmax, vmax, w, h)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+        + payload
+
+
+def encode_jpeg_progressive(px: np.ndarray, quant=None, dc_al: int = 1,
+                            ac_al: int = 1) -> bytes:
+    """Progressive (SOF2) encoder — grayscale or 4:4:4 RGB — with a
+    spectral-selection + successive-approximation scan script:
+
+    1. DC first scan, all components interleaved, Al=dc_al
+    2. one-bit DC refinement scans down to Al=0
+    3. per component: AC first scan (Ss=1..63, Al=ac_al)
+    4. per component: AC refinement scans down to Al=0 (the T.81
+       G.1.2.3 correction-bit algorithm, span-accurate bit flushing)
+
+    Exercises every decode path of ``_decode_progressive``; round-trips
+    are pinned against the baseline encoder's decode in tests."""
+    quant = np.asarray(quant if quant is not None else DEFAULT_QUANT,
+                       dtype=np.int64)
+    if quant.shape != (64,) or quant.min() < 1 or quant.max() > 255:
+        raise ValueError("quant must be 64 zigzag values in 1..255")
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    if gray:
+        planes = [px]
+    else:
+        ycc = rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    gh, gw = (h + 7) // 8, (w + 7) // 8
+    coeff = [_encode_plane_coeffs(p, quant, gh, gw) for p in planes]
+    nc = len(planes)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(v) for v in quant))
+    sof = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([nc])
+    for cid in range(1, nc + 1):
+        sof += bytes([cid, 0x11, 0])
+    out += _seg(0xC2, sof)
+
+    def sos_header(comp_ids, tbl, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid, (tbl << 4) | tbl])
+        body += bytes([ss, se, (ah << 4) | al])
+        return _seg(0xDA, body)
+
+    def emit_scan(symbol_stream, comp_ids, ss, se, ah, al,
+                  tc: int | None):
+        """symbol_stream: list of ('sym', s) / ('bits', value, n).
+        Builds the flat DHT (if any symbols) + SOS + entropy bytes."""
+        syms = {ev[1] for ev in symbol_stream if ev[0] == "sym"}
+        if syms:
+            bits_l, sym_l = _flat_table(syms)
+            codes = _canonical_codes(bits_l, sym_l)
+            out.extend(_seg(0xC4, bytes([(tc << 4) | 0]) + bytes(bits_l)
+                            + bytes(sym_l)))
+        out.extend(sos_header(comp_ids, 0, ss, se, ah, al))
+        wtr = _BitWriter()
+        for ev in symbol_stream:
+            if ev[0] == "sym":
+                code, ln = codes[ev[1]]
+                wtr.write(code, ln)
+            else:
+                wtr.write(ev[1], ev[2])
+        out.extend(wtr.flush())
+
+    # ---- scan 1: DC first, interleaved, Al=dc_al ----------------------
+    stream = []
+    prev = [0] * nc
+    for b in range(gh * gw):
+        for ci in range(nc):
+            v = int(coeff[ci][b][0]) >> dc_al
+            diff = v - prev[ci]
+            prev[ci] = v
+            s, bits = _magnitude(diff)
+            stream.append(("sym", s))
+            if s:
+                stream.append(("bits", bits, s))
+    emit_scan(stream, list(range(1, nc + 1)), 0, 0, 0, dc_al, tc=0)
+
+    # ---- DC refinement scans (1 bit/block) ----------------------------
+    for al in range(dc_al - 1, -1, -1):
+        stream = []
+        for b in range(gh * gw):
+            for ci in range(nc):
+                stream.append(("bits", (int(coeff[ci][b][0]) >> al) & 1, 1))
+        emit_scan(stream, list(range(1, nc + 1)), 0, 0, al + 1, al, tc=0)
+
+    # ---- AC scans per component ---------------------------------------
+    for ci in range(nc):
+        # first scan at Al=ac_al (sign-magnitude point transform)
+        stream = []
+        for b in range(gh * gw):
+            zz = coeff[ci][b]
+            t = [(abs(int(zz[k])) >> ac_al) * (1 if zz[k] >= 0 else -1)
+                 for k in range(1, 64)]
+            run = 0
+            nz = [i for i, v in enumerate(t) if v]
+            last = nz[-1] + 1 if nz else 0
+            for i in range(last):
+                v = t[i]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    stream.append(("sym", 0xF0))
+                    run -= 16
+                s, bits = _magnitude(v)
+                stream.append(("sym", (run << 4) | s))
+                stream.append(("bits", bits, s))
+                run = 0
+            if last < 63:
+                stream.append(("sym", 0x00))
+        emit_scan(stream, [ci + 1], 1, 63, 0, ac_al, tc=1)
+
+        # refinement scans down to Al=0
+        for al in range(ac_al - 1, -1, -1):
+            ah = al + 1
+            stream = []
+            for b in range(gh * gw):
+                zz = coeff[ci][b]
+                # classify band positions 1..63
+                kinds = []                  # (kind, payload) per position
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    t = abs(v) >> al
+                    if (abs(v) >> ah) != 0:
+                        kinds.append(("b", t & 1))
+                    elif t == 1:
+                        kinds.append(("n", 1 if v > 0 else 0))
+                    else:
+                        kinds.append(("z", 0))
+                ptr = 0
+                n_pos = 63
+
+                def flush_bits(lo, hi):
+                    for i in range(lo, hi):
+                        if kinds[i][0] == "b":
+                            stream.append(("bits", kinds[i][1], 1))
+
+                newly = [i for i, kv in enumerate(kinds) if kv[0] == "n"]
+                for k_star in newly:
+                    zs = [i for i in range(ptr, k_star)
+                          if kinds[i][0] == "z"]
+                    r = len(zs)
+                    while r > 15:
+                        span_end = zs[15]
+                        stream.append(("sym", 0xF0))
+                        flush_bits(ptr, span_end + 1)
+                        ptr = span_end + 1
+                        zs = zs[16:]
+                        r -= 16
+                    stream.append(("sym", (r << 4) | 1))
+                    stream.append(("bits", kinds[k_star][1], 1))
+                    flush_bits(ptr, k_star)
+                    ptr = k_star + 1
+                if ptr < n_pos:
+                    stream.append(("sym", 0x00))     # EOB (run of 1)
+                    flush_bits(ptr, n_pos)
+            emit_scan(stream, [ci + 1], 1, 63, ah, al, tc=1)
+
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def synth_jpeg_gray(w: int, h: int, value: int, q: int = 16) -> bytes:

@@ -48,11 +48,16 @@ def test_non_multiple_of_8_crop_and_padding():
 def test_unsupported_formats_rejected():
     with pytest.raises(ValueError, match="not a JPEG"):
         J.decode_jpeg(b"\x00\x01")
-    # progressive SOF2 marker stream
-    bogus = (b"\xff\xd8\xff\xc2\x00\x0b" + bytes([8]) + b"\x00\x08\x00\x08"
+    # lossless SOF3 marker stream (genuinely unsupported)
+    bogus = (b"\xff\xd8\xff\xc3\x00\x0b" + bytes([8]) + b"\x00\x08\x00\x08"
              + bytes([1, 1, 0x11, 0]))
-    with pytest.raises(ValueError, match="baseline"):
+    with pytest.raises(ValueError, match="SOF"):
         J.decode_jpeg(bogus + b"\xff\xd9")
+    # progressive SOF2 with no scans: structural error, not a reject
+    sof2 = (b"\xff\xd8\xff\xc2\x00\x0b" + bytes([8]) + b"\x00\x08\x00\x08"
+            + bytes([1, 1, 0x11, 0]))
+    with pytest.raises(ValueError, match="missing"):
+        J.decode_jpeg(sof2 + b"\xff\xd9")
     with pytest.raises(ValueError, match="quant"):
         J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8),
                       quant=np.zeros(64, dtype=np.int64))
@@ -140,3 +145,36 @@ def test_422_subsampled_roundtrip():
     w, h, c, px = J.decode_jpeg(p)
     assert (w, h, c) == (13, 10, 3)
     assert np.abs(px.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_progressive_identical_to_baseline_decode():
+    """Progressive encode (spectral selection + successive approximation)
+    produces the SAME quantized coefficients as baseline, so its decode
+    must be bit-identical to decoding the baseline encoding."""
+    rng = np.random.RandomState(11)
+    for shape, q, dc_al, ac_al in [((16, 16), 1, 1, 1), ((9, 13), 1, 1, 1),
+                                   ((8, 8), 1, 0, 0), ((21, 10), 4, 2, 2),
+                                   ((40, 33), 16, 1, 2)]:
+        img = rng.randint(0, 256, size=shape).astype(np.uint8)
+        quant = np.full(64, q, dtype=np.int64)
+        base = J.decode_jpeg(J.encode_jpeg(img, quant=quant))[3]
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(
+            img, quant=quant, dc_al=dc_al, ac_al=ac_al))[3]
+        assert (base == prog).all(), (shape, q, dc_al, ac_al)
+
+
+def test_progressive_color_identical():
+    rng = np.random.RandomState(13)
+    img3 = rng.randint(0, 256, size=(16, 19, 3)).astype(np.uint8)
+    quant = np.ones(64, dtype=np.int64)
+    base = J.decode_jpeg(J.encode_jpeg(img3, quant=quant))[3]
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img3, quant=quant))[3]
+    assert (base == prog).all()
+
+
+def test_progressive_q1_roundtrip_bounded():
+    rng = np.random.RandomState(17)
+    img = rng.randint(0, 256, size=(24, 17)).astype(np.uint8)
+    out = J.decode_jpeg(J.encode_jpeg_progressive(
+        img, quant=np.ones(64, dtype=np.int64)))[3]
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).max() <= 1
