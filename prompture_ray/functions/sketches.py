@@ -366,6 +366,38 @@ class MinHasher:
         vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return vals.min(axis=1)
 
+    def signatures(self, hash_arrays: list) -> np.ndarray:
+        """Batched ``sig``: list of per-doc hash arrays → (n_docs,
+        n_perm) uint64 matrix, BIT-IDENTICAL to calling ``sig`` per doc.
+        One permute pass + segmented min (np.minimum.reduceat) per
+        bounded chunk instead of a Python call per doc; empty docs get
+        the all-max sentinel."""
+        n_docs = len(hash_arrays)
+        out = np.full((n_docs, self.n_perm), np.iinfo(np.uint64).max,
+                      dtype=np.uint64)
+        CHUNK = 1 << 16                      # ≤ 64 MB of permuted values
+        di = 0
+        while di < n_docs:
+            dj = di
+            total = 0
+            while dj < n_docs and (total == 0
+                                   or total + hash_arrays[dj].size <= CHUNK):
+                total += hash_arrays[dj].size
+                dj += 1
+            nonempty = [d for d in range(di, dj) if hash_arrays[d].size]
+            if nonempty:
+                cat = np.concatenate([hash_arrays[d] for d in nonempty])
+                x = cat.astype(np.uint64) % np.uint64(_MERSENNE)
+                vals = (self.a[:, None] * x[None, :]
+                        + self.b[:, None]) % np.uint64(_MERSENNE)
+                offs = np.cumsum([0] + [hash_arrays[d].size
+                                        for d in nonempty[:-1]])
+                mins = np.minimum.reduceat(vals, offs, axis=1)
+                for col, d in enumerate(nonempty):
+                    out[d] = mins[:, col]
+            di = dj
+        return out
+
     def band_keys(self, sig: np.ndarray, n_bands: int) -> np.ndarray:
         """Split a signature into n_bands and hash each band → uint64 keys."""
         rows = self.n_perm // n_bands
@@ -374,6 +406,17 @@ class MinHasher:
         for i in range(n_bands):
             out[i] = pd.util.hash_array(bands[i], categorize=False).sum(dtype=np.uint64)
         return out
+
+    def band_keys_batch(self, sigs: np.ndarray, n_bands: int) -> np.ndarray:
+        """(n_docs, n_perm) signatures → (n_docs, n_bands) uint64 band
+        keys, BIT-IDENTICAL to per-doc ``band_keys`` (hash_array is
+        elementwise, so one flattened call + per-band sums match)."""
+        rows = self.n_perm // n_bands
+        used = sigs[:, : n_bands * rows]
+        hashed = pd.util.hash_array(np.ascontiguousarray(used).ravel(),
+                                    categorize=False)
+        return hashed.reshape(-1, n_bands, rows).sum(axis=2,
+                                                     dtype=np.uint64)
 
 
 def simhash64(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:

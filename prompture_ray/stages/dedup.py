@@ -237,21 +237,25 @@ class MinHashStage:
         if self.normalize:
             arr = normalize_strings(arr)
         texts = arr.to_pylist()
-        ids = t[self.id_col].to_pylist()
-        out_id, out_band, out_key = [], [], []
-        for i, txt in enumerate(texts):
-            sig = self._signature(txt)
-            if sig is None:
-                continue
-            keys = self.mh.band_keys(sig, self.n_bands)
-            for b in range(self.n_bands):
-                out_id.append(ids[i])
-                out_band.append(b)
-                out_key.append(np.int64(keys[b].astype(np.int64)))
+        sh = [char_shingle_hashes(txt, self.shingle_k) for txt in texts]
+        keep = np.asarray([s.size > 0 for s in sh], dtype=bool)
+        if not keep.any():
+            return pa.table({
+                "id": t[self.id_col].slice(0, 0),
+                "band": pa.array([], type=pa.int32()),
+                "band_key": pa.array([], type=pa.int64())})
+        # batched signatures + band keys (bit-identical to the per-doc
+        # forms; pinned by test) — no per-doc Python in the hot loop
+        sigs = self.mh.signatures([s for s, k in zip(sh, keep) if k])
+        keys = self.mh.band_keys_batch(sigs, self.n_bands)  # (n, bands)
+        n = keys.shape[0]
+        kept_ids = t[self.id_col].filter(pa.array(keep))
+        id_np = np.repeat(np.arange(n, dtype=np.int64), self.n_bands)
         return pa.table({
-            "id": pa.array(out_id),
-            "band": pa.array(out_band, type=pa.int32()),
-            "band_key": pa.array(out_key, type=pa.int64()),
+            "id": kept_ids.take(pa.array(id_np, type=pa.int64())),
+            "band": pa.array(np.tile(
+                np.arange(self.n_bands, dtype=np.int32), n)),
+            "band_key": pa.array(keys.ravel().astype(np.int64)),
         })
 
 

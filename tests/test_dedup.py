@@ -260,3 +260,20 @@ def test_bloom_dedup_sharded(ds, ray_session):
     keys = [normalize_text(t or "") for t in kept["text"]]
     assert len(keys) == len(set(keys))       # no duplicate keys survive
     assert len(kept) == 5                    # 7 rows, 2 dup keys collapse
+
+
+def test_minhash_batched_signatures_bit_identical():
+    """signatures()/band_keys_batch() must equal the per-doc sig()/
+    band_keys() forms exactly (the stage's hot path relies on it)."""
+    import numpy as np
+    from prompture_ray.functions.sketches import MinHasher
+    rng = np.random.RandomState(3)
+    mh = MinHasher(n_perm=32)
+    arrays = [rng.randint(0, 2**63, size=rng.randint(0, 40))
+              .astype(np.uint64) for _ in range(25)]
+    batch = mh.signatures(arrays)
+    for i, a in enumerate(arrays):
+        assert (batch[i] == mh.sig(a)).all(), i
+    keys = mh.band_keys_batch(batch, 8)
+    for i in range(len(arrays)):
+        assert (keys[i] == mh.band_keys(batch[i], 8)).all(), i
