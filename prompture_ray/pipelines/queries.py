@@ -1203,6 +1203,43 @@ FROM events ORDER BY event_id
 """
 
 
+def split_assignment_docs(sf_dir: str):
+    """Deterministic 80/10/10 split assignment (sampling.assign_splits):
+    per-row split keyed on doc_id AND a leakage-safe GROUP split keyed
+    on a planted domain id (doc_id // 10 — every doc of a domain lands
+    in the same split). The Knuth bucket rule is exact BIGINT arithmetic
+    on both sides."""
+    from prompture_ray.stages.sampling import assign_splits
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def add_domain(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) // 10
+        return t.append_column("domain_id",
+                               pa.array(d, type=pa.int64()))
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = assign_splits(ds.map_batches(add_domain, batch_format="pyarrow"),
+                        "doc_id", splits, out_col="split")
+    out = assign_splits(out, "domain_id", splits, out_col="group_split")
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "split", "group_split"]),
+        batch_format="pyarrow")
+
+
+# thresholds: floor(cum * 2^32); top bucket closed at 2^32
+_SPLIT_CASE = """CASE
+  WHEN ({k} * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+  WHEN ({k} * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+  ELSE 'test' END"""
+
+SPLIT_ASSIGNMENT_SQL = f"""
+SELECT doc_id,
+       {_SPLIT_CASE.format(k='doc_id')} AS split,
+       {_SPLIT_CASE.format(k='(doc_id // 10)')} AS group_split
+FROM documents ORDER BY doc_id
+"""
+
+
 def gpt2_token_rows(sf_dir: str):
     """LLM-budget token estimate per document: ONE vectorized RE2 pass
     with the GPT-2 pre-tokenizer split pattern. RE2 is the regex engine
@@ -1928,6 +1965,7 @@ QUERIES.update({
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
+    "split_assignment_docs": split_assignment_docs,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -1965,6 +2003,7 @@ ORACLE.update({
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
+    "split_assignment_docs": SPLIT_ASSIGNMENT_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,
@@ -3011,6 +3050,7 @@ _WINDOW_PRIORITY = [
     "media_png_dims", "media_transform_docs", "media_frame_stats",
     "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
     "kg_two_hop_docs", "gpt2_token_rows", "running_sum_events",
+    "split_assignment_docs",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -3028,7 +3068,6 @@ _WINDOW_PRIORITY = [
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
     "events_hourly", "dedup_first_events", "distinct_users",
     "ref_events_supplier", "ref_orders_customer",
-    "duplicate_custkeys_in_orders",
 ]
 
 

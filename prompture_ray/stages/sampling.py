@@ -48,3 +48,33 @@ def stratified_sample(ds, id_col: str, strata_col: str,
         return t.filter(pa.array(_keep_mask(ids, fr)))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def assign_splits(ds, key_col: str, splits, out_col: str = "split"):
+    """Deterministic train/val/test split assignment: every row gets the
+    split chosen by its key's Knuth bucket — reproducible under any
+    block layout, resumable, auditable in SQL (same rule as
+    ``deterministic_sample``).
+
+    ``splits``: ordered [(name, fraction), ...] summing to 1.0 (±1e-9).
+    Leakage-safe GROUP splits fall out of the key choice: pass a group
+    key column (e.g. a domain id) instead of the row id and every row of
+    a group — including near-duplicates kept within one group — lands in
+    the same split.
+    """
+    names = [n for n, _ in splits]
+    fr = np.asarray([f for _, f in splits], dtype=np.float64)
+    if abs(fr.sum() - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1 (got {fr.sum()})")
+    thresh = np.floor(np.cumsum(fr) * float(2 ** 32)).astype(np.uint64)
+    thresh[-1] = np.uint64(2 ** 32)          # close rounding gap at the top
+    names_arr = pa.array(names, type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        idx = np.searchsorted(thresh, h, side="right")
+        col = names_arr.take(pa.array(idx.astype(np.int64)))
+        return t.append_column(out_col, col)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

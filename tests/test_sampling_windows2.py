@@ -69,3 +69,31 @@ def test_group_quantiles_exact(ray_session):
     assert out.iloc[0]["q5"] == 50.0     # ceil(0.5*100)-1 = index 49
     assert out.iloc[0]["q9"] == 90.0
     assert out.iloc[0]["q99"] == 99.0
+
+
+def test_assign_splits_deterministic_and_grouped(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.sampling import assign_splits
+    ids = np.arange(1000, dtype=np.int64)
+    t = pa.table({"id": ids, "grp": ids // 7})
+    ds = rd.from_arrow(t)
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    out = assign_splits(assign_splits(ds, "id", splits),
+                        "grp", splits, out_col="gsplit").to_pandas() \
+        .sort_values("id", ignore_index=True)
+    # fractions roughly honored
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9
+    # every row of a group shares the group split (leakage-safe)
+    assert (out.groupby("grp")["gsplit"].nunique() == 1).all()
+    # reproducible under a different block layout
+    out2 = assign_splits(rd.from_arrow(t).repartition(7), "id",
+                         splits).to_pandas().sort_values("id",
+                                                         ignore_index=True)
+    assert out["split"].tolist() == out2["split"].tolist()
+    # fractions must sum to 1
+    import pytest
+    with pytest.raises(ValueError, match="sum to 1"):
+        assign_splits(ds, "id", [("a", 0.5)])
