@@ -100,10 +100,14 @@ def running_aggregate_bucketed(ds, key_col: str, ts_col: str,
     holds one key's entire history in a single pandas group. This form
     bounds group size by (key × coarse time bucket):
 
-    phase 1 — groupby (key, bucket): local cumsum inside each bucket,
-    emitting one (key, bucket, bucket_sum) summary row per group;
-    phase 2 — groupby (key) over the SUMMARY rows only (buckets per key
-    ≪ rows per key): exclusive prefix-sum → an offset per (key, bucket);
+    phase 1 — groupby a hash PARTITION of (key, bucket) (bounded frames,
+    ~thousands of (key, bucket) cells per frame) and compute every
+    cell's local cumsum with ONE vectorized pandas groupby-cumsum — no
+    frame-per-cell overhead (the naive groupby((key, bucket)) form paid
+    a pandas frame per tiny cell and was ~10× slower);
+    phase 2 — per-(key, bucket) sums via a vectorized partial + sorted
+    aggregate, then per-key exclusive prefix over those few summary
+    rows → an offset per (key, bucket);
     phase 3 — hash-bucketed join of data rows × offsets on the combined
     (key, bucket) id, then one vectorized add. No driver state at any
     phase — the offsets stay a Dataset.
@@ -111,9 +115,12 @@ def running_aggregate_bucketed(ds, key_col: str, ts_col: str,
     Ties within (key, ts) accumulate in input order inside a bucket like
     the plain form. Equality against ``running_aggregate`` is pinned by
     test; the oracle is a SQL window cumsum."""
+    from ray.data.aggregate import Sum
     from prompture_ray.stages.joins import bucketed_equi_join
+    from prompture_ray.functions.sketches import hash64
     bucket_td = pd.Timedelta(bucket)
     bucket_us = int(bucket_td.total_seconds() * 1e6)
+    N_PARTS = 64
 
     def tag(t: pa.Table) -> pa.Table:
         ts = t[ts_col]
@@ -127,35 +134,53 @@ def running_aggregate_bucketed(ds, key_col: str, ts_col: str,
             key = key.combine_chunks()
         kb = pc.binary_join_element_wise(
             pc.cast(key, pa.string()), pc.cast(b, pa.string()), "|")
-        return t.append_column("__kb", kb)
+        t = t.append_column("__kb", kb)
+        pb = hash64(np.asarray(kb.to_pylist(), dtype=object)) \
+            % np.uint64(N_PARTS)
+        return t.append_column("__pb", pa.array(pb.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
 
     def local(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort").copy()
-        g["__local_cum"] = g[value_col].cumsum()
-        g["__bucket_sum"] = float(g[value_col].sum())
-        return g
+        # ONE vectorized pass over all (key, bucket) cells in this
+        # partition: stable sort then grouped cumsum
+        g = g.sort_values([key_col, "__bucket", ts_col],
+                          kind="mergesort").copy()
+        g["__local_cum"] = g.groupby([key_col, "__bucket"],
+                                     sort=False)[value_col].cumsum()
+        return g.drop(columns=["__pb"])
 
-    part = ds.map_batches(tag, batch_format="pyarrow") \
+    part = tagged.groupby("__pb").map_groups(
+        local, batch_format="pandas").materialize()
+
+    # phase 2: per-(key, bucket) sums — per-batch vectorized partials,
+    # then one sorted aggregate over the (small) partial rows
+    def partial_sums(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby([key_col, "__bucket"], sort=False) \
+            .agg(__part_sum=(value_col, "sum")).reset_index()
+
+    sums = part.map_batches(partial_sums, batch_format="pandas") \
         .groupby([key_col, "__bucket"]) \
-        .map_groups(local, batch_format="pandas").materialize()
-
-    # phase 2: summary rows only — one per (key, bucket)
-    sums = part.groupby([key_col, "__bucket"]).map_groups(
-        lambda g: g.head(1)[[key_col, "__bucket", "__kb", "__bucket_sum"]],
-        batch_format="pandas")
+        .aggregate(Sum("__part_sum", alias_name="__bucket_sum"))
 
     def prefix(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("__bucket", kind="mergesort").copy()
         g["__offset"] = g["__bucket_sum"].cumsum() - g["__bucket_sum"]
+        # reconstruct the combined id exactly as tag() built it
+        g["__kb"] = (g[key_col].astype(str) + "|"
+                     + g["__bucket"].astype("int64").astype(str))
         return g[["__kb", "__offset"]]
 
-    offs = sums.groupby(key_col).map_groups(prefix, batch_format="pandas")
+    # materialized: the join probes .schema() on its inputs, and an
+    # unmaterialized offsets side would re-run the whole sums pipeline
+    # per probe (the minhash .schema() pitfall)
+    offs = sums.groupby(key_col).map_groups(
+        prefix, batch_format="pandas").materialize()
 
     # phase 3: join offsets back and add (one narrow shuffle each side)
     joined = bucketed_equi_join(
         part, offs, key="__kb",
-        left_cols=[c for c in part.schema().names
-                   if c not in ("__bucket", "__bucket_sum")],
+        left_cols=[c for c in part.schema().names if c != "__bucket"],
         right_cols=["__kb", "__offset"])
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
@@ -174,8 +199,11 @@ def session_windows_bucketed(ds, key_col: str, ts_col: str,
     more events than a worker's memory. This form bounds group size by
     (key × coarse time bucket):
 
-    phase 1 — groupby (key, bucket): local sessionization inside each
-    bucket emits SESSION rows (one per session, not per event);
+    phase 1 — groupby a hash PARTITION of (key, bucket): inside each
+    bounded frame, ONE vectorized pandas pass sessionizes every (key,
+    bucket) cell at once (new session at cell change or gap > ``gap``)
+    and emits SESSION rows (one per session, not per event) — no
+    frame-per-cell overhead;
     phase 2 — groupby (key) over the session rows only: classic
     gap-merge of adjacent sessions across bucket boundaries (sessions
     per key ≪ events per key, so the phase-2 group is tiny even for a
@@ -186,9 +214,11 @@ def session_windows_bucketed(ds, key_col: str, ts_col: str,
     the next session's start during the merge. Equality is pinned by
     test against the single-group form.
     """
+    from prompture_ray.functions.sketches import hash64
     gap_td = pd.Timedelta(gap)
     bucket_td = pd.Timedelta(bucket)
     bucket_us = int(bucket_td.total_seconds() * 1e6)
+    N_PARTS = 64
 
     def tag(t: pa.Table) -> pa.Table:
         ts = t[ts_col]
@@ -196,21 +226,32 @@ def session_windows_bucketed(ds, key_col: str, ts_col: str,
             ts = ts.combine_chunks()
         us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
         b = pc.multiply(pc.divide(us, bucket_us), bucket_us)
-        return t.append_column("__bucket", b)
+        t = t.append_column("__bucket", b)
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kb = pc.binary_join_element_wise(
+            pc.cast(key, pa.string()), pc.cast(b, pa.string()), "|")
+        pb = hash64(np.asarray(kb.to_pylist(), dtype=object)) \
+            % np.uint64(N_PARTS)
+        return t.append_column("__pb", pa.array(pb.astype(np.int64)))
 
     def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(ts_col, kind="mergesort")
-        ts = g[ts_col]
-        sid = (ts.diff() > gap_td).cumsum()
+        g = g.sort_values([key_col, "__bucket", ts_col],
+                          kind="mergesort")
+        cell_change = (g[key_col].ne(g[key_col].shift())
+                       | g["__bucket"].ne(g["__bucket"].shift()))
+        new_s = cell_change | (g[ts_col].diff() > gap_td)
+        sid = new_s.cumsum()
         out = g.groupby(sid).agg(
+            **{key_col: (key_col, "first")},
             session_start=(ts_col, "min"),
             session_end=(ts_col, "max"),
             n_events=(ts_col, "size")).reset_index(drop=True)
-        out.insert(0, key_col, g[key_col].iloc[0])
         return out
 
     partial = ds.map_batches(tag, batch_format="pyarrow") \
-        .groupby([key_col, "__bucket"]) \
+        .groupby("__pb") \
         .map_groups(local_sessions, batch_format="pandas")
 
     def stitch(g: pd.DataFrame) -> pd.DataFrame:
