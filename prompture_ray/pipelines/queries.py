@@ -1119,6 +1119,61 @@ FROM f ORDER BY doc_id, frame_idx
 """
 
 
+def media_mixed_dims(sf_dir: str):
+    """Magic-byte FORMAT DISPATCH under one oracle: each doc plants a
+    payload in a format chosen by doc_id % 4 (BMP / PNG / GIF / solid
+    gray baseline JPEG) and ImageDecodeStage must route each to the
+    right codec — dims and format tag are closed-form."""
+    from prompture_ray.stages.multimodal import (ImageDecodeStage,
+                                                 synth_bmp, synth_png)
+    from prompture_ray.stages.gif import synth_gif
+    from prompture_ray.stages.jpeg import synth_jpeg_gray
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads, fmts = [], []
+        for i in ids:
+            wd, ht = 5 + i % 9, 4 + i % 5
+            kind = i % 4
+            if kind == 0:
+                payloads.append(synth_bmp(wd, ht, (1, 2, 3)))
+                fmts.append("bmp")
+            elif kind == 1:
+                payloads.append(synth_png(wd, ht, (4, 5, 6)))
+                fmts.append("png")
+            elif kind == 2:
+                payloads.append(synth_gif(wd, ht, [(7, 8, 9)]))
+                fmts.append("gif")
+            else:
+                payloads.append(synth_jpeg_gray(wd, ht, 77, 16))
+                fmts.append("jpeg")
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "fmt": pa.array(fmts, type=pa.string()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(ImageDecodeStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=256)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "fmt": t["fmt"],
+            "width": pc.cast(t["width"], pa.int64()),
+            "height": pc.cast(t["height"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+MEDIA_MIXED_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+       5 + doc_id % 9 AS width,
+       4 + doc_id % 5 AS height
+FROM documents ORDER BY doc_id
+"""
+
+
 def stream_snapshot_docs(sf_dir: str):
     """Emit-on-change streaming snapshots (reference stream_extract,
     extraction/streaming.py:215-306): planted per-doc delta sequences
@@ -1962,6 +2017,7 @@ QUERIES.update({
     "stream_snapshot_docs": stream_snapshot_docs,
     "media_jpeg_stats": media_jpeg_stats,
     "media_gif_frames": media_gif_frames,
+    "media_mixed_dims": media_mixed_dims,
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
@@ -2000,6 +2056,7 @@ ORACLE.update({
     "stream_snapshot_docs": STREAM_SNAPSHOT_SQL,
     "media_jpeg_stats": MEDIA_JPEG_SQL,
     "media_gif_frames": MEDIA_GIF_FRAMES_SQL,
+    "media_mixed_dims": MEDIA_MIXED_SQL,
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
@@ -3049,8 +3106,8 @@ _WINDOW_PRIORITY = [
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
     "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
-    "kg_two_hop_docs", "gpt2_token_rows", "running_sum_events",
-    "split_assignment_docs",
+    "media_mixed_dims", "kg_two_hop_docs", "gpt2_token_rows",
+    "running_sum_events", "split_assignment_docs",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -3067,7 +3124,7 @@ _WINDOW_PRIORITY = [
     # (d) core pipeline sample
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
     "events_hourly", "dedup_first_events", "distinct_users",
-    "ref_events_supplier", "ref_orders_customer",
+    "ref_events_supplier",
 ]
 
 
