@@ -355,8 +355,12 @@ class ImageDecodeStage:
     because payloads are large.
     """
 
-    def __init__(self, payload_col: str = "payload", decoder: str = "fake"):
+    def __init__(self, payload_col: str = "payload", decoder: str = "fake",
+                 on_error: str = "raise"):
         self.payload_col = payload_col
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
+        self.on_error = on_error
         if decoder == "pil":
             raise NotImplementedError(
                 "JPEG decode needs Pillow (`pip install pillow`); "
@@ -391,7 +395,19 @@ class ImageDecodeStage:
                 heights.append(None)
                 feats.append(None)
                 continue
-            w, h, f = self._decode_one(p)
+            try:
+                w, h, f = self._decode_one(p)
+            except Exception:
+                # corrupt payloads are a fact of life in a crawl; with
+                # on_error="null" they yield null features instead of
+                # killing the pipeline (the 100-TB default a caller
+                # should pick; "raise" keeps strict semantics)
+                if self.on_error == "raise":
+                    raise
+                widths.append(None)
+                heights.append(None)
+                feats.append(None)
+                continue
             widths.append(w)
             heights.append(h)
             feats.append(f)
@@ -517,9 +533,12 @@ class ImageTransformStage:
     feature extraction (negative / brightness / contrast)."""
 
     def __init__(self, payload_col: str = "payload",
-                 ops=(("negative",),)):
+                 ops=(("negative",),), on_error: str = "raise"):
         self.payload_col = payload_col
         self.ops = tuple(tuple(o) for o in ops)
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
+        self.on_error = on_error
 
     def _transform_one(self, p: bytes) -> tuple[bytes, float]:
         w, h, nch, px = decode_image(p)
@@ -543,7 +562,14 @@ class ImageTransformStage:
                 out_p.append(None)
                 means.append(None)
                 continue
-            enc, m = self._transform_one(p)
+            try:
+                enc, m = self._transform_one(p)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                out_p.append(None)
+                means.append(None)
+                continue
             out_p.append(enc)
             means.append(m)
         idx = t.column_names.index(self.payload_col)
@@ -557,8 +583,12 @@ class AudioFeatureStage:
     """Actor-pool stage: audio payload → (duration_s, sample_rate, energy).
     Same stub contract as ImageDecodeStage."""
 
-    def __init__(self, payload_col: str = "payload", decoder: str = "fake"):
+    def __init__(self, payload_col: str = "payload", decoder: str = "fake",
+                 on_error: str = "raise"):
         self.payload_col = payload_col
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
+        self.on_error = on_error
         if decoder == "librosa":
             raise NotImplementedError(
                 "MP3/OGG decode needs librosa/soundfile; not available in "
@@ -589,7 +619,13 @@ class AudioFeatureStage:
             if p is None:
                 dur.append(None); sr.append(None); en.append(None)
                 continue
-            d, s, e = self._features_one(p)
+            try:
+                d, s, e = self._features_one(p)
+            except Exception:
+                if self.on_error == "raise":
+                    raise
+                dur.append(None); sr.append(None); en.append(None)
+                continue
             dur.append(d)
             sr.append(s)
             en.append(e)
@@ -727,13 +763,17 @@ class FrameSampleStage:
     need pyav/ffmpeg (absent here)."""
 
     def __init__(self, payload_col: str = "payload", n_frames: int = 4,
-                 decoder: str = "fake", id_type=pa.string()):
+                 decoder: str = "fake", id_type=pa.string(),
+                 on_error: str = "raise"):
         self.payload_col = payload_col
         self.n_frames = n_frames
         if decoder not in ("fake", "real"):
             raise ValueError(f"unknown decoder {decoder!r}")
         self.decoder = decoder
         self.id_type = id_type
+        if on_error not in ("raise", "null"):
+            raise ValueError("on_error must be 'raise' or 'null'")
+        self.on_error = on_error
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids = t["media_id"].to_pylist()
@@ -743,11 +783,18 @@ class FrameSampleStage:
             for mid, p in zip(ids, payloads):
                 if not p:
                     continue
-                if p[:4] == b"GIF8":
-                    from prompture_ray.stages.gif import decode_gif
-                    w, h, frames = decode_gif(p)
-                else:
-                    w, h, _fps, frames = decode_avi(p)
+                try:
+                    if p[:4] == b"GIF8":
+                        from prompture_ray.stages.gif import decode_gif
+                        w, h, frames = decode_gif(p)
+                    else:
+                        w, h, _fps, frames = decode_avi(p)
+                except Exception:
+                    # corrupt video payloads drop their frames (flat_map
+                    # shape: zero output rows) instead of failing the job
+                    if self.on_error == "raise":
+                        raise
+                    continue
                 # sample n_frames evenly (all if fewer)
                 n = len(frames)
                 take = range(n) if n <= self.n_frames else \
