@@ -1121,13 +1121,14 @@ FROM f ORDER BY doc_id, frame_idx
 
 def media_mixed_dims(sf_dir: str):
     """Magic-byte FORMAT DISPATCH under one oracle: each doc plants a
-    payload in a format chosen by doc_id % 4 (BMP / PNG / GIF / solid
-    gray baseline JPEG) and ImageDecodeStage must route each to the
-    right codec — dims and format tag are closed-form."""
+    payload in a format chosen by doc_id % 5 (BMP / PNG / GIF / solid
+    gray baseline JPEG / TIFF) and ImageDecodeStage must route each to
+    the right codec — dims and format tag are closed-form."""
     from prompture_ray.stages.multimodal import (ImageDecodeStage,
                                                  synth_bmp, synth_png)
     from prompture_ray.stages.gif import synth_gif
     from prompture_ray.stages.jpeg import synth_jpeg_gray
+    from prompture_ray.stages.tiff import synth_tiff
     ds = _read(sf_dir, "documents", ["doc_id"])
 
     def plant(t: pa.Table) -> pa.Table:
@@ -1135,7 +1136,7 @@ def media_mixed_dims(sf_dir: str):
         payloads, fmts = [], []
         for i in ids:
             wd, ht = 5 + i % 9, 4 + i % 5
-            kind = i % 4
+            kind = i % 5
             if kind == 0:
                 payloads.append(synth_bmp(wd, ht, (1, 2, 3)))
                 fmts.append("bmp")
@@ -1145,9 +1146,12 @@ def media_mixed_dims(sf_dir: str):
             elif kind == 2:
                 payloads.append(synth_gif(wd, ht, [(7, 8, 9)]))
                 fmts.append("gif")
-            else:
+            elif kind == 3:
                 payloads.append(synth_jpeg_gray(wd, ht, 77, 16))
                 fmts.append("jpeg")
+            else:
+                payloads.append(synth_tiff(wd, ht, (10, 11, 12)))
+                fmts.append("tiff")
         return pa.table({"media_id": pa.array(ids, type=pa.int64()),
                          "fmt": pa.array(fmts, type=pa.string()),
                          "payload": pa.array(payloads, type=pa.binary())})
@@ -1166,8 +1170,9 @@ def media_mixed_dims(sf_dir: str):
 
 MEDIA_MIXED_SQL = """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
-                       WHEN 2 THEN 'gif' ELSE 'jpeg' END AS fmt,
+       CASE doc_id % 5 WHEN 0 THEN 'bmp' WHEN 1 THEN 'png'
+                       WHEN 2 THEN 'gif' WHEN 3 THEN 'jpeg'
+                       ELSE 'tiff' END AS fmt,
        5 + doc_id % 9 AS width,
        4 + doc_id % 5 AS height
 FROM documents ORDER BY doc_id

@@ -297,8 +297,11 @@ def decode_image(payload: bytes) -> tuple[int, int, int, np.ndarray]:
         from prompture_ray.stages.gif import decode_gif
         w, h, frames = decode_gif(payload)
         return w, h, 3, frames[0]        # first frame, RGB
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from prompture_ray.stages.tiff import decode_tiff
+        return decode_tiff(payload)      # gray or RGB(A)
     raise ValueError(
-        "unsupported image format (BMP/PPM/PNG/baseline-JPEG/GIF "
+        "unsupported image format (BMP/PPM/PNG/JPEG/GIF/TIFF "
         "supported)")
 
 
@@ -455,8 +458,8 @@ class ImageResizeStage:
             xi = (np.arange(nw) * w) // nw
             small = px[yi][:, xi]
             if p[:8] == _PNG_MAGIC or p[:2] == b"\xff\xd8" \
-                    or p[:4] == b"GIF8":
-                # RGB(A)/gray-ordered sources (PNG, JPEG, GIF) → BGR
+                    or p[:4] in (b"GIF8", b"II*\x00", b"MM\x00*"):
+                # RGB(A)/gray-ordered sources (PNG/JPEG/GIF/TIFF) → BGR
                 if small.shape[2] == 4:
                     small = small[..., :3]
                 elif small.shape[2] == 2:
