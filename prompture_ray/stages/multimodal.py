@@ -83,9 +83,31 @@ def decode_wav(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     return sr, n, ch, samples
 
 
+def _mulaw_expand(b: np.ndarray) -> np.ndarray:
+    """ITU G.711 μ-law byte → linear PCM (int, 14-bit range)."""
+    u = (~b) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((mant << 3) + 0x84).astype(np.int32) << exp
+    mag = mag - 0x84
+    return np.where(sign, -mag, mag).astype(np.float64)
+
+
+def _alaw_expand(b: np.ndarray) -> np.ndarray:
+    """ITU G.711 A-law byte → linear PCM (int, 13-bit range)."""
+    a = (b ^ 0x55) & 0xFF
+    sign = a & 0x80                     # set sign bit = POSITIVE in A-law
+    exp = (a >> 4) & 0x07
+    mant = (a & 0x0F).astype(np.int32)
+    mag = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    return np.where(sign, mag, -mag).astype(np.float64)
+
+
 def _decode_wav_riff(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     """Manual RIFF/WAVE parse for formats the stdlib rejects: IEEE
-    float32/float64 (format tag 3)."""
+    float32/float64 (tag 3), A-law (tag 6), μ-law (tag 7)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE payload")
     pos = 12
@@ -106,14 +128,19 @@ def _decode_wav_riff(payload: bytes) -> tuple[int, int, int, np.ndarray]:
     ch = int.from_bytes(fmt[2:4], "little")
     sr = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if tag != 3:
-        raise ValueError(f"unsupported WAV format tag {tag}")
-    if bits == 32:
-        samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
-    elif bits == 64:
-        samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+    if tag == 3:
+        if bits == 32:
+            samples = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            samples = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"unsupported float WAV bit depth {bits}")
+    elif tag == 6:                                # A-law
+        samples = _alaw_expand(np.frombuffer(data, dtype=np.uint8))
+    elif tag == 7:                                # μ-law
+        samples = _mulaw_expand(np.frombuffer(data, dtype=np.uint8))
     else:
-        raise ValueError(f"unsupported float WAV bit depth {bits}")
+        raise ValueError(f"unsupported WAV format tag {tag}")
     n = len(samples) // max(ch, 1)
     return sr, n, ch, samples
 

@@ -329,3 +329,35 @@ def test_wav_float32():
     sr, n, ch, samples = mm.decode_wav(payload)
     assert (sr, n, ch) == (8000, 4, 1)
     assert np.allclose(samples, vals)
+
+
+def test_g711_expansion_matches_stdlib():
+    """μ-law and A-law expansion must match audioop's reference tables
+    for every byte value."""
+    import warnings
+    import numpy as np
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    all_bytes = np.arange(256, dtype=np.uint8)
+    ref_mu = np.frombuffer(audioop.ulaw2lin(all_bytes.tobytes(), 2),
+                           dtype="<i2").astype(np.float64)
+    assert (mm._mulaw_expand(all_bytes) == ref_mu).all()
+    ref_a = np.frombuffer(audioop.alaw2lin(all_bytes.tobytes(), 2),
+                          dtype="<i2").astype(np.float64)
+    assert (mm._alaw_expand(all_bytes) == ref_a).all()
+
+
+def test_wav_mulaw_payload():
+    import numpy as np
+    data = bytes(range(0, 256, 16))
+    fmt = ((7).to_bytes(2, "little") + (1).to_bytes(2, "little")
+           + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+           + (1).to_bytes(2, "little") + (8).to_bytes(2, "little"))
+    payload = (b"RIFF" + (4 + 8 + len(fmt) + 8 + len(data))
+               .to_bytes(4, "little") + b"WAVE"
+               + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+               + b"data" + len(data).to_bytes(4, "little") + data)
+    sr, n, ch, samples = mm.decode_wav(payload)
+    assert (sr, n, ch) == (8000, 16, 1)
+    assert samples[0] == mm._mulaw_expand(np.array([0], np.uint8))[0]
