@@ -1300,6 +1300,44 @@ FROM documents ORDER BY doc_id
 """
 
 
+def pca_scores_docs(sf_dir: str):
+    """PCA over a PLANTED rank-1 embedding column: points (x, 2x) with
+    x = doc_id lie exactly on the line whose top principal direction is
+    analytically (1, 2)/√5 (cov ∝ [[1,2],[2,4]]), so the top PC score
+    is exactly (x − x̄)·√5 — SQL reproduces it with avg() and sqrt(5).
+    The fit itself runs as the distributed one-pass moment fold
+    (similarity.pca_fit). Rounded to 4 dp on both sides (eigh's ~1e-15
+    component error is far below the boundary)."""
+    from prompture_ray.stages.similarity import pca_fit, pca_transform
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        x = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.float64)
+        vecs = np.stack([x, 2 * x], axis=1)
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                         "embedding": pa.array(list(vecs),
+                                               type=pa.list_(pa.float64()))})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    model = pca_fit(planted, "embedding", k=1)
+    out = pca_transform(planted, "embedding", model)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "pc1": pa.array(np.round(
+                np.stack(t["pca"].to_pylist())[:, 0], 4),
+                type=pa.float64()),
+        }), batch_format="pyarrow")
+
+
+PCA_SCORES_SQL = """
+SELECT doc_id,
+       round((doc_id - (SELECT avg(doc_id) FROM documents)) * sqrt(5), 4)
+         AS pc1
+FROM documents ORDER BY doc_id
+"""
+
+
 def gpt2_token_rows(sf_dir: str):
     """LLM-budget token estimate per document: ONE vectorized RE2 pass
     with the GPT-2 pre-tokenizer split pattern. RE2 is the regex engine
@@ -2027,6 +2065,7 @@ QUERIES.update({
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
     "split_assignment_docs": split_assignment_docs,
+    "pca_scores_docs": pca_scores_docs,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -2066,6 +2105,7 @@ ORACLE.update({
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
     "split_assignment_docs": SPLIT_ASSIGNMENT_SQL,
+    "pca_scores_docs": PCA_SCORES_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,
@@ -3112,7 +3152,7 @@ _WINDOW_PRIORITY = [
     "media_png_dims", "media_transform_docs", "media_frame_stats",
     "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
     "media_mixed_dims", "kg_two_hop_docs", "gpt2_token_rows",
-    "running_sum_events", "split_assignment_docs",
+    "running_sum_events", "split_assignment_docs", "pca_scores_docs",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -3129,7 +3169,6 @@ _WINDOW_PRIORITY = [
     # (d) core pipeline sample
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
     "events_hourly", "dedup_first_events", "distinct_users",
-    "ref_events_supplier",
 ]
 
 

@@ -685,3 +685,82 @@ def bm25_topk_multi(ds, text_col: str, id_col: str,
                               kind="mergesort") \
                  .groupby("query_id", sort=False).head(k) \
                  .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PCA / whitening over an embedding column (beyond reference — the
+# embedding-normalization step a training pipeline runs before ANN /
+# near-dup; brief §similarity-search)
+# ---------------------------------------------------------------------------
+
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class PCAModel:
+    mean: "np.ndarray"          # (d,)
+    components: "np.ndarray"    # (k, d) rows = principal directions
+    eigvals: "np.ndarray"       # (k,) descending
+
+
+def pca_fit(ds, vec_col: str, k: int, center: bool = True) -> PCAModel:
+    """Fit PCA with ONE distributed pass: per-batch moment partials
+    (n, Σx, XᵀX — d and d×d, tiny) fold on the driver, then a d×d
+    ``eigh``. The fold is O(batches·d²) — the standard allreduce shape;
+    on a real cluster the merge level runs as a tree aggregate, the
+    corpus itself is never collected. Component signs are canonicalized
+    (largest-|entry| positive) so results are deterministic."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        return pa.table({
+            "n": pa.array([mat.shape[0]], type=pa.int64()),
+            "d": pa.array([mat.shape[1]], type=pa.int64()),
+            "s": pa.array([mat.sum(axis=0).tobytes()], type=pa.binary()),
+            "xtx": pa.array([(mat.T @ mat).tobytes()], type=pa.binary()),
+        })
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        raise ValueError("pca_fit: empty dataset")
+    d = int(parts["d"].iloc[0])
+    n = int(parts["n"].sum())
+    s = np.zeros(d)
+    xtx = np.zeros((d, d))
+    for _, row in parts.iterrows():
+        s += np.frombuffer(row["s"], dtype=np.float64)
+        xtx += np.frombuffer(row["xtx"], dtype=np.float64).reshape(d, d)
+    mean = s / n if center else np.zeros(d)
+    cov = xtx / n - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T.copy()
+    eig = np.maximum(w[order], 0.0)
+    # canonical sign: the largest-|entry| of each component is positive
+    for i in range(comps.shape[0]):
+        j = int(np.argmax(np.abs(comps[i])))
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+    return PCAModel(mean=mean, components=comps, eigvals=eig)
+
+
+def pca_transform(ds, vec_col: str, model: PCAModel,
+                  out_col: str = "pca", whiten: bool = False,
+                  eps: float = 1e-12):
+    """Project the embedding column onto the fitted components
+    (broadcast model, one matmul per batch); ``whiten=True`` scales each
+    score by 1/√eigval."""
+    import ray
+    scale = (1.0 / np.sqrt(model.eigvals + eps)) if whiten else None
+    ref = ray.put((model.mean, model.components, scale))
+
+    def fn(t: pa.Table) -> pa.Table:
+        mean, comps, sc = ray.get(ref)
+        mat = np.stack(t[vec_col].to_pylist()).astype(np.float64)
+        proj = (mat - mean) @ comps.T
+        if sc is not None:
+            proj = proj * sc
+        return t.append_column(
+            out_col, pa.array(list(proj), type=pa.list_(pa.float64())))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

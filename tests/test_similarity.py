@@ -291,3 +291,33 @@ def test_ivf_rebuild_guard(ray_session, tmp_path):
     assert out["id"].tolist() == sorted(set(out["id"]),
                                         key=out["id"].tolist().index)
     assert len(out) == 3
+
+
+def test_pca_fit_matches_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.similarity import pca_fit, pca_transform
+    rng = np.random.RandomState(3)
+    mat = rng.normal(size=(300, 6)) @ rng.normal(size=(6, 6))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(300), type=pa.int64()),
+        "embedding": pa.array(list(mat), type=pa.list_(pa.float64())),
+    })).repartition(5)
+    model = pca_fit(ds, "embedding", k=3)
+    # reference: numpy full PCA on the collected matrix
+    mean = mat.mean(axis=0)
+    cov = (mat - mean).T @ (mat - mean) / len(mat)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:3]
+    ref = v[:, order].T
+    assert np.allclose(model.mean, mean)
+    assert np.allclose(np.sort(model.eigvals)[::-1],
+                       np.sort(w[order])[::-1])
+    for i in range(3):   # components equal up to sign
+        dot = abs(float(ref[i] @ model.components[i]))
+        assert dot > 1 - 1e-9, (i, dot)
+    # whitened projection has unit variance per component
+    out = pca_transform(ds, "embedding", model, whiten=True).to_pandas()
+    proj = np.stack(out["pca"].to_numpy())
+    assert np.allclose(proj.var(axis=0), 1.0, atol=1e-6)
