@@ -1566,6 +1566,50 @@ FROM documents ORDER BY doc_id
 """
 
 
+def webdataset_roundtrip_docs(sf_dir: str):
+    """WebDataset tar-shard round trip (sources/archives.py): per doc a
+    one-sample tar (.txt caption + real .bmp, gz for even ids) is built,
+    parsed back via the tar member iterator with basename-stem sample
+    grouping, and the BMP decoded — caption and dims are closed-form."""
+    from prompture_ray.sources.archives import (build_tar, _iter_tar,
+                                                _sample_rows)
+    from prompture_ray.stages.multimodal import synth_bmp, decode_image
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        shards, blobs = [], []
+        for i in ids:
+            key = f"{i:08d}"
+            blob = build_tar([
+                (f"{key}.txt", f"caption {i}".encode()),
+                (f"{key}.bmp", synth_bmp(5 + i % 7, 4, (1, 2, 3))),
+            ], gz=i % 2 == 0)
+            shards.append(f"shard-{i}.tar")
+            blobs.append(blob)
+        grouped = _sample_rows(pa.table({
+            "path": pa.array(shards, type=pa.string()),
+            "bytes": pa.array(blobs, type=pa.binary())}), _iter_tar)
+        caps = [b.decode() for b in grouped["txt"].to_pylist()]
+        widths = [decode_image(b)[0] for b in grouped["bmp"].to_pylist()]
+        keys = [int(k) for k in grouped["key"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(keys, type=pa.int64()),
+            "caption": pa.array(caps, type=pa.string()),
+            "width": pa.array(widths, type=pa.int64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+WEBDATASET_SQL = """
+SELECT doc_id,
+       'caption ' || doc_id AS caption,
+       5 + doc_id % 7 AS width
+FROM documents ORDER BY doc_id
+"""
+
+
 def hopping_events(sf_dir: str):
     """Hopping (sliding) windows: 2h window / 1h hop — each event lands
     in 2 overlapping windows (vectorized replication, one grouped
@@ -2066,6 +2110,7 @@ QUERIES.update({
     "running_sum_events": running_sum_events,
     "split_assignment_docs": split_assignment_docs,
     "pca_scores_docs": pca_scores_docs,
+    "webdataset_roundtrip_docs": webdataset_roundtrip_docs,
     "toon_roundtrip_docs": toon_roundtrip_docs,
     "citations_docs": citations_docs,
     "hopping_events": hopping_events,
@@ -2106,6 +2151,7 @@ ORACLE.update({
     "running_sum_events": RUNNING_SUM_SQL,
     "split_assignment_docs": SPLIT_ASSIGNMENT_SQL,
     "pca_scores_docs": PCA_SCORES_SQL,
+    "webdataset_roundtrip_docs": WEBDATASET_SQL,
     "toon_roundtrip_docs": TOON_ROUNDTRIP_SQL,
     "citations_docs": CITATIONS_SQL,
     "hopping_events": HOPPING_EVENTS_SQL,
@@ -3153,6 +3199,7 @@ _WINDOW_PRIORITY = [
     "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
     "media_mixed_dims", "kg_two_hop_docs", "gpt2_token_rows",
     "running_sum_events", "split_assignment_docs", "pca_scores_docs",
+    "webdataset_roundtrip_docs",
     # (b) green in r2 but outside the r3 window
     "injection_scan_docs", "redact_docs", "json_repair_events",
     "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
@@ -3168,7 +3215,7 @@ _WINDOW_PRIORITY = [
     "hopping_events",
     # (d) core pipeline sample
     "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
-    "events_hourly", "dedup_first_events", "distinct_users",
+    "events_hourly", "dedup_first_events",
 ]
 
 
