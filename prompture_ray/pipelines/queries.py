@@ -3212,9 +3212,9 @@ _WINDOW_PRIORITY = [
     "simhash_planted_pairs", "fingerprint_planted_pairs", "simhash_docs",
     "fingerprint_docs", "embedding_neardup_docs", "sessions_per_user",
     "asof_event_order", "range_join_signup_events", "orders_customer_join",
-    "hopping_events",
+    "hopping_events", "knn_embeddings",
     # (d) core pipeline sample
-    "doc_violations", "doc_verdicts", "doc_filter_stats", "q1_lineitem",
+    "doc_violations", "doc_verdicts", "q1_lineitem",
     "events_hourly", "dedup_first_events",
 ]
 
