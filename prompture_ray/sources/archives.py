@@ -1,5 +1,9 @@
 """WebDataset-style archive shard ingestion: tar / zip files of samples.
 
+Reference ingestion surface: /root/reference/prompture/ingestion/
+(path→parser dispatch; archives are beyond-reference, per the brief's
+large-scale multimodal requirement).
+
 Large multimodal training corpora ship as directories of archive SHARDS
 (tar files whose members group by basename stem: ``0001.jpg`` +
 ``0001.json`` + ``0001.txt`` = one sample — the WebDataset convention).

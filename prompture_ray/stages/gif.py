@@ -1,5 +1,8 @@
 """GIF codec — pure Python/numpy LZW, no external libraries.
 
+Reference media surface: /root/reference/prompture/media/image.py
+(GIF87a/GIF89a magic detection only — the codec is beyond-reference).
+
 Scope: GIF87a/GIF89a decode (global + local color tables, interlacing,
 multi-frame animations composited with disposal methods 0/1/2,
 transparency via the GCE transparent index) and GIF89a encode (single- or

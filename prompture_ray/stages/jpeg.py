@@ -1,5 +1,9 @@
 """Baseline JPEG codec — pure numpy + stdlib, no Pillow.
 
+Reference media surface: /root/reference/prompture/media/image.py
+(MIME/base64 envelope only — the pixel codec itself is beyond-reference,
+per the build brief's multimodal-column requirement).
+
 Scope (documented subset, enough for training-pipeline JPEG columns):
 
 - decode: baseline DCT (SOF0) AND progressive (SOF2 — spectral

@@ -1,5 +1,8 @@
 """TIFF codec — uncompressed baseline TIFF, pure Python/numpy.
 
+Reference media surface: /root/reference/prompture/media/image.py
+(.tiff MIME mapping only — the codec is beyond-reference).
+
 Scope: 8-bit grayscale (photometric 1) and RGB(A) (photometric 2),
 compression 1 (none), both byte orders (II/MM), multi-strip images,
 BitsPerSample/StripOffsets arrays stored inline or offset. Encode emits
