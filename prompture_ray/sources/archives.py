@@ -31,7 +31,6 @@ import pyarrow as pa
 def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
     """[(name, payload)] → tar (optionally .tar.gz) bytes."""
     import tarfile
-    import time as _time
     buf = io.BytesIO()
     mode = "w:gz" if gz else "w"
     with tarfile.open(fileobj=buf, mode=mode) as tf:
@@ -40,7 +39,6 @@ def build_tar(members: list[tuple[str, bytes]], gz: bool = False) -> bytes:
             info.size = len(payload)
             info.mtime = 0              # deterministic archives
             tf.addfile(info, io.BytesIO(payload))
-    del _time
     return buf.getvalue()
 
 
