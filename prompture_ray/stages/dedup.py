@@ -1064,3 +1064,83 @@ def bloom_dedup_sharded(ds, col: str, shards, normalize: bool = True):
         return t.filter(pa.array(fresh))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus n-gram contamination (train/test decontamination — beyond
+# reference, the standard eval-leakage check a training pipeline runs)
+# ---------------------------------------------------------------------------
+def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
+                      normalize: bool = True):
+    """(id, gram_hash) — one row per token n-gram POSITION (hash64 of the
+    space-joined token window; ~1e-19 collision odds per pair)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if normalize:
+            arr = normalize_strings(arr)
+        ids = t[id_col].to_pylist()
+        out_id, grams = [], []
+        for i, txt in zip(ids, arr.to_pylist()):
+            toks = txt.split() if txt else []
+            if len(toks) < n:
+                continue
+            for j in range(len(toks) - n + 1):
+                out_id.append(i)
+                grams.append(" ".join(toks[j:j + n]))
+        h = hash64(np.asarray(grams, dtype=object)).astype(np.int64) \
+            if grams else np.empty(0, dtype=np.int64)
+        return pa.table({"id": pa.array(out_id),
+                         "gram": pa.array(h, type=pa.int64())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
+                        n: int = 8, n_buckets: int = 32,
+                        normalize: bool = True):
+    """Eval-set contamination against a training corpus: for every eval
+    document, how many of its token n-gram positions also occur ANYWHERE
+    in the training corpus.
+
+    Shape: train grams → distinct gram hashes (sorted aggregate, one
+    narrow shuffle of 8-byte hashes); eval gram positions × distinct
+    train grams via the hash-bucketed equi-join; per-doc grouped counts.
+    Nothing corpus-sized ever reaches the driver. Returns a Dataset
+    ``(id, contaminated, total_grams, rate)`` with one row per eval doc
+    that has ≥ n tokens.
+    """
+    from ray.data.aggregate import Count, Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    train_grams = _token_ngram_rows(train_ds, text_col, id_col, n,
+                                    normalize)
+    distinct = train_grams.groupby("gram") \
+        .aggregate(Count(alias_name="__n")) \
+        .map_batches(lambda t: t.select(["gram"]),
+                     batch_format="pyarrow").materialize()
+
+    eval_grams = _token_ngram_rows(eval_ds, text_col, id_col, n,
+                                   normalize).materialize()
+    totals = eval_grams.groupby("id").aggregate(
+        Count(alias_name="total_grams"))
+
+    hits = bucketed_equi_join(eval_grams, distinct, key="gram",
+                              n_buckets=n_buckets)
+    hit_counts = hits.groupby("id").aggregate(
+        Count(alias_name="contaminated")).materialize()
+
+    # totals ⋈ hit_counts (left): docs with zero hits keep contaminated=0
+    joined = bucketed_equi_join(totals, hit_counts, key="id", how="left",
+                                n_buckets=n_buckets)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["contaminated"] = b["contaminated"].fillna(0).astype(np.int64)
+        b["total_grams"] = b["total_grams"].astype(np.int64)
+        b["rate"] = b["contaminated"] / b["total_grams"]
+        return b[["id", "contaminated", "total_grams", "rate"]]
+
+    return joined.map_batches(finish, batch_format="pandas")

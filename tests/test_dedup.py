@@ -277,3 +277,29 @@ def test_minhash_batched_signatures_bit_identical():
     keys = mh.band_keys_batch(batch, 8)
     for i in range(len(arrays)):
         assert (keys[i] == mh.band_keys(batch[i], 8)).all(), i
+
+
+def test_ngram_contamination(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.dedup import ngram_contamination
+    train = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b c d e f g h i j",      # 10 tokens
+                          "k l m n o p q r s"]),      # 9 tokens
+    }))
+    evals = rd.from_arrow(pa.table({
+        "doc_id": pa.array([10, 11, 12, 13], type=pa.int64()),
+        "text": pa.array([
+            "a b c d e f g h i j",        # full copy: 3/3 grams
+            "x b c d e f g h y",          # 9 tokens, no 8-gram match: 0/2
+            "a b c d e f g h zz yy",      # first 8-gram only: 1/3
+            "u v w",                      # <8 tokens: no row
+        ]),
+    }))
+    out = ngram_contamination(train, evals, "text", "doc_id", n=8) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    got = {int(r["id"]): (int(r["contaminated"]), int(r["total_grams"]))
+           for _, r in out.iterrows()}
+    assert got == {10: (3, 3), 11: (0, 2), 12: (1, 3)}
+    assert out[out["id"] == 10]["rate"].iloc[0] == 1.0
