@@ -256,3 +256,106 @@ def fingerprint_docs(ds, text_col: str = "text", id_col: str = "doc_id",
             "fingerprint", pa.array(fps, type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
+                       top_n: int = 2, dup_n: int = 5):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    public; the reference has no equivalent — this is a beyond-reference
+    web-scale filter): per doc,
+
+    - ``top_frac``  — chars covered by the best repeated ``top_n``-gram,
+      max over grams of count(g)·charlen(g), over the doc's char total
+      (charlen counts the joining spaces; ties resolve by the max of the
+      product, so the signal is deterministic and SQL-expressible);
+    - ``dup_frac``  — fraction of ``dup_n``-gram POSITIONS whose gram
+      occurs more than once in the doc.
+
+    Vectorized per batch: one flattened token array + doc offsets, a
+    rolling 64-bit hash for gram identity, ONE pandas groupby pass per
+    signal — no per-doc Python loop. Embarrassingly parallel (no
+    shuffle). Docs with fewer than ``dup_n`` tokens are dropped (both
+    signals undefined). Both output fractions are single divisions of
+    exact small ints → bit-identical to an integer-exact SQL oracle.
+    """
+    import pandas as pd
+
+    if top_n > dup_n:
+        raise ValueError("top_n must be <= dup_n (docs are filtered to "
+                         ">= dup_n tokens)")
+    P = np.uint64(0x9E3779B97F4A7C15)        # golden-ratio odd multiplier
+
+    def gram_hash(th: np.ndarray, n: int, valid_len: int) -> np.ndarray:
+        g = th[:valid_len].copy()
+        for j in range(1, n):
+            g = g * P + th[j:valid_len + j]
+        return g
+
+    def fn(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id": pa.array([], type=pa.int64()),
+            "top_frac": pa.array([], type=pa.float64()),
+            "dup_frac": pa.array([], type=pa.float64()),
+        })
+        if t.num_rows == 0:
+            return empty
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        toks = pc.utf8_split_whitespace(arr)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        keep = lens >= dup_n
+        if not keep.any():
+            return empty
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        tok_len = pc.utf8_length(flat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        th = hash64(np.asarray(flat.to_pylist(), dtype=object))
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos_in_doc = np.arange(len(flat)) - doc_start[doc_idx]
+
+        def positions(n):
+            m = (pos_in_doc <= lens[doc_idx] - n) & keep[doc_idx]
+            return np.nonzero(m)[0]
+
+        # top_n-grams: per (doc, gram) count and char length, then the
+        # per-doc max of count * charlen
+        i_top = positions(top_n)
+        g_top = gram_hash(th, top_n, len(th) - top_n + 1)[i_top] \
+            if len(i_top) else np.empty(0, dtype=np.uint64)
+        clen = np.zeros(len(i_top), dtype=np.int64) + (top_n - 1)
+        for j in range(top_n):
+            clen += tok_len[i_top + j]
+        df = pd.DataFrame({"d": doc_idx[i_top], "g": g_top, "L": clen})
+        per_gram = df.groupby(["d", "g"], sort=False).agg(
+            c=("L", "size"), L=("L", "first")).reset_index()
+        per_gram["prod"] = per_gram["c"] * per_gram["L"]
+        best = per_gram.groupby("d", sort=False)["prod"].max()
+
+        # dup_n-grams: fraction of positions whose gram repeats
+        i_dup = positions(dup_n)
+        g_dup = gram_hash(th, dup_n, len(th) - dup_n + 1)[i_dup]
+        dd = pd.DataFrame({"d": doc_idx[i_dup], "g": g_dup})
+        cnt = dd.groupby(["d", "g"], sort=False)["g"].transform("size")
+        dd["dup"] = (cnt > 1).astype(np.int64)
+        dupagg = dd.groupby("d", sort=False)["dup"].agg(["sum", "size"])
+
+        docs = np.nonzero(keep)[0]
+        # total chars of " ".join(tokens): token chars + joining spaces
+        tc = pd.Series(tok_len).groupby(doc_idx).sum()
+        total_chars = tc.loc[docs].to_numpy() + lens[docs] - 1
+
+        best_v = best.reindex(docs).to_numpy()
+        dup_sum = dupagg["sum"].reindex(docs).to_numpy()
+        dup_tot = dupagg["size"].reindex(docs).to_numpy()
+        return pa.table({
+            "id": pa.array(ids[docs], type=pa.int64()),
+            "top_frac": pa.array(best_v / total_chars,
+                                 type=pa.float64()),
+            "dup_frac": pa.array(dup_sum / dup_tot, type=pa.float64()),
+        })
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -85,3 +85,22 @@ def test_langid_scripts(ray_session):
                          batch_format="pyarrow").to_pandas() \
         .sort_values("doc_id")
     assert out["lang_pred"].tolist() == ["zh", "ja", "ru"]
+
+
+def test_repetition_signals(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array([
+            "a b a b c",        # "a b" x2 (len 3) -> 6/9; unique 5-gram
+            "x x x x x x",      # "x x" x5 -> 15/11; both 5-grams equal
+            "p q r s t u v",    # no repeats: best 1*3 -> 3/13
+            "a b",              # <5 tokens: dropped
+        ]),
+    }))
+    out = ts.repetition_signals(ds).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    assert out["id"].tolist() == [1, 2, 3]
+    assert out["top_frac"].tolist() == [6 / 9, 15 / 11, 3 / 13]
+    assert out["dup_frac"].tolist() == [0.0, 1.0, 0.0]
