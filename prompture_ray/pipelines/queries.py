@@ -3294,6 +3294,44 @@ QUERIES["gopher_repetition_docs"] = gopher_repetition_docs
 ORACLE["gopher_repetition_docs"] = GOPHER_REPETITION_SQL
 
 
+def corpus_frequency_docs(sf_dir: str):
+    """CCNet-style rarity scoring (Wenzek et al. 2020's perplexity
+    ranking, as the integer-exact distributed-lexicon analogue): mean
+    corpus frequency of each doc's tokens. Lexicon = grouped counts of
+    8-byte token hashes; doc positions x lexicon via the hash-bucketed
+    equi-join; score is one division of exact ints on both sides."""
+    from prompture_ray.stages.textstats import corpus_frequency_score
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = corpus_frequency_score(ds, "text", "doc_id") \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "count_sum": pa.array(df["count_sum"].astype("int64")),
+        "n_tokens": pa.array(df["n_tokens"].astype("int64")),
+        "score": pa.array(df["score"].astype("float64")),
+    })
+
+
+CORPUS_FREQUENCY_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE length(text) > 0
+),
+n AS (SELECT count(*) AS n_corpus FROM toks),
+lex AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+per AS (SELECT t.doc_id, CAST(sum(l.c) AS BIGINT) AS count_sum,
+               CAST(count(*) AS BIGINT) AS n_tokens
+        FROM toks t JOIN lex l USING (tok) GROUP BY t.doc_id)
+SELECT doc_id AS id, count_sum, n_tokens,
+       count_sum / CAST(n_tokens * (SELECT n_corpus FROM n) AS DOUBLE)
+         AS score
+FROM per ORDER BY id
+"""
+
+QUERIES["corpus_frequency_docs"] = corpus_frequency_docs
+ORACLE["corpus_frequency_docs"] = CORPUS_FREQUENCY_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -1070,10 +1070,18 @@ def bloom_dedup_sharded(ds, col: str, shards, normalize: bool = True):
 # cross-corpus n-gram contamination (train/test decontamination — beyond
 # reference, the standard eval-leakage check a training pipeline runs)
 # ---------------------------------------------------------------------------
+_GRAM_P = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio odd multiplier
+
+
 def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
                       normalize: bool = True):
-    """(id, gram_hash) — one row per token n-gram POSITION (hash64 of the
-    space-joined token window; ~1e-19 collision odds per pair)."""
+    """(id, gram_hash) — one row per token n-gram POSITION. Vectorized:
+    Arrow whitespace split → flattened token array → hash64 per TOKEN →
+    rolling 64-bit combine per window (no per-gram Python strings, no
+    per-doc loop). Gram identity is hash-only (~n²/2^64 collision odds
+    corpus-wide — same order as hashing the joined strings). Tokenizer
+    caveat: Arrow's White_Space set, not str.split's (\\x1c-\\x1f) —
+    identical on whitespace-regular corpora."""
 
     def fn(t: pa.Table) -> pa.Table:
         arr = t[text_col]
@@ -1081,19 +1089,37 @@ def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
             arr = arr.combine_chunks()
         if normalize:
             arr = normalize_strings(arr)
-        ids = t[id_col].to_pylist()
-        out_id, grams = [], []
-        for i, txt in zip(ids, arr.to_pylist()):
-            toks = txt.split() if txt else []
-            if len(toks) < n:
-                continue
-            for j in range(len(toks) - n + 1):
-                out_id.append(i)
-                grams.append(" ".join(toks[j:j + n]))
-        h = hash64(np.asarray(grams, dtype=object)).astype(np.int64) \
-            if grams else np.empty(0, dtype=np.int64)
-        return pa.table({"id": pa.array(out_id),
-                         "gram": pa.array(h, type=pa.int64())})
+        arr = pc.fill_null(arr, "")
+        # empty texts yield no gram rows (Arrow split of "" is [''],
+        # unlike str.split's []; drop those rows up front — matches the
+        # oracle's WHERE length(text) > 0)
+        nonempty = pc.greater(pc.utf8_length(arr), 0)
+        t = t.filter(nonempty)
+        arr = arr.filter(nonempty)
+        toks = pc.utf8_split_whitespace(arr)
+        lens = pc.list_value_length(toks).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(toks)
+        if len(flat) == 0:
+            return pa.table({"id": pa.array([], type=pa.int64()),
+                             "gram": pa.array([], type=pa.int64())})
+        th = hash64(np.asarray(flat.to_pylist(), dtype=object))
+        # rolling combine over each window of n token hashes
+        g = th[:len(th) - n + 1].copy() if len(th) >= n \
+            else np.empty(0, dtype=np.uint64)
+        for j in range(1, n):
+            g = g * _GRAM_P + th[j:len(th) - n + 1 + j]
+        # valid positions: window stays inside its doc
+        doc_idx = np.repeat(np.arange(len(lens)), lens)
+        doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(flat)) - doc_start[doc_idx]
+        valid = np.nonzero((pos <= lens[doc_idx] - n)[:len(g)])[0]
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "id": pa.array(ids[doc_idx[valid]], type=pa.int64()),
+            "gram": pa.array(g[valid].astype(np.int64),
+                             type=pa.int64()),
+        })
 
     return ds.map_batches(fn, batch_format="pyarrow")
 

@@ -359,3 +359,47 @@ def repetition_signals(ds, text_col: str = "text", id_col: str = "doc_id",
         })
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def corpus_frequency_score(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n_buckets: int = 32):
+    """CCNet-style rarity scoring with integer-exact semantics (beyond
+    reference; cf. Wenzek et al. 2020 — CCNet ranks docs by LM
+    perplexity; this is the distributed-lexicon analogue that stays
+    bit-exact against a SQL oracle): per doc, the mean corpus frequency
+    of its tokens,
+
+        score = sum_i count(tok_i) / (n_tokens(doc) * N_corpus_tokens)
+
+    — a single division of exact integers, so engine and oracle doubles
+    are bit-identical with no rounding.
+
+    Shape: token rows (id, hash64(token)) → lexicon = grouped counts
+    (one narrow shuffle of 8-byte hashes); doc positions × lexicon via
+    the hash-bucketed equi-join; per-doc grouped sums. Nothing
+    corpus-sized on the driver; N_corpus is the only driver scalar.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Count, Sum
+    from prompture_ray.stages.dedup import _token_ngram_rows
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    toks = _token_ngram_rows(ds, text_col, id_col, n=1,
+                             normalize=False).materialize()
+    n_corpus = toks.count()
+    lexicon = toks.groupby("gram").aggregate(
+        Count(alias_name="tok_count")).materialize()
+    joined = bucketed_equi_join(toks, lexicon, key="gram",
+                                n_buckets=n_buckets)
+    per_doc = joined.groupby("id").aggregate(
+        Sum("tok_count", alias_name="count_sum"),
+        Count(alias_name="n_tokens"))
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["count_sum"] = b["count_sum"].astype(np.int64)
+        b["n_tokens"] = b["n_tokens"].astype(np.int64)
+        b["score"] = b["count_sum"] / (b["n_tokens"] * n_corpus)
+        return b[["id", "count_sum", "n_tokens", "score"]]
+
+    return per_doc.map_batches(finish, batch_format="pandas")

@@ -104,3 +104,18 @@ def test_repetition_signals(ray_session):
     assert out["id"].tolist() == [1, 2, 3]
     assert out["top_frac"].tolist() == [6 / 9, 15 / 11, 3 / 13]
     assert out["dup_frac"].tolist() == [0.0, 1.0, 0.0]
+
+
+def test_corpus_frequency_score(ray_session):
+    import ray.data as rd
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["a b a", "b c"]),
+    }))
+    out = ts.corpus_frequency_score(ds).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    # corpus: a=2, b=2, c=1, N=5
+    assert out["count_sum"].tolist() == [6, 3]
+    assert out["n_tokens"].tolist() == [3, 2]
+    assert out["score"].tolist() == [6 / 15, 3 / 10]
