@@ -1126,41 +1126,46 @@ def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
 
 def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
                         n: int = 8, n_buckets: int = 32,
-                        normalize: bool = True):
+                        normalize: bool = True,
+                        broadcast_max: int = 20_000_000):
     """Eval-set contamination against a training corpus: for every eval
     document, how many of its token n-gram positions also occur ANYWHERE
     in the training corpus.
 
     Shape: train grams → distinct gram hashes (sorted aggregate, one
-    narrow shuffle of 8-byte hashes); eval gram positions × distinct
-    train grams via the hash-bucketed equi-join; per-doc grouped counts.
-    Nothing corpus-sized ever reaches the driver. Returns a Dataset
+    narrow shuffle of 8-byte hashes). Size-aware dispatch on the
+    distinct-gram count, mirroring REF_BROADCAST_MAX: up to
+    ``broadcast_max`` distinct grams (160 MB at the default) the sorted
+    hash array is broadcast once via ``ray.put`` and each eval batch
+    folds membership (searchsorted) + per-doc partials locally — ONE
+    narrow shuffle of (id, contaminated, total) partial rows and no
+    join at all. Beyond that, eval positions × distinct grams go
+    through the hash-bucketed equi-join (the 100-TB path — nothing
+    corpus-sized on the driver either way). Returns a Dataset
     ``(id, contaminated, total_grams, rate)`` with one row per eval doc
     that has ≥ n tokens.
     """
+    import ray
     from ray.data.aggregate import Count, Sum
     from prompture_ray.stages.joins import bucketed_equi_join
 
     train_grams = _token_ngram_rows(train_ds, text_col, id_col, n,
                                     normalize)
-    distinct = train_grams.groupby("gram") \
-        .aggregate(Count(alias_name="__n")) \
+
+    def local_unique(t: pa.Table) -> pa.Table:
+        # combiner: dedup inside the batch before the distinct shuffle
+        # (zipfian gram counts make this a large reduction)
+        return pa.table({"gram": pa.array(np.unique(
+            t["gram"].to_numpy(zero_copy_only=False)), type=pa.int64())})
+
+    distinct = train_grams.map_batches(local_unique,
+                                       batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="__n")) \
         .map_batches(lambda t: t.select(["gram"]),
                      batch_format="pyarrow").materialize()
 
     eval_grams = _token_ngram_rows(eval_ds, text_col, id_col, n,
-                                   normalize).materialize()
-    totals = eval_grams.groupby("id").aggregate(
-        Count(alias_name="total_grams"))
-
-    hits = bucketed_equi_join(eval_grams, distinct, key="gram",
-                              n_buckets=n_buckets)
-    hit_counts = hits.groupby("id").aggregate(
-        Count(alias_name="contaminated")).materialize()
-
-    # totals ⋈ hit_counts (left): docs with zero hits keep contaminated=0
-    joined = bucketed_equi_join(totals, hit_counts, key="id", how="left",
-                                n_buckets=n_buckets)
+                                   normalize)
 
     def finish(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
@@ -1169,4 +1174,45 @@ def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
         b["rate"] = b["contaminated"] / b["total_grams"]
         return b[["id", "contaminated", "total_grams", "rate"]]
 
+    if distinct.count() <= broadcast_max:
+        grams_sorted = np.sort(np.concatenate(
+            [t["gram"].to_numpy(zero_copy_only=False)
+             for t in distinct.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]))
+        ref = ray.put(grams_sorted)
+
+        def partial(t: pa.Table) -> pa.Table:
+            gs = ray.get(ref)
+            g = t["gram"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(gs, g)
+            hit = (idx < len(gs)) & (gs[np.clip(idx, 0, max(len(gs) - 1,
+                                                            0))] == g) \
+                if len(gs) else np.zeros(len(g), dtype=bool)
+            df = pd.DataFrame({
+                "id": t["id"].to_numpy(zero_copy_only=False),
+                "h": hit.astype(np.int64)})
+            agg = df.groupby("id", sort=False)["h"].agg(["sum", "size"])
+            return pa.table({
+                "id": pa.array(agg.index.to_numpy(), type=pa.int64()),
+                "contaminated": pa.array(agg["sum"].to_numpy(),
+                                         type=pa.int64()),
+                "total_grams": pa.array(agg["size"].to_numpy(),
+                                        type=pa.int64())})
+
+        out = eval_grams.map_batches(partial, batch_format="pyarrow") \
+            .groupby("id").aggregate(
+                Sum("contaminated", alias_name="contaminated"),
+                Sum("total_grams", alias_name="total_grams"))
+        return out.map_batches(finish, batch_format="pandas")
+
+    eval_grams = eval_grams.materialize()   # consumed twice below
+    totals = eval_grams.groupby("id").aggregate(
+        Count(alias_name="total_grams"))
+    hits = bucketed_equi_join(eval_grams, distinct, key="gram",
+                              n_buckets=n_buckets)
+    hit_counts = hits.groupby("id").aggregate(
+        Count(alias_name="contaminated")).materialize()
+    # totals ⋈ hit_counts (left): docs with zero hits keep contaminated=0
+    joined = bucketed_equi_join(totals, hit_counts, key="id", how="left",
+                                n_buckets=n_buckets)
     return joined.map_batches(finish, batch_format="pandas")

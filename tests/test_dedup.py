@@ -297,9 +297,12 @@ def test_ngram_contamination(ray_session):
             "u v w",                      # <8 tokens: no row
         ]),
     }))
-    out = ngram_contamination(train, evals, "text", "doc_id", n=8) \
-        .to_pandas().sort_values("id", ignore_index=True)
-    got = {int(r["id"]): (int(r["contaminated"]), int(r["total_grams"]))
-           for _, r in out.iterrows()}
-    assert got == {10: (3, 3), 11: (0, 2), 12: (1, 3)}
-    assert out[out["id"] == 10]["rate"].iloc[0] == 1.0
+    for bmax in (20_000_000, 0):     # broadcast path AND bucketed-join path
+        out = ngram_contamination(train, evals, "text", "doc_id", n=8,
+                                  broadcast_max=bmax) \
+            .to_pandas().sort_values("id", ignore_index=True)
+        got = {int(r["id"]): (int(r["contaminated"]),
+                              int(r["total_grams"]))
+               for _, r in out.iterrows()}
+        assert got == {10: (3, 3), 11: (0, 2), 12: (1, 3)}, bmax
+        assert out[out["id"] == 10]["rate"].iloc[0] == 1.0

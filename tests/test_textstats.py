@@ -113,9 +113,10 @@ def test_corpus_frequency_score(ray_session):
         "doc_id": pa.array([1, 2], type=pa.int64()),
         "text": pa.array(["a b a", "b c"]),
     }))
-    out = ts.corpus_frequency_score(ds).to_pandas() \
-        .sort_values("id", ignore_index=True)
-    # corpus: a=2, b=2, c=1, N=5
-    assert out["count_sum"].tolist() == [6, 3]
-    assert out["n_tokens"].tolist() == [3, 2]
-    assert out["score"].tolist() == [6 / 15, 3 / 10]
+    for bmax in (20_000_000, 0):     # broadcast path AND bucketed-join path
+        out = ts.corpus_frequency_score(ds, broadcast_max=bmax) \
+            .to_pandas().sort_values("id", ignore_index=True)
+        # corpus: a=2, b=2, c=1, N=5
+        assert out["count_sum"].tolist() == [6, 3], bmax
+        assert out["n_tokens"].tolist() == [3, 2], bmax
+        assert out["score"].tolist() == [6 / 15, 3 / 10], bmax
