@@ -3332,6 +3332,77 @@ QUERIES["corpus_frequency_docs"] = corpus_frequency_docs
 ORACLE["corpus_frequency_docs"] = CORPUS_FREQUENCY_SQL
 
 
+def line_dedup_docs(sf_dir: str):
+    """Corpus-wide duplicated-line removal (CCNet §4.1 / RefinedWeb
+    boilerplate-line dedup; beyond reference — prompture/dataset/dedup.py
+    dedupes whole docs only): drop lines whose corpus doc-frequency >= 5,
+    rebuild text from kept lines. Planted lines per doc: a nav line
+    shared by doc_id%7, a footer shared by doc_id%3 (both df >= 5 at
+    every SF), and doc_id%4+1 unique lines — SQL recomputes the df and
+    the kept text closed-form."""
+    from prompture_ray.stages.dedup import line_dedup
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth(b):
+        import pandas as pd
+        ids = b["doc_id"].to_numpy()
+        s = pd.Series(ids).astype(str)
+        t = ("nav " + pd.Series(ids % 7).astype(str)
+             + "\nfooter " + pd.Series(ids % 3).astype(str))
+        m4 = ids % 4
+        for i in range(4):
+            t = t.where(m4 < i, t + ("\nu " + s + " " + str(i)))
+        return pd.DataFrame({"doc_id": ids, "text": t.to_numpy()})
+
+    out = line_dedup(ds.map_batches(synth, batch_format="pandas"),
+                     "text", "doc_id", min_docs=5) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "doc_id": pa.array(out["doc_id"].astype("int64")),
+        "text": pa.array(out["text"].astype(str)),
+        "n_kept": pa.array(out["n_kept"].astype("int64")),
+        "n_removed": pa.array(out["n_removed"].astype("int64")),
+    })
+
+
+LINE_DEDUP_SQL = """
+WITH pos AS (
+  SELECT doc_id,
+         unnest(generate_series(0, CAST(doc_id % 4 AS BIGINT) + 2)) AS i
+  FROM documents
+),
+lines AS (
+  SELECT doc_id, i,
+    CASE WHEN i = 0 THEN 'nav ' || CAST(doc_id % 7 AS VARCHAR)
+         WHEN i = 1 THEN 'footer ' || CAST(doc_id % 3 AS VARCHAR)
+         ELSE 'u ' || CAST(doc_id AS VARCHAR) || ' '
+              || CAST(i - 2 AS VARCHAR)
+    END AS line
+  FROM pos
+),
+df AS (SELECT line, count(DISTINCT doc_id) AS d FROM lines GROUP BY line),
+kept AS (
+  SELECT l.doc_id, l.i, l.line
+  FROM lines l JOIN df f USING (line) WHERE f.d < 5
+),
+agg AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+         CAST(count(*) AS BIGINT) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines
+        FROM lines GROUP BY doc_id)
+SELECT t.doc_id, coalesce(a.text, '') AS text,
+       CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(t.n_lines - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+FROM tot t LEFT JOIN agg a USING (doc_id)
+ORDER BY doc_id
+"""
+
+QUERIES["line_dedup_docs"] = line_dedup_docs
+ORACLE["line_dedup_docs"] = LINE_DEDUP_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -1216,3 +1216,152 @@ def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
     joined = bucketed_equi_join(totals, hit_counts, key="id", how="left",
                                 n_buckets=n_buckets)
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide line-level dedup (CCNet §4.1 / RefinedWeb boilerplate-line
+# removal — beyond reference; cf. prompture/dataset/dedup.py which dedupes
+# whole documents only)
+# ---------------------------------------------------------------------------
+def _split_lines(t: pa.Table, text_col: str, sep: str):
+    """Vectorized line split of a batch: (flat lines, per-row lengths,
+    flat→row index, 64-bit line hashes)."""
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    toks = pc.split_pattern(arr, pattern=sep)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    h = hash64(np.asarray(flat.to_pylist(), dtype=object)).astype(np.int64) \
+        if len(flat) else np.empty(0, dtype=np.int64)
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    return flat, lens, doc_idx, h
+
+
+def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
+               min_docs: int = 2, sep: str = "\n", n_buckets: int = 32,
+               broadcast_max: int = 20_000_000):
+    """Corpus-level duplicated-line removal: drop every line whose corpus
+    DOCUMENT-frequency is >= ``min_docs`` (boilerplate nav/footer text),
+    rebuild each doc's text from the kept lines in original order.
+    Returns ``(id, text, n_kept, n_removed)``, one row per input doc.
+
+    Shape: pass 1 emits per-batch (line_hash, partial_df) rows — each doc
+    is one row so within-batch (doc, hash) dedupe makes the global
+    distinct-doc count exact — then ONE narrow shuffle of 8-byte hashes
+    folds the corpus df. Size-aware dispatch on the common-line count
+    (boilerplate sets are tiny next to the corpus): up to
+    ``broadcast_max`` hashes the sorted array is broadcast once via
+    ``ray.put`` and pass 2 rebuilds texts locally — membership by
+    searchsorted, kept lines re-listed by offset arithmetic,
+    ``pc.binary_join`` per row, NO second shuffle. Beyond that, line rows
+    go through the hash-bucketed left join and docs are rebuilt inside
+    bounded ``hash(id) % cells`` group frames (the 100-TB path; nothing
+    corpus-sized on the driver either way). Line identity is hash-only
+    (64-bit; ~n²/2^64 collision odds corpus-wide)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        flat, lens, doc_idx, h = _split_lines(t, text_col, sep)
+        if len(h) == 0:
+            return pa.table({"gram": pa.array([], type=pa.int64()),
+                             "df": pa.array([], type=pa.int64())})
+        order = np.lexsort((h, doc_idx))
+        ds_, hs_ = doc_idx[order], h[order]
+        first = np.ones(len(hs_), dtype=bool)
+        first[1:] = (ds_[1:] != ds_[:-1]) | (hs_[1:] != hs_[:-1])
+        grams, counts = np.unique(hs_[first], return_counts=True)
+        return pa.table({"gram": pa.array(grams, type=pa.int64()),
+                         "df": pa.array(counts.astype(np.int64),
+                                        type=pa.int64())})
+
+    df_rows = ds.map_batches(df_partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("df", alias_name="df"))
+    common = df_rows.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["df"], min_docs))
+        .select(["gram"]), batch_format="pyarrow").materialize()
+
+    if common.count() <= broadcast_max:
+        grams_sorted = np.sort(np.concatenate(
+            [t["gram"].to_numpy(zero_copy_only=False)
+             for t in common.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]))
+        ref = ray.put(grams_sorted)
+
+        def rebuild(t: pa.Table) -> pa.Table:
+            gs = ray.get(ref)
+            flat, lens, doc_idx, h = _split_lines(t, text_col, sep)
+            if len(gs) and len(h):
+                idx = np.clip(np.searchsorted(gs, h), 0, len(gs) - 1)
+                keep = gs[idx] != h
+            else:
+                keep = np.ones(len(h), dtype=bool)
+            kept_counts = np.bincount(doc_idx[keep],
+                                      minlength=len(lens)).astype(np.int64)
+            offsets = np.concatenate(
+                ([0], np.cumsum(kept_counts))).astype(np.int32)
+            lst = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()),
+                flat.filter(pa.array(keep)) if len(h)
+                else pa.array([], type=pa.string()))
+            return pa.table({
+                id_col: t[id_col],
+                text_col: pc.binary_join(lst, sep),
+                "n_kept": pa.array(kept_counts, type=pa.int64()),
+                "n_removed": pa.array(lens - kept_counts,
+                                      type=pa.int64())})
+
+        return ds.map_batches(rebuild, batch_format="pyarrow")
+
+    # 100-TB fallback: line rows × common hashes through the bucketed
+    # left join, then per-doc text rebuild inside bounded group frames
+    # (one vectorized pandas pass per hash(id)%cells cell, never a frame
+    # per doc — CLAUDE.md round-4 pattern).
+    def line_rows(t: pa.Table) -> pa.Table:
+        flat, lens, doc_idx, h = _split_lines(t, text_col, sep)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        pos = np.arange(len(h)) - doc_start[doc_idx]
+        return pa.table({
+            "id": pa.array(ids[doc_idx], type=pa.int64()),
+            "pos": pa.array(pos, type=pa.int64()),
+            "line": flat,
+            "gram": pa.array(h, type=pa.int64())})
+
+    rows = ds.map_batches(line_rows, batch_format="pyarrow").materialize()
+    marked = common.map_batches(
+        lambda t: t.append_column("__dup", pa.array(
+            np.ones(t.num_rows, dtype=np.int64), type=pa.int64())),
+        batch_format="pyarrow").materialize()
+    flagged = bucketed_equi_join(rows, marked, key="gram", how="left",
+                                 n_buckets=n_buckets)
+    n_cells = n_buckets * 2
+
+    def add_cell(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__cell"] = ((b["id"].to_numpy().astype(np.uint64)
+                        * _GRAM_P) % np.uint64(n_cells)).astype(np.int64)
+        return b
+
+    def rebuild_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        kept = g[g["__dup"].isna()]
+        agg = kept.groupby("id", sort=True)["line"].agg(sep.join)
+        n_kept = kept.groupby("id", sort=True).size()
+        tot = g.groupby("id", sort=True).size()
+        out = pd.DataFrame({"id": tot.index.to_numpy()})
+        out[text_col] = agg.reindex(tot.index).fillna("").to_numpy()
+        out["n_kept"] = n_kept.reindex(tot.index).fillna(0) \
+            .to_numpy().astype(np.int64)
+        out["n_removed"] = (tot - n_kept.reindex(tot.index).fillna(0)) \
+            .to_numpy().astype(np.int64)
+        return out.rename(columns={"id": id_col})
+
+    return flagged.map_batches(add_cell, batch_format="pandas") \
+        .groupby("__cell").map_groups(rebuild_cell, batch_format="pandas")

@@ -306,3 +306,43 @@ def test_ngram_contamination(ray_session):
                for _, r in out.iterrows()}
         assert got == {10: (3, 3), 11: (0, 2), 12: (1, 3)}, bmax
         assert out[out["id"] == 10]["rate"].iloc[0] == 1.0
+
+
+def test_line_dedup(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.dedup import line_dedup
+    texts = {
+        1: "NAV\nwelcome to site one\nFOOTER",
+        2: "NAV\nunique text two\nmore two\nFOOTER",
+        3: "NAV\nthird doc body\nFOOTER",
+        4: "NAV\nFOOTER",                       # all lines removed
+        5: "only one line here",                # nothing removed
+        6: "dup inside\ndup inside\nsolo",      # within-doc dup: df=1, kept
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    }))
+
+    # pure-Python reference: df = #docs containing the line
+    from collections import Counter
+    df = Counter()
+    for t in texts.values():
+        for ln in set(t.split("\n")):
+            df[ln] += 1
+    expect = {}
+    for k, t in texts.items():
+        lines = t.split("\n")
+        kept = [ln for ln in lines if df[ln] < 3]
+        expect[k] = ("\n".join(kept), len(kept), len(lines) - len(kept))
+
+    for bmax in (20_000_000, 0):     # broadcast path AND bucketed path
+        out = line_dedup(ds, "text", "doc_id", min_docs=3,
+                         broadcast_max=bmax) \
+            .to_pandas().sort_values("doc_id", ignore_index=True)
+        got = {int(r["doc_id"]): (r["text"], int(r["n_kept"]),
+                                  int(r["n_removed"]))
+               for _, r in out.iterrows()}
+        assert got == expect, bmax
+    assert expect[4] == ("", 0, 2)          # the all-removed doc is empty
