@@ -1074,54 +1074,73 @@ _GRAM_P = np.uint64(0x9E3779B97F4A7C15)     # golden-ratio odd multiplier
 
 
 def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
-                      normalize: bool = True):
-    """(id, gram_hash) — one row per token n-gram POSITION. Vectorized:
-    Arrow whitespace split → flattened token array → hash64 per TOKEN →
-    rolling 64-bit combine per window (no per-gram Python strings, no
-    per-doc loop). Gram identity is hash-only (~n²/2^64 collision odds
-    corpus-wide — same order as hashing the joined strings). Tokenizer
-    caveat: Arrow's White_Space set, not str.split's (\\x1c-\\x1f) —
-    identical on whitespace-regular corpora."""
+                      normalize: bool = True, with_pos: bool = False):
+    """(id, gram_hash[, pos]) — one row per token n-gram POSITION.
+    Vectorized: Arrow whitespace split → flattened token array → hash64
+    per TOKEN → rolling 64-bit combine per window (no per-gram Python
+    strings, no per-doc loop). ``with_pos`` adds the 0-based in-doc token
+    position of each window. Gram identity is hash-only (~n²/2^64
+    collision odds corpus-wide — same order as hashing the joined
+    strings). Tokenizer caveat: Arrow's White_Space set, not
+    str.split's (\\x1c-\\x1f) — identical on whitespace-regular
+    corpora."""
 
     def fn(t: pa.Table) -> pa.Table:
-        arr = t[text_col]
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        if normalize:
-            arr = normalize_strings(arr)
-        arr = pc.fill_null(arr, "")
-        # empty texts yield no gram rows (Arrow split of "" is [''],
-        # unlike str.split's []; drop those rows up front — matches the
-        # oracle's WHERE length(text) > 0)
-        nonempty = pc.greater(pc.utf8_length(arr), 0)
-        t = t.filter(nonempty)
-        arr = arr.filter(nonempty)
-        toks = pc.utf8_split_whitespace(arr)
-        lens = pc.list_value_length(toks).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        flat = pc.list_flatten(toks)
-        if len(flat) == 0:
-            return pa.table({"id": pa.array([], type=pa.int64()),
-                             "gram": pa.array([], type=pa.int64())})
-        th = hash64(np.asarray(flat.to_pylist(), dtype=object))
-        # rolling combine over each window of n token hashes
-        g = th[:len(th) - n + 1].copy() if len(th) >= n \
-            else np.empty(0, dtype=np.uint64)
-        for j in range(1, n):
-            g = g * _GRAM_P + th[j:len(th) - n + 1 + j]
-        # valid positions: window stays inside its doc
-        doc_idx = np.repeat(np.arange(len(lens)), lens)
-        doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
-        pos = np.arange(len(flat)) - doc_start[doc_idx]
-        valid = np.nonzero((pos <= lens[doc_idx] - n)[:len(g)])[0]
-        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        return pa.table({
-            "id": pa.array(ids[doc_idx[valid]], type=pa.int64()),
-            "gram": pa.array(g[valid].astype(np.int64),
-                             type=pa.int64()),
-        })
+        ids_w, g, pos, _, _ = _window_arrays(t, text_col, id_col, n,
+                                             normalize)
+        cols = {
+            "id": pa.array(ids_w, type=pa.int64()),
+            "gram": pa.array(g.astype(np.int64), type=pa.int64()),
+        }
+        if with_pos:
+            cols["pos"] = pa.array(pos, type=pa.int64())
+        return pa.table(cols)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
+                   normalize: bool):
+    """Vectorized token-window computation for one batch of DOCS (one doc
+    per row, so every doc's windows are complete here): returns
+    ``(ids_per_window, gram_hash_per_window, pos_per_window,
+    doc_ids_with_ge_n_tokens, n_tokens_of_those_docs)``."""
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if normalize:
+        arr = normalize_strings(arr)
+    arr = pc.fill_null(arr, "")
+    # empty texts yield no gram rows (Arrow split of "" is [''],
+    # unlike str.split's []; drop those rows up front — matches the
+    # oracle's WHERE length(text) > 0)
+    nonempty = pc.greater(pc.utf8_length(arr), 0)
+    t = t.filter(nonempty)
+    arr = arr.filter(nonempty)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    toks = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = pc.list_flatten(toks)
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
+             np.empty(0, dtype=np.int64))
+    if len(flat) == 0:
+        return empty + (np.empty(0, dtype=np.int64),
+                        np.empty(0, dtype=np.int64))
+    th = hash64(np.asarray(flat.to_pylist(), dtype=object))
+    # rolling combine over each window of n token hashes
+    g = th[:len(th) - n + 1].copy() if len(th) >= n \
+        else np.empty(0, dtype=np.uint64)
+    for j in range(1, n):
+        g = g * _GRAM_P + th[j:len(th) - n + 1 + j]
+    # valid positions: window stays inside its doc
+    doc_idx = np.repeat(np.arange(len(lens)), lens)
+    doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    pos = np.arange(len(flat)) - doc_start[doc_idx]
+    valid = np.nonzero((pos <= lens[doc_idx] - n)[:len(g)])[0]
+    big = lens >= n
+    return (ids[doc_idx[valid]], g[valid], pos[valid],
+            ids[big], lens[big])
 
 
 def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
@@ -1365,3 +1384,163 @@ def line_dedup(ds, text_col: str = "text", id_col: str = "doc_id",
 
     return flagged.map_batches(add_cell, batch_format="pandas") \
         .groupby("__cell").map_groups(rebuild_cell, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# corpus-wide duplicated-span detection (exact substring dedup semantics —
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models
+# Better"; beyond reference). A position is duplicated when its token
+# n-gram occurs >= min_count times ANYWHERE in the corpus (including the
+# same doc); overlapping/adjacent duplicated windows merge into spans.
+# ---------------------------------------------------------------------------
+def _span_stats_from_positions(d_idx, p, n):
+    """Vectorized merged-span statistics over (doc index, window position)
+    pairs sorted by (doc, pos): per-doc span count and covered-token
+    count. A window covers [p, p+n); windows with gap <= n merge (overlap
+    or touch)."""
+    if len(p) == 0:
+        return (np.empty(0, dtype=np.int64),) * 3
+    new_doc = np.ones(len(p), dtype=bool)
+    new_doc[1:] = d_idx[1:] != d_idx[:-1]
+    gap = np.empty(len(p), dtype=np.int64)
+    gap[0] = n
+    gap[1:] = p[1:] - p[:-1]
+    start = new_doc | (gap > n)
+    contrib = np.where(start, n, np.minimum(gap, n))
+    docs = np.unique(d_idx)
+    remap = np.searchsorted(docs, d_idx)
+    n_spans = np.bincount(remap[start], minlength=len(docs))
+    covered = np.bincount(remap, weights=contrib,
+                          minlength=len(docs)).astype(np.int64)
+    return docs, n_spans.astype(np.int64), covered
+
+
+def duplicate_span_stats(ds, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 16,
+                         min_count: int = 2, normalize: bool = True,
+                         n_buckets: int = 32,
+                         broadcast_max: int = 20_000_000):
+    """Per doc with >= n tokens: how much of it is covered by token
+    n-grams that repeat >= ``min_count`` times corpus-wide. Returns
+    ``(id, n_tokens, dup_windows, n_spans, covered_tokens, dup_frac)``
+    where dup_frac = covered_tokens / n_tokens (single division of exact
+    ints — bit-identical to a SQL oracle).
+
+    Shape: gram rows → per-batch partial counts → ONE narrow shuffle of
+    8-byte hashes for the corpus occurrence counts. Size-aware dispatch
+    on the duplicated-gram count: up to ``broadcast_max`` the sorted
+    array is broadcast via ``ray.put`` and pass 2 is a pure map over the
+    docs — each doc is one row, so its windows are complete inside the
+    batch and spans merge locally with NO second shuffle. Beyond that,
+    position rows × dup grams go through the hash-bucketed join and
+    spans merge inside bounded ``hash(id) % cells`` frames."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    grams = _token_ngram_rows(ds, text_col, id_col, n, normalize,
+                              with_pos=True)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g, c = np.unique(t["gram"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"gram": pa.array(g, type=pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64),
+                                         type=pa.int64())})
+
+    counts = grams.map_batches(count_partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count))
+        .select(["gram"]), batch_format="pyarrow").materialize()
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        for c in ("dup_windows", "n_spans", "covered_tokens"):
+            b[c] = b[c].fillna(0).astype(np.int64)
+        b["n_tokens"] = b["n_tokens"].astype(np.int64)
+        b["dup_frac"] = b["covered_tokens"] / b["n_tokens"]
+        return b[["id", "n_tokens", "dup_windows", "n_spans",
+                  "covered_tokens", "dup_frac"]]
+
+    if dup.count() <= broadcast_max:
+        dup_sorted = np.sort(np.concatenate(
+            [t["gram"].to_numpy(zero_copy_only=False)
+             for t in dup.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]))
+        ref = ray.put(dup_sorted)
+
+        def per_doc(t: pa.Table) -> pa.Table:
+            # maps over the DOCS dataset (one doc per row): every doc's
+            # windows are complete inside the batch, so spans merge
+            # locally. (Mapping over the gram-rows dataset would be
+            # wrong — Ray re-batches between operators and can split a
+            # doc's windows across batches.)
+            gs = ray.get(ref)
+            ids, g, pos, docs_all, ntok = _window_arrays(
+                t, text_col, id_col, n, normalize)
+            g = g.view(np.int64)             # match the int64 dup set
+            order = np.argsort(docs_all)     # searchsorted target below
+            docs_all, ntok = docs_all[order], ntok[order]
+            if len(gs) and len(g):
+                idx = np.clip(np.searchsorted(gs, g), 0, len(gs) - 1)
+                hit = gs[idx] == g
+            else:
+                hit = np.zeros(len(g), dtype=bool)
+            d, spans, cov = _span_stats_from_positions(
+                ids[hit], pos[hit], n)
+            si = np.searchsorted(docs_all, d)
+            sp = np.zeros(len(docs_all), dtype=np.int64)
+            cv = np.zeros(len(docs_all), dtype=np.int64)
+            sp[si], cv[si] = spans, cov
+            dw = np.bincount(np.searchsorted(docs_all, ids[hit]),
+                             minlength=len(docs_all)).astype(np.int64)
+            return pa.table({
+                "id": pa.array(docs_all, type=pa.int64()),
+                "n_tokens": pa.array(ntok, type=pa.int64()),
+                "dup_windows": pa.array(dw, type=pa.int64()),
+                "n_spans": pa.array(sp, type=pa.int64()),
+                "covered_tokens": pa.array(cv, type=pa.int64())})
+
+        out = ds.map_batches(per_doc, batch_format="pyarrow")
+        return out.map_batches(finish, batch_format="pandas")
+
+    # 100-TB fallback: positions × dup grams through the bucketed join,
+    # spans merged inside bounded hash(id)%cells group frames. Totals
+    # come from the docs dataset (doc-complete batches), not from the
+    # re-batched gram rows.
+    def doc_totals(t: pa.Table) -> pa.Table:
+        _, _, _, docs_all, ntok = _window_arrays(t, text_col, id_col, n,
+                                                 normalize)
+        return pa.table({"id": pa.array(docs_all, type=pa.int64()),
+                         "n_tokens": pa.array(ntok, type=pa.int64())})
+
+    totals = ds.map_batches(doc_totals, batch_format="pyarrow")
+    grams = grams.materialize()
+    hits = bucketed_equi_join(grams, dup, key="gram",
+                              n_buckets=n_buckets,
+                              left_cols=["id", "pos", "gram"])
+    n_cells = n_buckets * 2
+
+    def add_cell(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__cell"] = ((b["id"].to_numpy().astype(np.uint64)
+                        * _GRAM_P) % np.uint64(n_cells)).astype(np.int64)
+        return b
+
+    def spans_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        ids = g["id"].to_numpy()
+        d, spans, cov = _span_stats_from_positions(
+            ids, g["pos"].to_numpy(), n)
+        dw = np.bincount(np.searchsorted(d, ids), minlength=len(d))
+        return pd.DataFrame({"id": d, "dup_windows": dw.astype(np.int64),
+                             "n_spans": spans, "covered_tokens": cov})
+
+    stats = hits.map_batches(add_cell, batch_format="pandas") \
+        .groupby("__cell").map_groups(spans_cell,
+                                      batch_format="pandas") \
+        .materialize()
+    joined = bucketed_equi_join(totals, stats, key="id", how="left",
+                                n_buckets=n_buckets)
+    return joined.map_batches(finish, batch_format="pandas")

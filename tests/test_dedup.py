@@ -346,3 +346,58 @@ def test_line_dedup(ray_session):
                for _, r in out.iterrows()}
         assert got == expect, bmax
     assert expect[4] == ("", 0, 2)          # the all-removed doc is empty
+
+
+def test_duplicate_span_stats(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.dedup import duplicate_span_stats
+    texts = {
+        1: "a b c d e f g h",        # "a b c" dup vs doc 2; "g h" tail
+        2: "a b c x y z q r s",      # shares "a b c"
+        3: "m n o p m n o p m n",    # self-repeat
+        4: "u v",                    # < n tokens: no row
+        5: "t1 t2 t3 t4 t5",         # no dup grams
+    }
+    n, mc = 3, 2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    }))
+
+    # pure-Python reference
+    from collections import Counter
+    cnt = Counter()
+    grams = {}
+    for k, t in texts.items():
+        toks = t.split()
+        grams[k] = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        cnt.update(grams[k])
+    expect = {}
+    for k, t in texts.items():
+        toks = t.split()
+        if len(toks) < n:
+            continue
+        dup_pos = [i for i, g in enumerate(grams[k]) if cnt[g] >= mc]
+        spans, covered, prev = 0, 0, None
+        for p in dup_pos:
+            if prev is None or p - prev > n:
+                spans += 1
+                covered += n
+            else:
+                covered += min(p - prev, n)
+            prev = p
+        expect[k] = (len(toks), len(dup_pos), spans, covered)
+
+    for bmax in (20_000_000, 0):     # broadcast path AND bucketed path
+        out = duplicate_span_stats(ds, "text", "doc_id", n=n,
+                                   min_count=mc, normalize=False,
+                                   broadcast_max=bmax) \
+            .to_pandas().sort_values("id", ignore_index=True)
+        got = {int(r["id"]): (int(r["n_tokens"]), int(r["dup_windows"]),
+                              int(r["n_spans"]),
+                              int(r["covered_tokens"]))
+               for _, r in out.iterrows()}
+        assert got == expect, (bmax, got, expect)
+        row3 = out[out["id"] == 3].iloc[0]
+        assert row3["dup_frac"] == row3["covered_tokens"] / row3["n_tokens"]
