@@ -3459,6 +3459,57 @@ QUERIES["duplicate_span_docs"] = duplicate_span_docs
 ORACLE["duplicate_span_docs"] = DUPLICATE_SPAN_SQL
 
 
+def duplicate_span_removed_docs(sf_dir: str):
+    """Substring-dedup CLEANING (Lee et al. 2022; beyond reference) over
+    the REAL documents table: tokens covered by any corpus-duplicated
+    token 3-gram window are cut out; clean_text is the single-space
+    rejoin of the survivors. All-integer outputs + exact string compare
+    — no rounding anywhere."""
+    from prompture_ray.stages.dedup import remove_duplicate_spans
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    df = remove_duplicate_spans(ds, "text", "doc_id", n=3, min_count=2,
+                                normalize=False) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_tokens": pa.array(df["n_tokens"].astype("int64")),
+        "kept_tokens": pa.array(df["kept_tokens"].astype("int64")),
+        "removed_tokens": pa.array(df["removed_tokens"].astype("int64")),
+        "clean_text": pa.array(df["clean_text"].astype(str)),
+    })
+
+
+DUPLICATE_SPAN_REMOVED_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE length(text) > 0),
+base AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+p AS (SELECT doc_id, t, unnest(generate_series(1, ntok - 2)) AS i
+      FROM base WHERE ntok >= 3),
+g AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS gram FROM p),
+c AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN c USING (gram)),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 2)) AS q
+        FROM dup),
+tok_pos AS (SELECT doc_id, t, unnest(generate_series(1, ntok)) AS q
+            FROM base),
+kept AS (SELECT tp.doc_id, tp.q, tp.t[tp.q] AS tok
+         FROM tok_pos tp ANTI JOIN cov USING (doc_id, q)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY q) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id AS id, CAST(b.ntok AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(b.ntok - coalesce(a.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY id
+"""
+
+QUERIES["duplicate_span_removed_docs"] = duplicate_span_removed_docs
+ORACLE["duplicate_span_removed_docs"] = DUPLICATE_SPAN_REMOVED_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
@@ -3476,9 +3527,11 @@ _WINDOW_PRIORITY = [
     "running_sum_events", "split_assignment_docs", "pca_scores_docs",
     "webdataset_roundtrip_docs", "ngram_contamination_docs",
     "gopher_repetition_docs", "line_dedup_docs", "duplicate_span_docs",
-    # (b) green in r2 but outside the r3 window
+    "duplicate_span_removed_docs",
+    # (b) green in r2 but outside the r3 window (orders_by_segment
+    # dropped: trivial aggregate, green r2, untouched since)
     "injection_scan_docs", "redact_docs", "json_repair_events",
-    "rrf_fusion_sources", "salted_chars_stats", "orders_by_segment",
+    "rrf_fusion_sources", "salted_chars_stats",
     "events_hourly_streaming", "props_schema_events", "nested_schema_docs",
     "coerce_mixed_docs", "dedup_semantic_docs", "bm25_topk_docs",
     "marker_scores_docs", "entity_resolution_docs", "ann_index_knn",

@@ -1099,12 +1099,15 @@ def _token_ngram_rows(ds, text_col: str, id_col: str, n: int,
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
-                   normalize: bool):
-    """Vectorized token-window computation for one batch of DOCS (one doc
-    per row, so every doc's windows are complete here): returns
-    ``(ids_per_window, gram_hash_per_window, pos_per_window,
-    doc_ids_with_ge_n_tokens, n_tokens_of_those_docs)``."""
+def _doc_windows_rich(t: pa.Table, text_col: str, id_col: str, n: int,
+                      normalize: bool) -> dict:
+    """Vectorized tokenization + window struct for one batch of DOCS (one
+    doc per row, so every doc's windows are complete here). Docs with
+    empty text are dropped (matches the oracles' WHERE length(text) > 0).
+    Returns per-NONEMPTY-doc arrays ``ids``/``lens``, the flattened token
+    StringArray ``flat`` with ``doc_idx``/``doc_start`` into it, and
+    per-valid-window arrays ``wdoc`` (doc INDEX), ``wpos`` (0-based token
+    position), ``wg`` (uint64 rolling gram hash)."""
     arr = t[text_col]
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
@@ -1112,8 +1115,7 @@ def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
         arr = normalize_strings(arr)
     arr = pc.fill_null(arr, "")
     # empty texts yield no gram rows (Arrow split of "" is [''],
-    # unlike str.split's []; drop those rows up front — matches the
-    # oracle's WHERE length(text) > 0)
+    # unlike str.split's []; drop those rows up front)
     nonempty = pc.greater(pc.utf8_length(arr), 0)
     t = t.filter(nonempty)
     arr = arr.filter(nonempty)
@@ -1122,11 +1124,12 @@ def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
     lens = pc.list_value_length(toks).to_numpy(
         zero_copy_only=False).astype(np.int64)
     flat = pc.list_flatten(toks)
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64),
-             np.empty(0, dtype=np.int64))
+    e64, eu64 = np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
     if len(flat) == 0:
-        return empty + (np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.int64))
+        return {"ids": ids, "lens": lens, "flat": flat,
+                "doc_idx": e64, "doc_start": np.zeros(max(len(lens), 1),
+                                                      dtype=np.int64),
+                "wdoc": e64, "wpos": e64, "wg": eu64}
     th = hash64(np.asarray(flat.to_pylist(), dtype=object))
     # rolling combine over each window of n token hashes
     g = th[:len(th) - n + 1].copy() if len(th) >= n \
@@ -1138,9 +1141,20 @@ def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
     doc_start = np.concatenate(([0], np.cumsum(lens)[:-1]))
     pos = np.arange(len(flat)) - doc_start[doc_idx]
     valid = np.nonzero((pos <= lens[doc_idx] - n)[:len(g)])[0]
-    big = lens >= n
-    return (ids[doc_idx[valid]], g[valid], pos[valid],
-            ids[big], lens[big])
+    return {"ids": ids, "lens": lens, "flat": flat,
+            "doc_idx": doc_idx, "doc_start": doc_start,
+            "wdoc": doc_idx[valid], "wpos": pos[valid], "wg": g[valid]}
+
+
+def _window_arrays(t: pa.Table, text_col: str, id_col: str, n: int,
+                   normalize: bool):
+    """Thin wrapper over ``_doc_windows_rich``: returns
+    ``(ids_per_window, gram_hash_per_window, pos_per_window,
+    doc_ids_with_ge_n_tokens, n_tokens_of_those_docs)``."""
+    r = _doc_windows_rich(t, text_col, id_col, n, normalize)
+    big = r["lens"] >= n
+    return (r["ids"][r["wdoc"]], r["wg"], r["wpos"],
+            r["ids"][big], r["lens"][big])
 
 
 def ngram_contamination(train_ds, eval_ds, text_col: str, id_col: str,
@@ -1544,3 +1558,187 @@ def duplicate_span_stats(ds, text_col: str = "text",
     joined = bucketed_equi_join(totals, stats, key="id", how="left",
                                 n_buckets=n_buckets)
     return joined.map_batches(finish, batch_format="pandas")
+
+
+def _merged_spans(d, p, n):
+    """Merged coverage intervals over (doc, window position) pairs sorted
+    by (doc, pos): returns ``(doc, start, end_exclusive)`` per span. A
+    window covers [p, p+n); windows with gap <= n merge."""
+    if len(p) == 0:
+        return (np.empty(0, dtype=np.int64),) * 3
+    start = np.ones(len(p), dtype=bool)
+    start[1:] = (d[1:] != d[:-1]) | (p[1:] - p[:-1] > n)
+    idx = np.nonzero(start)[0]
+    last = np.concatenate([idx[1:] - 1, [len(p) - 1]])
+    return d[idx], p[idx], p[last] + n
+
+
+def _cut_covered(r: dict, iv_doc, iv_s, iv_e, n):
+    """Shared removal kernel: given the rich window struct of one doc
+    batch and coverage intervals ``[s, e)`` in token-position space
+    (``iv_doc`` = doc INDEX into ``r``), drop covered tokens and rejoin
+    with single spaces. Returns ``(kept_per_doc, clean_text_array)``."""
+    lens, flat = r["lens"], r["flat"]
+    total = int(lens.sum())
+    if total == 0:
+        return (np.zeros(len(r["ids"]), dtype=np.int64),
+                pa.array([""] * len(r["ids"]), type=pa.string()))
+    delta = np.zeros(total + 1, dtype=np.int64)
+    np.add.at(delta, r["doc_start"][iv_doc] + iv_s, 1)
+    np.add.at(delta, r["doc_start"][iv_doc] + iv_e, -1)
+    keep = np.cumsum(delta)[:total] == 0
+    kept_per_doc = np.bincount(r["doc_idx"], weights=keep,
+                               minlength=len(lens)).astype(np.int64)
+    kept_flat = flat.filter(pa.array(keep))
+    offsets = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(kept_per_doc, out=offsets[1:])
+    la = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), kept_flat)
+    return kept_per_doc, pc.binary_join(la, " ")
+
+
+def remove_duplicate_spans(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 16,
+                           min_count: int = 2, normalize: bool = True,
+                           n_buckets: int = 32,
+                           broadcast_max: int = 20_000_000):
+    """Substring-dedup as a CLEANING operator (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — beyond
+    the reference, whose dedup only drops whole docs:
+    prompture/dataset/dedup.py:127-169): every token covered by a token
+    n-gram that repeats >= ``min_count`` times corpus-wide is cut out;
+    the cleaned text is the single-space rejoin of the survivors (the
+    operator is defined on the whitespace tokenization — original
+    inter-token whitespace is not preserved). One row per doc with
+    nonempty text: ``(id, n_tokens, kept_tokens, removed_tokens,
+    clean_text)``; docs with < n tokens pass through unchanged.
+
+    Shape: identical pass 1 to ``duplicate_span_stats`` (gram partial
+    counts → ONE narrow shuffle of 8-byte hashes). Size-aware pass 2: up
+    to ``broadcast_max`` duplicated grams the sorted hash array is
+    broadcast via ``ray.put`` and cleaning is a pure map over the docs
+    (windows complete per batch, coverage union via a vectorized +1/-1
+    prefix sum — no second shuffle). Beyond that, position rows × dup
+    grams go through the hash-bucketed join, merged coverage intervals
+    are string-packed per doc inside bounded ``hash(id) % cells``
+    frames, and ONE more bucketed join ships each doc's text past its
+    own interval list — text moves through the shuffle exactly once."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    grams = _token_ngram_rows(ds, text_col, id_col, n, normalize,
+                              with_pos=True)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g, c = np.unique(t["gram"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"gram": pa.array(g, type=pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64),
+                                         type=pa.int64())})
+
+    counts = grams.map_batches(count_partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count))
+        .select(["gram"]), batch_format="pyarrow").materialize()
+
+    def out_table(ids, lens, kept, clean) -> pa.Table:
+        return pa.table({
+            "id": pa.array(ids, type=pa.int64()),
+            "n_tokens": pa.array(lens, type=pa.int64()),
+            "kept_tokens": pa.array(kept, type=pa.int64()),
+            "removed_tokens": pa.array(lens - kept, type=pa.int64()),
+            "clean_text": clean.cast(pa.string())})
+
+    if dup.count() <= broadcast_max:
+        dup_sorted = np.sort(np.concatenate(
+            [t["gram"].to_numpy(zero_copy_only=False)
+             for t in dup.iter_batches(batch_format="pyarrow")]
+            or [np.empty(0, dtype=np.int64)]))
+        ref = ray.put(dup_sorted)
+
+        def per_doc(t: pa.Table) -> pa.Table:
+            gs = ray.get(ref)
+            r = _doc_windows_rich(t, text_col, id_col, n, normalize)
+            g = r["wg"].view(np.int64)       # match the int64 dup set
+            if len(gs) and len(g):
+                idx = np.clip(np.searchsorted(gs, g), 0, len(gs) - 1)
+                hit = gs[idx] == g
+            else:
+                hit = np.zeros(len(g), dtype=bool)
+            kept, clean = _cut_covered(r, r["wdoc"][hit],
+                                       r["wpos"][hit],
+                                       r["wpos"][hit] + n, n)
+            return out_table(r["ids"], r["lens"], kept, clean)
+
+        return ds.map_batches(per_doc, batch_format="pyarrow")
+
+    # 100-TB fallback: hit positions through the bucketed join, merged
+    # intervals string-packed per doc (one row per doc — the doc's text
+    # is never replicated per interval), then docs × interval-strings
+    # through one more bucketed join and a self-contained final map.
+    grams = grams.materialize()
+    hits = bucketed_equi_join(grams, dup, key="gram",
+                              n_buckets=n_buckets,
+                              left_cols=["id", "pos", "gram"])
+    n_cells = n_buckets * 2
+
+    def add_cell(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__cell"] = ((b["id"].to_numpy().astype(np.uint64)
+                        * _GRAM_P) % np.uint64(n_cells)).astype(np.int64)
+        return b
+
+    def spans_str_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["id", "pos"], kind="mergesort")
+        doc, s, e = _merged_spans(g["id"].to_numpy(),
+                                 g["pos"].to_numpy(), n)
+        sp = pd.Series(s.astype(str)) + ":" + pd.Series(e.astype(str))
+        return pd.DataFrame({"id": doc, "sp": sp}) \
+            .groupby("id", sort=False)["sp"].agg(";".join).reset_index()
+
+    iv = hits.map_batches(add_cell, batch_format="pandas") \
+        .groupby("__cell").map_groups(spans_str_cell,
+                                      batch_format="pandas") \
+        .materialize()
+
+    def project(t: pa.Table) -> pa.Table:
+        return pa.table({"id": t[id_col].combine_chunks().cast(pa.int64()),
+                         "__text": t[text_col].combine_chunks()})
+
+    docs2 = ds.map_batches(project, batch_format="pyarrow")
+    joined = bucketed_equi_join(docs2, iv, key="id", how="left",
+                                n_buckets=n_buckets)
+
+    def clean_rows(b: pd.DataFrame) -> pd.DataFrame:
+        t = pa.table({id_col: pa.array(b["id"].to_numpy(),
+                                       type=pa.int64()),
+                      text_col: pa.array(b["__text"], type=pa.string())})
+        # subset to nonempty FIRST so batch row index == rich doc index
+        arr = t[text_col]
+        if normalize:
+            arr = normalize_strings(arr.combine_chunks())
+        ne = pc.greater(pc.utf8_length(pc.fill_null(arr, "")), 0) \
+            .to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(ne))
+        sp = b["sp"].to_numpy()[ne]
+        r = _doc_windows_rich(t, text_col, id_col, n, normalize)
+        has = pd.notna(sp)
+        if has.any():
+            packed = ";".join(sp[has])
+            pairs = np.array(packed.replace(":", ";").split(";"),
+                             dtype=np.int64).reshape(-1, 2)
+            counts = pd.Series(sp[has]).str.count(";").to_numpy() + 1
+            iv_doc = np.repeat(np.nonzero(has)[0], counts)
+            kept, clean = _cut_covered(r, iv_doc, pairs[:, 0],
+                                       pairs[:, 1], n)
+        else:
+            kept, clean = _cut_covered(
+                r, np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64),
+                np.empty(0, dtype=np.int64), n)
+        return out_table(r["ids"], r["lens"], kept,
+                         clean).to_pandas()
+
+    return joined.map_batches(clean_rows, batch_format="pandas")

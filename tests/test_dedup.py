@@ -401,3 +401,55 @@ def test_duplicate_span_stats(ray_session):
         assert got == expect, (bmax, got, expect)
         row3 = out[out["id"] == 3].iloc[0]
         assert row3["dup_frac"] == row3["covered_tokens"] / row3["n_tokens"]
+
+
+def test_remove_duplicate_spans(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.dedup import remove_duplicate_spans
+    texts = {
+        1: "a b c d e f g h",        # "a b c" dup vs doc 2
+        2: "a b c x y z q r s",
+        3: "m n o p m n o p m n",    # self-repeat: heavy removal
+        4: "u v",                    # < n tokens: unchanged
+        5: "t1 t2 t3 t4 t5",         # no dup grams: unchanged
+        6: "",                       # empty: dropped
+    }
+    n, mc = 3, 2
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)]),
+    }))
+
+    # pure-Python reference: cut tokens covered by any dup window
+    from collections import Counter
+    cnt = Counter()
+    grams = {}
+    for k, t in texts.items():
+        toks = t.split()
+        grams[k] = [tuple(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+        cnt.update(grams[k])
+    expect = {}
+    for k, t in texts.items():
+        toks = t.split()
+        if not toks:
+            continue
+        covered = set()
+        for i, g in enumerate(grams[k]):
+            if cnt[g] >= mc:
+                covered.update(range(i, i + n))
+        kept = [w for i, w in enumerate(toks) if i not in covered]
+        expect[k] = (len(toks), len(kept), len(toks) - len(kept),
+                     " ".join(kept))
+
+    for bmax in (20_000_000, 0):     # broadcast path AND bucketed path
+        out = remove_duplicate_spans(ds, "text", "doc_id", n=n,
+                                     min_count=mc, normalize=False,
+                                     broadcast_max=bmax) \
+            .to_pandas().sort_values("id", ignore_index=True)
+        got = {int(r["id"]): (int(r["n_tokens"]), int(r["kept_tokens"]),
+                              int(r["removed_tokens"]), r["clean_text"])
+               for _, r in out.iterrows()}
+        assert got == expect, (bmax, got, expect)
+    assert expect[3][3] == ""        # doc 3 is fully removed
+    assert expect[4][3] == "u v"     # short doc unchanged
