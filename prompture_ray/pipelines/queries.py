@@ -3510,6 +3510,54 @@ QUERIES["duplicate_span_removed_docs"] = duplicate_span_removed_docs
 ORACLE["duplicate_span_removed_docs"] = DUPLICATE_SPAN_REMOVED_SQL
 
 
+def url_dedup_docs(sf_dir: str):
+    """URL canonicalization + first-wins URL dedup (beyond reference —
+    webtext crawl staple). PLANTED messy URLs derived from doc_id (case
+    noise, www., default :443 port, trailing slash, tracking params,
+    param order, fragments — docs sharing doc_id // 3 canonicalize to
+    ONE URL); the engine canonicalizes and flags, the oracle
+    reconstructs the canonical form and min-id keep flag closed-form."""
+    from prompture_ray.functions.urlnorm import url_dedup_flags
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = d // 3
+        scheme = np.where(d % 2 == 0, "HTTPS", "https").astype(object)
+        host = np.array(["WWW.Example.COM", "example.com",
+                         "www.example.com:443"], dtype=object)[d % 3]
+        slash = np.where(d % 2 == 0, "/", "").astype(object)
+        tail = np.array(["?b=2&a=1&utm_source=feed", "?a=1&b=2",
+                         "?utm_campaign=x&b=2&a=1", "?b=2&a=1#sec"],
+                        dtype=object)[d % 4]
+        url = (scheme + "://" + host + "/articles/"
+               + k.astype(str).astype(object) + slash + tail)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "url": pa.array(url, type=pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    df = url_dedup_flags(planted, "url", "doc_id") \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "canonical_url": pa.array(df["canonical_url"].astype(str)),
+        "keep": pa.array(df["keep"].astype(bool)),
+    })
+
+
+URL_DEDUP_SQL = """
+SELECT doc_id AS id,
+       'https://example.com/articles/' ||
+         CAST(doc_id // 3 AS VARCHAR) || '?a=1&b=2' AS canonical_url,
+       doc_id = min(doc_id) OVER (PARTITION BY doc_id // 3) AS keep
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["url_dedup_docs"] = url_dedup_docs
+ORACLE["url_dedup_docs"] = URL_DEDUP_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
