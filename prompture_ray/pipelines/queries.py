@@ -3558,6 +3558,34 @@ QUERIES["url_dedup_docs"] = url_dedup_docs
 ORACLE["url_dedup_docs"] = URL_DEDUP_SQL
 
 
+def domain_cap_docs(sf_dir: str):
+    """Per-domain document quota (C4/RefinedWeb-style host caps; beyond
+    reference) over the REAL documents table: keep the 3 smallest
+    doc_ids of each source. Candidate-combiner + bounded-cell threshold
+    fold — never a full per-domain sort."""
+    from prompture_ray.stages.sampling import domain_cap
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    df = domain_cap(ds, "source", "doc_id", cap=3) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "source": pa.array(df["source"].astype(str)),
+        "keep": pa.array(df["keep"].astype(bool)),
+    })
+
+
+DOMAIN_CAP_SQL = """
+SELECT doc_id AS id, source,
+       row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 3
+         AS keep
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["domain_cap_docs"] = domain_cap_docs
+ORACLE["domain_cap_docs"] = DOMAIN_CAP_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

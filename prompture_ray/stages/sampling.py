@@ -78,3 +78,104 @@ def assign_splits(ds, key_col: str, splits, out_col: str = "split"):
         return t.append_column(out_col, col)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def domain_cap(ds, domain_col: str, id_col: str, cap: int,
+               broadcast_max: int = 20_000_000, n_buckets: int = 32):
+    """Per-domain document quota (crawl-pipeline staple, e.g. C4 /
+    RefinedWeb host caps; beyond the reference): keep the ``cap``
+    smallest ``id_col`` rows of each domain. Returns one row per input
+    row: ``(id, <domain_col>, keep)``.
+
+    Shape (never a full per-domain sort): pass 1 keeps the cap smallest
+    ids PER DOMAIN PER BATCH (vectorized pandas groupby head — a
+    combiner, so at most cap × n_batches candidate rows per domain move);
+    pass 2 folds candidates per 64-bit domain hash inside bounded
+    ``hash % cells`` frames to the cap-th smallest id (the domain's keep
+    threshold). Size-aware pass 3: thresholds (one row per domain —
+    Heaps-ish small) broadcast sorted via ``ray.put`` and flagging is a
+    pure map; beyond ``broadcast_max`` domains, rows × thresholds go
+    through the hash-bucketed equi-join."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray
+    from prompture_ray.functions.sketches import hash64
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def dom_hash(dom_obj: np.ndarray) -> np.ndarray:
+        return hash64(dom_obj.astype(object)).view(np.int64)
+
+    def candidates(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[[domain_col, id_col]].sort_values([domain_col, id_col],
+                                                kind="mergesort")
+        rank = b.groupby(domain_col, sort=False).cumcount()
+        b = b[rank.to_numpy() < cap]
+        return pd.DataFrame({
+            "__dh": dom_hash(b[domain_col].to_numpy()),
+            "id": b[id_col].to_numpy().astype(np.int64)})
+
+    n_cells = n_buckets * 2
+
+    def add_cell(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__cell"] = (b["__dh"].to_numpy().view(np.uint64)
+                       % np.uint64(n_cells)).astype(np.int64)
+        return b
+
+    def fold_cell(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__dh", "id"], kind="mergesort")
+        rank = g.groupby("__dh", sort=False).cumcount().to_numpy()
+        # threshold = cap-th smallest id (or the domain max if < cap)
+        last = g.groupby("__dh", sort=False).tail(1)
+        kth = g[rank == cap - 1]
+        thr = pd.concat([last, kth]).drop_duplicates(
+            "__dh", keep="last")      # kth wins when it exists
+        return pd.DataFrame({"__dh": thr["__dh"].to_numpy(),
+                             "thr": thr["id"].to_numpy()})
+
+    thresholds = ds.map_batches(candidates, batch_format="pandas") \
+        .map_batches(add_cell, batch_format="pandas") \
+        .groupby("__cell").map_groups(fold_cell, batch_format="pandas") \
+        .materialize()
+
+    def out_frame(b: pd.DataFrame, keep: np.ndarray) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": b[id_col].to_numpy().astype(np.int64),
+            domain_col: b[domain_col],
+            "keep": keep})
+
+    if thresholds.count() <= broadcast_max:
+        hs, ts = [], []
+        for t in thresholds.iter_batches(batch_format="pandas"):
+            hs.append(t["__dh"].to_numpy())
+            ts.append(t["thr"].to_numpy())
+        h_all = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        t_all = np.concatenate(ts) if ts else np.empty(0, np.int64)
+        o = np.argsort(h_all)
+        ref = ray.put((h_all[o], t_all[o].astype(np.int64)))
+
+        def flag(b: pd.DataFrame) -> pd.DataFrame:
+            hs_s, thr_s = ray.get(ref)
+            dh = dom_hash(b[domain_col].to_numpy())
+            idx = np.searchsorted(hs_s, dh)
+            keep = b[id_col].to_numpy().astype(np.int64) <= thr_s[idx]
+            return out_frame(b, keep)
+
+        return ds.map_batches(flag, batch_format="pandas")
+
+    def project(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "id": b[id_col].to_numpy().astype(np.int64),
+            domain_col: b[domain_col],
+            "__dh": dom_hash(b[domain_col].to_numpy())})
+
+    rows = ds.map_batches(project, batch_format="pandas").materialize()
+    joined = bucketed_equi_join(rows, thresholds, key="__dh",
+                                n_buckets=n_buckets)
+
+    def flag_j(b: pd.DataFrame) -> pd.DataFrame:
+        return out_frame(b.rename(columns={"id": id_col}) if id_col !=
+                         "id" else b,
+                         b["id"].to_numpy() <= b["thr"].to_numpy())
+
+    return joined.map_batches(flag_j, batch_format="pandas")

@@ -1,0 +1,25 @@
+
+
+def test_domain_cap(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.sampling import domain_cap
+    rng = np.random.default_rng(7)
+    doms = rng.choice(["a.com", "b.org", "c.net", "d.io"], size=60)
+    ids = rng.permutation(10_000)[:60].astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "host": pa.array(doms)})) \
+        .repartition(5)            # force cross-batch candidate merging
+    cap = 4
+    expect = {}
+    for d in set(doms):
+        kept = sorted(ids[doms == d])[:cap]
+        for i in ids[doms == d]:
+            expect[int(i)] = bool(i in kept)
+    for bmax in (20_000_000, 0):   # broadcast AND bucketed paths
+        df = domain_cap(ds, "host", "doc_id", cap=cap,
+                        broadcast_max=bmax).to_pandas()
+        got = {int(r["id"]): bool(r["keep"]) for _, r in df.iterrows()}
+        assert got == expect, (bmax,)
+        assert set(df.columns) == {"id", "host", "keep"}
