@@ -3586,6 +3586,56 @@ QUERIES["domain_cap_docs"] = domain_cap_docs
 ORACLE["domain_cap_docs"] = DOMAIN_CAP_SQL
 
 
+def pack_sequences_docs(sf_dir: str):
+    """Sequence-packing bin assignment (T5/GPT sample-packing; beyond
+    reference) over the REAL documents table: docs in doc_id order fill
+    contiguous 512-token bins by whitespace token count; bin =
+    exclusive-prefix // budget — all-integer, exact on both sides. The
+    global ordered prefix sum runs distributed (bounded cells +
+    offset join; no driver state)."""
+    from prompture_ray.stages.sampling import pack_sequences
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def count(t: pa.Table) -> pa.Table:
+        arr = pc.fill_null(t["text"].combine_chunks(), "")
+        toks = pc.list_value_length(pc.utf8_split_whitespace(arr))
+        ntok = pc.if_else(pc.greater(pc.utf8_length(arr), 0),
+                          toks, 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "ntok": pc.cast(ntok, pa.int64())})
+
+    df = pack_sequences(ds.map_batches(count, batch_format="pyarrow"),
+                        "doc_id", "ntok", budget=512) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_tokens": pa.array(df["ntok"].astype("int64")),
+        "offset_in_stream": pa.array(df["offset_in_stream"]
+                                     .astype("int64")),
+        "bin": pa.array(df["bin"].astype("int64")),
+    })
+
+
+PACK_SEQUENCES_SQL = """
+WITH t AS (SELECT doc_id,
+                  CASE WHEN length(text) = 0 THEN 0
+                       ELSE len(string_split(text, ' ')) END AS ntok
+           FROM documents),
+s AS (SELECT doc_id, ntok,
+             CAST(coalesce(sum(ntok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS prefix
+      FROM t)
+SELECT doc_id AS id, CAST(ntok AS BIGINT) AS n_tokens,
+       prefix AS offset_in_stream,
+       prefix // 512 AS bin
+FROM s ORDER BY id
+"""
+
+QUERIES["pack_sequences_docs"] = pack_sequences_docs
+ORACLE["pack_sequences_docs"] = PACK_SEQUENCES_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

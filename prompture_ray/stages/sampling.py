@@ -179,3 +179,51 @@ def domain_cap(ds, domain_col: str, id_col: str, cap: int,
                          b["id"].to_numpy() <= b["thr"].to_numpy())
 
     return joined.map_batches(flag_j, batch_format="pandas")
+
+
+def pack_sequences(ds, id_col: str, count_col: str, budget: int,
+                   bucket: str = "1s"):
+    """Sequence-packing bin assignment for LLM training (beyond the
+    reference; cf. the T5/GPT sample-packing preprocessing step): docs
+    in ``id_col`` order fill contiguous token bins of ``budget`` tokens
+    — a doc lands in bin ``floor(exclusive_prefix_sum(count) /
+    budget)`` (contiguous fill, docs never split; a doc longer than the
+    budget owns its bins). Returns the input rows +
+    ``(bin, offset_in_stream)``.
+
+    Distribution: the GLOBAL ordered prefix sum is the hot part — it
+    reuses ``windows.running_aggregate_bucketed`` (phase-bounded cells,
+    distributed offset join, no driver state) with a constant key and
+    the id as the order axis; ``bucket`` (id units, '1s' = 1M ids per
+    cell) bounds cell size for dense id spaces."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from prompture_ray.stages.windows import running_aggregate_bucketed
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.cast(pa.int64())
+        return pa.table({
+            id_col: ids,
+            count_col: t[count_col].combine_chunks().cast(pa.int64()),
+            "__k": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            "__ts": ids.cast(pa.timestamp("us")),
+        })
+
+    run = running_aggregate_bucketed(ds.map_batches(
+        prep, batch_format="pyarrow"), "__k", "__ts", count_col,
+        bucket=bucket)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        prefix = (b["running_sum"].to_numpy().astype(np.int64)
+                  - b[count_col].to_numpy().astype(np.int64))
+        return pd.DataFrame({
+            "id": b[id_col].to_numpy().astype(np.int64),
+            count_col: b[count_col].to_numpy().astype(np.int64),
+            "offset_in_stream": prefix,
+            "bin": prefix // np.int64(budget)})
+
+    return run.map_batches(finish, batch_format="pandas")

@@ -23,3 +23,23 @@ def test_domain_cap(ray_session):
         got = {int(r["id"]): bool(r["keep"]) for _, r in df.iterrows()}
         assert got == expect, (bmax,)
         assert set(df.columns) == {"id", "host", "keep"}
+
+
+def test_pack_sequences(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.sampling import pack_sequences
+    rng = np.random.default_rng(11)
+    ids = np.sort(rng.permutation(50_000)[:40]).astype(np.int64)
+    counts = rng.integers(1, 900, size=40).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids),
+                                 "ntok": pa.array(counts)})) \
+        .repartition(4)
+    budget = 2048
+    df = pack_sequences(ds, "doc_id", "ntok", budget) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    prefix = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    assert (df["offset_in_stream"].to_numpy() == prefix).all()
+    assert (df["bin"].to_numpy() == prefix // budget).all()
+    assert (df["id"].to_numpy() == ids).all()
