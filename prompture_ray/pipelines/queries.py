@@ -3636,6 +3636,63 @@ QUERIES["pack_sequences_docs"] = pack_sequences_docs
 ORACLE["pack_sequences_docs"] = PACK_SEQUENCES_SQL
 
 
+def bpe_planted_docs(sf_dir: str):
+    """BPE tokenizer: distributed lexicon → driver merge learning →
+    broadcast distributed encode (Sennrich et al. 2016; beyond
+    reference). PLANTED: every doc contributes the same training bag
+    ("low low lower newest widest"), so the 8 learned merges are a
+    CONSTANT independent of corpus size (hand-derived in
+    tests/test_bpe.py — non-circular); the encode corpus varies by
+    doc_id and the oracle states each word's hand-derived token count
+    as CASE literals (the split-assignment pasted-constants trick)."""
+    from prompture_ray.stages.bpe import train_bpe, bpe_encode_counts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_train(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].combine_chunks().cast(pa.int64())
+        return pa.table({
+            "doc_id": d,
+            "text": pa.array(["low low lower newest widest"] * len(d))})
+
+    merges = train_bpe(ds.map_batches(plant_train,
+                                      batch_format="pyarrow"),
+                       "text", 8)
+
+    words = np.array(["low", "lower", "newest", "widest", "lowest"],
+                     dtype=object)
+
+    def plant_encode(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        reps = d % 3 + 1
+        w = words[d % 5]
+        txt = [" ".join([wi] * int(r)) for wi, r in zip(w, reps)]
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(txt, type=pa.string())})
+
+    enc = ds.map_batches(plant_encode, batch_format="pyarrow")
+    df = bpe_encode_counts(enc, "text", "doc_id", merges) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_words": pa.array(df["n_words"].astype("int64")),
+        "n_bpe_tokens": pa.array(df["n_bpe_tokens"].astype("int64")),
+    })
+
+
+BPE_PLANTED_SQL = """
+SELECT doc_id AS id,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_words,
+       CAST((doc_id % 3 + 1) * CASE doc_id % 5
+            WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 4
+            WHEN 3 THEN 3 ELSE 2 END AS BIGINT) AS n_bpe_tokens
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["bpe_planted_docs"] = bpe_planted_docs
+ORACLE["bpe_planted_docs"] = BPE_PLANTED_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
