@@ -111,6 +111,47 @@ def chunk_gpt2_tokens(text: str, n_tokens: int = 256,
             for i in range(0, len(toks), step) if toks[i:i + n_tokens]]
 
 
+def chunk_bpe_tokens(text: str, n_tokens: int = 256, overlap: int = 0,
+                     merges=()) -> list[str]:
+    """Token-budget chunking in LEARNED subword units: each whitespace
+    word costs ``len(bpe_segment(word, merges))`` budget units (train
+    merges with ``stages.bpe.train_bpe`` on the corpus). Greedy fill —
+    a chunk closes when the next word would exceed ``n_tokens`` (words
+    never split; an over-budget single word gets its own chunk).
+    Chunks rejoin with single spaces (whitespace-tokenization
+    semantics, like ``chunk_tokens``)."""
+    from prompture_ray.stages.bpe import bpe_segment
+    toks = text.split() if text else []
+    if not toks:
+        return []
+    ranks = merges if isinstance(merges, dict) \
+        else {tuple(m): i for i, m in enumerate(merges)}
+    cache: dict = {}
+    costs = [len(bpe_segment(w, ranks, cache)) for w in toks]
+    chunks, cur, cur_cost = [], [], 0
+    for w, c in zip(toks, costs):
+        if cur and cur_cost + c > n_tokens:
+            chunks.append(" ".join(cur))
+            keep = []
+            if overlap > 0:   # overlap by BUDGET: walk back until full
+                acc, back = 0, []
+                for ww in reversed(cur):
+                    cw = len(bpe_segment(ww, ranks, cache))
+                    if acc + cw > overlap:
+                        break
+                    back.append(ww)
+                    acc += cw
+                keep = list(reversed(back))
+            cur = keep[:]
+            cur_cost = sum(len(bpe_segment(w2, ranks, cache))
+                           for w2 in cur)
+        cur.append(w)
+        cur_cost += c
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
 # "#" ... "######" with optional title — a bare "#" line is an (empty)
 # ATX heading per CommonMark and must delimit, not leak into content
 _MD_HEADER_RE = re.compile(r"^(#{1,6})(?:\s+(.*))?\s*$")
@@ -201,6 +242,7 @@ _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 
 CHUNKERS = {"fixed": chunk_fixed, "recursive": chunk_recursive,
             "tokens": chunk_tokens, "gpt2_tokens": chunk_gpt2_tokens,
+            "bpe_tokens": chunk_bpe_tokens,
             "markdown": chunk_markdown, "semantic": chunk_semantic}
 
 

@@ -57,3 +57,24 @@ def test_distributed_train_and_encode(ray_session):
     assert df["id"].tolist() == [0, 1, 3]
     assert df["n_words"].tolist() == [2, 1, 3]
     assert df["n_bpe_tokens"].tolist() == [2, 2, 11]
+
+
+def test_chunk_bpe_tokens():
+    from prompture_ray.stages.chunk import chunk_bpe_tokens
+    words = ["low", "lower", "newest", "widest"]
+    merges = train_bpe_from_counts(words, [2, 1, 1, 1], 8)
+    # costs: low=1 lower=3 newest=4 widest=3 lowest=2
+    text = "low lower newest widest lowest low"
+    out = chunk_bpe_tokens(text, n_tokens=5, merges=merges)
+    # greedy fill: [low(1) lower(3)]=4, +newest(4)>5 -> close;
+    # [newest(4)]=4, +widest(3)>5 -> close; [widest(3) lowest(2)]=5,
+    # +low(1)>5 -> close; [low]
+    assert out == ["low lower", "newest", "widest lowest", "low"]
+    assert " ".join(out) == text          # overlap=0 is lossless
+    # budget-overlap carries trailing words
+    out2 = chunk_bpe_tokens(text, n_tokens=5, overlap=1, merges=merges)
+    assert out2[1].startswith("newest")   # lower(3) > 1: nothing carried
+    assert chunk_bpe_tokens("", n_tokens=5, merges=merges) == []
+    # a single over-budget word still emits
+    assert chunk_bpe_tokens("newest", n_tokens=2, merges=merges) == \
+        ["newest"]
