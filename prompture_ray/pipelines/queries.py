@@ -3693,6 +3693,101 @@ QUERIES["bpe_planted_docs"] = bpe_planted_docs
 ORACLE["bpe_planted_docs"] = BPE_PLANTED_SQL
 
 
+def _nb_planted_train(t: pa.Table) -> pa.Table:
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    spam = d % 2 == 0
+    txt = np.where(spam,
+                   np.where(d % 4 == 0, "buy pills now win",
+                            "buy pills now"),
+                   np.where(d % 4 == 1, "meeting notes today report",
+                            "meeting notes today")).astype(object)
+    lab = np.where(spam, "spam", "ham").astype(object)
+    return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                     "text": pa.array(txt, type=pa.string()),
+                     "label": pa.array(lab, type=pa.string())})
+
+
+NB_PLANTED_TEXT_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 = 0 THEN 'buy pills now win'
+              WHEN doc_id % 2 = 0 THEN 'buy pills now'
+              WHEN doc_id % 4 = 1 THEN 'meeting notes today report'
+              ELSE 'meeting notes today' END AS text,
+         CASE WHEN doc_id % 2 = 0 THEN 'spam' ELSE 'ham' END AS label
+  FROM documents
+"""
+
+
+def nb_train_counts_docs(sf_dir: str):
+    """Distributed Naive-Bayes training counts (the classifier-training
+    shuffle; beyond reference) over PLANTED labeled texts derived from
+    doc_id: exact (label, token, cnt) table — a genuine GROUP BY oracle,
+    not pasted constants."""
+    from prompture_ray.stages.classify import nb_train_counts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    train = ds.map_batches(_nb_planted_train, batch_format="pyarrow")
+    df = nb_train_counts(train, "text", "label").to_pandas() \
+        .sort_values(["label", "token"], ignore_index=True)
+    return pa.table({
+        "label": pa.array(df["label"].astype(str)),
+        "token": pa.array(df["token"].astype(str)),
+        "cnt": pa.array(df["cnt"].astype("int64")),
+    })
+
+
+NB_TRAIN_COUNTS_SQL = f"""
+WITH planted AS ({NB_PLANTED_TEXT_SQL}),
+tok AS (SELECT label, unnest(string_split(text, ' ')) AS token
+        FROM planted)
+SELECT label, token, CAST(count(*) AS BIGINT) AS cnt
+FROM tok GROUP BY label, token
+ORDER BY label, token
+"""
+
+QUERIES["nb_train_counts_docs"] = nb_train_counts_docs
+ORACLE["nb_train_counts_docs"] = NB_TRAIN_COUNTS_SQL
+
+
+def nb_classifier_docs(sf_dir: str):
+    """Train-then-classify (distributed NB training + broadcast
+    inference; beyond reference): planted disjoint-vocab train/test
+    corpora make every test doc's argmax label a CONSTANT with a huge
+    probability margin (float noise cannot flip a discrete argmax), so
+    the oracle is CASE literals on doc_id — the pasted-constants trick;
+    the hand-computed model itself is pinned in tests/test_classify.py."""
+    from prompture_ray.stages.classify import train_nb, nb_classify
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    train = ds.map_batches(_nb_planted_train, batch_format="pyarrow")
+    model = train_nb(train, "text", "label")
+
+    def plant_test(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.array(["pills win buy", "notes report meeting",
+                        "pills meeting pills"], dtype=object)[d % 3]
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(txt, type=pa.string())})
+
+    test = ds.map_batches(plant_test, batch_format="pyarrow")
+    df = nb_classify(test, "text", "doc_id", model).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "pred": pa.array(df["pred"].astype(str)),
+    })
+
+
+NB_CLASSIFIER_SQL = """
+SELECT doc_id AS id,
+       CASE doc_id % 3 WHEN 0 THEN 'spam' WHEN 1 THEN 'ham'
+            ELSE 'spam' END AS pred
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["nb_classifier_docs"] = nb_classifier_docs
+ORACLE["nb_classifier_docs"] = NB_CLASSIFIER_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
