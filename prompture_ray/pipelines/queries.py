@@ -3805,15 +3805,18 @@ _WINDOW_PRIORITY = [
     "running_sum_events", "split_assignment_docs", "pca_scores_docs",
     "webdataset_roundtrip_docs", "ngram_contamination_docs",
     "gopher_repetition_docs", "line_dedup_docs", "duplicate_span_docs",
-    "duplicate_span_removed_docs",
-    # (b) green in r2 but outside the r3 window (orders_by_segment
-    # dropped: trivial aggregate, green r2, untouched since)
-    "injection_scan_docs", "redact_docs", "json_repair_events",
-    "rrf_fusion_sources", "salted_chars_stats",
+    "duplicate_span_removed_docs", "url_dedup_docs", "domain_cap_docs",
+    "pack_sequences_docs", "bpe_planted_docs", "nb_train_counts_docs",
+    "nb_classifier_docs", "corpus_frequency_docs",
+    # (b) green in r2 but outside the r3 window (dropped to fit the
+    # 50-slot window — all planted/stable, untouched since r2, green in
+    # this session's full sf0.01+sf0.1 sweeps: orders_by_segment,
+    # injection_scan_docs, redact_docs, json_repair_events,
+    # rrf_fusion_sources, salted_chars_stats, marker_scores_docs,
+    # media_audio_frames [rows-only])
     "events_hourly_streaming", "props_schema_events", "nested_schema_docs",
     "coerce_mixed_docs", "dedup_semantic_docs", "bm25_topk_docs",
-    "marker_scores_docs", "entity_resolution_docs", "ann_index_knn",
-    "media_audio_frames",
+    "entity_resolution_docs", "ann_index_knn",
     # (c) code paths changed in round 4 (dedup tail, joins, sessions)
     "minhash_planted_docs", "minhash_dedup_docs", "ngram_jaccard_pairs",
     "simhash_planted_pairs", "fingerprint_planted_pairs", "simhash_docs",
