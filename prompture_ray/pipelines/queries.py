@@ -3788,6 +3788,46 @@ QUERIES["nb_classifier_docs"] = nb_classifier_docs
 ORACLE["nb_classifier_docs"] = NB_CLASSIFIER_SQL
 
 
+def pagerank_ring_docs(sf_dir: str):
+    """Distributed PageRank power iteration (link-graph analysis;
+    beyond reference) over a PLANTED ring on the doc ids (dst =
+    (doc_id+1) mod N): in-degree 1 everywhere means every grouped Sum
+    has exactly ONE operand, so the engine's float sequence is
+    BIT-IDENTICAL to the oracle's unrolled scalar recurrence — exact
+    compare, no rounding (tests/test_graph.py pins the same identity
+    plus an arbitrary-graph numpy cross-check)."""
+    from prompture_ray.stages.graph import pagerank
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"src": pa.array(d, type=pa.int64()),
+                         "dst": pa.array((d + 1) % n, type=pa.int64())})
+
+    pr = pagerank(ds.map_batches(edges, batch_format="pyarrow"), k=3)
+    df = pr.to_pandas().sort_values("node", ignore_index=True)
+    return pa.table({
+        "node": pa.array(df["node"].astype("int64")),
+        "rank": pa.array(df["rank"].astype("float64")),
+    })
+
+
+# the oracle writes every constant the way the engine computes it
+# ((1 - 0.85)/n, seed 1.0/n) so the doubles match bitwise
+PAGERANK_RING_SQL = """
+WITH n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents)
+SELECT doc_id AS node,
+       (1 - 0.85)/n.n + 0.85*((1 - 0.85)/n.n + 0.85*((1 - 0.85)/n.n
+         + 0.85*(1.0/n.n))) AS rank
+FROM documents, n
+ORDER BY node
+"""
+
+QUERIES["pagerank_ring_docs"] = pagerank_ring_docs
+ORACLE["pagerank_ring_docs"] = PAGERANK_RING_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
@@ -3820,7 +3860,9 @@ _WINDOW_PRIORITY = [
     # (c) code paths changed in round 4 (dedup tail, joins, sessions)
     "minhash_planted_docs", "minhash_dedup_docs", "ngram_jaccard_pairs",
     "simhash_planted_pairs", "fingerprint_planted_pairs", "simhash_docs",
-    "fingerprint_docs", "embedding_neardup_docs", "sessions_per_user",
+    "pagerank_ring_docs",    # fingerprint_docs (rows-only) rotated out:
+                             # its planted twin covers the same path
+    "embedding_neardup_docs", "sessions_per_user",
     "asof_event_order", "range_join_signup_events", "orders_customer_join",
     "hopping_events", "knn_embeddings",
     # (d) core pipeline sample (q1_lineitem, doc_verdicts, events_hourly,

@@ -1,0 +1,140 @@
+"""Distributed link-graph operators: PageRank power iteration over an
+edge Dataset (beyond the reference — the link-analysis slot of a
+web-crawl pipeline; Page et al. 1999).
+
+Scale shape: out-degrees are folded into the edge table ONCE (one
+grouped shuffle + one bucketed join, materialized); each power
+iteration is then exactly one bucketed join (ranks x edges on src — the
+rank side is one narrow (node, v) column pair) and one grouped Sum by
+dst, with a left join back to the node list for dangling-in nodes. No
+driver state grows with the graph; k iterations = k shuffle rounds
+(inherent to power iteration).
+
+Float determinism: contributions to one dst are summed by the grouped
+aggregate — summation ORDER is layout-dependent, so cross-run
+bit-stability holds only for in-degree <= 1 graphs (each Sum has one
+operand; the planted ring oracle exploits exactly this) or with
+rounding on the consumer side.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
+             k: int = 3, damping: float = 0.85,
+             n_buckets: int = 32):
+    """k power-iteration rounds from the uniform start over the node
+    set (distinct src ∪ dst). Returns a Dataset ``(node, rank)``.
+    Dangling-OUT nodes (no out-edges) leak mass like the classic
+    simple formulation (no redistribution term) — documented choice so
+    the oracle recurrence stays closed-form."""
+    from ray.data.aggregate import Sum, Count
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": t[src_col].combine_chunks().cast(pa.int64()),
+            "dst": t[dst_col].combine_chunks().cast(pa.int64())})
+
+    e = edges.map_batches(proj, batch_format="pyarrow").materialize()
+
+    # node set = distinct src ∪ dst (one grouped shuffle of 8-byte ids)
+    def both(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, type=pa.int64())})
+
+    nodes = e.map_batches(both, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow").materialize()
+    n = nodes.count()
+
+    # fold 1/outdeg into the edges once
+    outdeg = e.groupby("src").aggregate(Count(alias_name="outdeg"))
+    e = bucketed_equi_join(e, outdeg, key="src",
+                           n_buckets=n_buckets).materialize()
+
+    def seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": t["node"],
+            "rank": pa.array(np.full(len(t), 1.0 / n))})
+
+    ranks = nodes.map_batches(seed, batch_format="pyarrow") \
+        .materialize()
+    base = (1.0 - damping) / n
+
+    for _ in range(k):
+        contrib_in = bucketed_equi_join(
+            e, ranks, key="src", right_key="node",
+            left_cols=["src", "dst", "outdeg"],
+            right_cols=["node", "rank"], n_buckets=n_buckets)
+
+        def contrib(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "dst": b["dst"].to_numpy(),
+                "c": b["rank"].to_numpy() / b["outdeg"].to_numpy()})
+
+        sums = contrib_in.map_batches(contrib, batch_format="pandas") \
+            .groupby("dst").aggregate(Sum("c", alias_name="insum"))
+        joined = bucketed_equi_join(nodes, sums, key="node",
+                                    right_key="dst", how="left",
+                                    n_buckets=n_buckets)
+
+        def update(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["insum"].fillna(0.0).to_numpy()
+            return pd.DataFrame({
+                "node": b["node"].to_numpy().astype(np.int64),
+                "rank": base + damping * s})
+
+        ranks = joined.map_batches(update, batch_format="pandas") \
+            .materialize()
+    return ranks
+
+
+import re
+
+# \x00 excluded from the href class so a match can never span the
+# blob's document separator (e.g. an unclosed quote at a doc boundary)
+_HREF_RE = re.compile(r'href\s*=\s*["\x27]([^"\x27\x00]+)["\x27]')
+
+
+def extract_links(ds, html_col: str, id_col: str):
+    """(src_id, href) rows from an HTML column. Per batch: ONE regex
+    pass over the \\x00-joined document blob (no per-row loop — the
+    scan is O(batch bytes) regardless of row count), match offsets
+    mapped back to rows via searchsorted on the document start
+    offsets."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[html_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr.cast(pa.string()), "")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = arr.to_pylist()
+        blob = "\x00".join(texts)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                               count=len(texts))
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        hrefs, pos = [], []
+        for m in _HREF_RE.finditer(blob):     # one pass, per MATCH only
+            hrefs.append(m.group(1))
+            pos.append(m.start())
+        row = np.searchsorted(starts, np.asarray(pos, dtype=np.int64),
+                              side="right") - 1 if pos else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            "src": pa.array(ids[row] if len(row) else
+                            np.empty(0, dtype=np.int64),
+                            type=pa.int64()),
+            "href": pa.array(hrefs, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,68 @@
+import numpy as np
+import pyarrow as pa
+
+from prompture_ray.stages.graph import pagerank, extract_links
+
+
+def _ref_pagerank(edges, k=3, d=0.85):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    out = np.zeros(n)
+    for a, _ in edges:
+        out[idx[a]] += 1
+    v = np.full(n, 1.0 / n)
+    for _ in range(k):
+        nxt = np.full(n, (1.0 - d) / n)
+        for a, b in edges:
+            nxt[idx[b]] += d * v[idx[a]] / out[idx[a]]
+        v = nxt
+    return dict(zip(nodes, v))
+
+
+def test_pagerank_small_graph(ray_session):
+    import ray.data as rd
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (2, 4)]
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array([a for a, _ in edges], type=pa.int64()),
+        "dst": pa.array([b for _, b in edges], type=pa.int64())}))
+    df = pagerank(ds, k=4).to_pandas().sort_values(
+        "node", ignore_index=True)
+    ref = _ref_pagerank(edges, k=4)
+    assert df["node"].tolist() == sorted(ref)
+    assert np.allclose(df["rank"].to_numpy(),
+                       [ref[v] for v in sorted(ref)], atol=1e-12)
+
+
+def test_pagerank_ring_exact(ray_session):
+    # ring: in-degree 1 everywhere -> every grouped Sum has ONE operand,
+    # so the engine value is BIT-IDENTICAL to the unrolled scalar
+    # recurrence (the oracle's construction)
+    import ray.data as rd
+    n, k, d = 10, 3, 0.85
+    ds = rd.from_arrow(pa.table({
+        "src": pa.array(range(n), type=pa.int64()),
+        "dst": pa.array([(i + 1) % n for i in range(n)],
+                        type=pa.int64())}))
+    df = pagerank(ds, k=k).to_pandas()
+    u = 1.0 / n
+    for _ in range(k):
+        u = (1.0 - d) / n + d * u
+    assert (df["rank"].to_numpy() == u).all()     # exact, no atol
+
+
+def test_extract_links(ray_session):
+    import ray.data as rd
+    html = [
+        '<a href="http://a.com/x">x</a> <a href=\'b.html\'>b</a>',
+        "no links here",
+        '<link href = "style.css"> <a href="http://a.com/x">dup</a>',
+        '<a href="unclosed',       # must not capture across doc bound
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(4), type=pa.int64()),
+        "html": pa.array(html)}))
+    df = extract_links(ds, "html", "doc_id").to_pandas()
+    got = sorted(zip(df["src"], df["href"]))
+    assert got == [(0, "b.html"), (0, "http://a.com/x"),
+                   (2, "http://a.com/x"), (2, "style.css")]
