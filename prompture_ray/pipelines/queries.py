@@ -3828,6 +3828,113 @@ QUERIES["pagerank_ring_docs"] = pagerank_ring_docs
 ORACLE["pagerank_ring_docs"] = PAGERANK_RING_SQL
 
 
+_LM_PLANTED_TEXT_SQL = """
+  SELECT doc_id,
+         CASE doc_id % 3
+              WHEN 0 THEN 'the cat sat on the mat'
+              WHEN 1 THEN 'dogs bark dogs bark loudly'
+              ELSE 'zebras graze quietly near rivers' END AS text
+  FROM documents
+"""
+
+
+def _lm_planted_train(t: pa.Table) -> pa.Table:
+    d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    txt = np.array(["the cat sat on the mat",
+                    "dogs bark dogs bark loudly",
+                    "zebras graze quietly near rivers"],
+                   dtype=object)[d % 3]
+    return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                     "text": pa.array(txt, type=pa.string())})
+
+
+def lm_bigram_counts_docs(sf_dir: str):
+    """Distributed bigram LM-training counts (the KenLM/CCNet count
+    shuffle; beyond reference) over PLANTED per-doc texts: exact
+    (w1, w2, cnt) table — a genuine GROUP BY oracle built in SQL with
+    the unnest(generate_series) position trick, not pasted constants."""
+    from prompture_ray.stages.lm import bigram_counts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    planted = ds.map_batches(_lm_planted_train, batch_format="pyarrow")
+    df = bigram_counts(planted, "text").to_pandas() \
+        .sort_values(["w1", "w2"], ignore_index=True)
+    return pa.table({
+        "w1": pa.array(df["w1"].astype(str)),
+        "w2": pa.array(df["w2"].astype(str)),
+        "cnt": pa.array(df["cnt"].astype("int64")),
+    })
+
+
+LM_BIGRAM_COUNTS_SQL = f"""
+WITH planted AS ({_LM_PLANTED_TEXT_SQL}),
+tok AS (SELECT string_split(text, ' ') AS l FROM planted),
+pos AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok)
+SELECT l[i] AS w1, l[i + 1] AS w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pos GROUP BY w1, w2
+ORDER BY w1, w2
+"""
+
+QUERIES["lm_bigram_counts_docs"] = lm_bigram_counts_docs
+ORACLE["lm_bigram_counts_docs"] = LM_BIGRAM_COUNTS_SQL
+
+
+def lm_perplexity_docs(sf_dir: str):
+    """CCNet-style LM perplexity filter (train a bigram LM, score every
+    doc, bucket head/middle/tail; beyond reference). PLANTED: the LM
+    trains on the DISTINCT planted texts (dedup-first — the fixed
+    reference corpus of the CCNet recipe), so the count tables are
+    constants independent of corpus size; each scored variant's
+    perplexity is a closed-form constant hand-derived with
+    Fraction + math.log in tests/test_lm.py (non-circular) and pasted
+    as CASE literals. Add-1 smoothing makes every event probability a
+    single division of exact small ints — bit-identical doubles — and
+    the test pins every literal >1e-2 grid units from its 4-dp rounding
+    boundary, so libm noise cannot flip the rounded values."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.lm import train_bigram_lm, lm_score
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    planted = ds.map_batches(_lm_planted_train, batch_format="pyarrow")
+    distinct = planted.groupby("text").aggregate(Count())
+    model = train_bigram_lm(distinct, "text")
+
+    def plant_score(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = np.array(["the cat sat", "qqq zzz www",
+                        "zebras graze quietly near", "the qqq mat"],
+                       dtype=object)[d % 4]
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(txt, type=pa.string())})
+
+    scored = lm_score(ds.map_batches(plant_score, batch_format="pyarrow"),
+                      model, "text", "doc_id", buckets=(9.5, 15.0))
+    df = scored.to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_tokens": pa.array(df["n_tokens"].astype("int64")),
+        "logprob": pa.array(np.round(df["logprob"].to_numpy(), 4)),
+        "ppl": pa.array(np.round(df["ppl"].to_numpy(), 4)),
+        "bucket": pa.array(df["bucket"].astype(str)),
+    })
+
+
+LM_PERPLEXITY_SQL = """
+SELECT doc_id AS id,
+       CAST(CASE doc_id % 4 WHEN 2 THEN 4 ELSE 3 END AS BIGINT)
+         AS n_tokens,
+       CASE doc_id % 4 WHEN 0 THEN -6.3969 WHEN 1 THEN -8.6793
+            WHEN 2 THEN -8.7528 ELSE -7.7142 END AS logprob,
+       CASE doc_id % 4 WHEN 0 THEN 8.4343 WHEN 1 THEN 18.0492
+            WHEN 2 THEN 8.9191 ELSE 13.0843 END AS ppl,
+       CASE doc_id % 4 WHEN 0 THEN 'head' WHEN 1 THEN 'tail'
+            WHEN 2 THEN 'head' ELSE 'middle' END AS bucket
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["lm_perplexity_docs"] = lm_perplexity_docs
+ORACLE["lm_perplexity_docs"] = LM_PERPLEXITY_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

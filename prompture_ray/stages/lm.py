@@ -1,0 +1,234 @@
+"""KenLM/CCNet-style n-gram language-model quality scoring (the
+perplexity-filter slot in crawl pipelines — CCNet buckets documents
+into head/middle/tail by LM perplexity; beyond the reference, which
+has no statistical LM).
+
+Scale shape: training reduces the corpus to (w1, w2, cnt) bigram and
+(w, cnt) unigram count tables with ONE narrow groupby shuffle each
+(Heaps' law keeps the lexicon small; ``max_vocab`` documents the
+driver bound — a corpus whose MODEL outgrows one node needs a sharded
+LM, which is out of scope for a reference-parity engine). The trained
+model is broadcast once via ``ray.put``; scoring is a pure
+map_batches — flat token hashes → searchsorted vocab lookup →
+composite-int bigram key lookup → per-doc ``bincount`` log-prob sums —
+no per-row Python anywhere.
+
+Semantics (add-α smoothed bigram LM, α=1 Laplace by default):
+  P(t_0)           = (c(t_0)+α) / (T+α·V_s)           (unigram start)
+  P(t_i | t_{i-1}) = (c(t_{i-1},t_i)+α) / (c(t_{i-1})+α·V_s)
+  logprob(doc)     = Σ event log-probs (natural log)
+  perplexity(doc)  = exp(-logprob / n_tokens)
+where V_s = |vocab|+1 reserves one smoothing type for OOV tokens
+(an OOV token contributes count 0 in any slot). With α=1 every event
+probability is a single division of two exact small integers, so the
+doubles are correctly rounded on any conforming platform — the basis
+of the planted closed-form oracle (tests/test_lm.py hand-derives the
+constants with Fraction + math.log, non-circularly).
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from prompture_ray.functions.sketches import hash64
+from prompture_ray.stages.classify import _flat_tokens
+
+
+def _bigram_pairs(lens: np.ndarray, flat: np.ndarray):
+    """(prev, cur) object arrays of within-doc adjacent token pairs."""
+    total = len(flat)
+    if total < 2:
+        e = np.empty(0, dtype=object)
+        return e, e
+    # position j pairs with j+1 unless j is the last token of its doc
+    ends = np.cumsum(lens) - 1
+    valid = np.ones(total - 1, dtype=bool)
+    valid[ends[ends < total - 1]] = False
+    return flat[:-1][valid], flat[1:][valid]
+
+
+def bigram_counts(ds, text_col: str, normalize: bool = False):
+    """Distributed (w1, w2, cnt) within-document bigram counts: partial
+    combine per batch, then one narrow grouped shuffle of the lexicon-
+    sized partials. Oracle-checkable with a SQL GROUP BY."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t, lens, flat = _flat_tokens(t, text_col, normalize)
+        prev, cur = _bigram_pairs(lens, flat)
+        if len(prev):
+            g = pd.DataFrame({"a": prev, "b": cur}) \
+                .groupby(["a", "b"], sort=False).size().reset_index()
+            w1 = g["a"].to_numpy()
+            w2 = g["b"].to_numpy()
+            c = g[0].to_numpy().astype(np.int64)
+        else:
+            w1 = w2 = np.empty(0, dtype=object)
+            c = np.empty(0, dtype=np.int64)
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string()),
+                         "cnt": pa.array(c)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def unigram_counts(ds, text_col: str, normalize: bool = False):
+    """Distributed (w, cnt) token counts — same shuffle shape."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        _, _, flat = _flat_tokens(t, text_col, normalize)
+        if len(flat):
+            g = pd.DataFrame({"t": flat}).groupby("t", sort=False) \
+                .size().reset_index()
+            w = g["t"].to_numpy()
+            c = g[0].to_numpy().astype(np.int64)
+        else:
+            w = np.empty(0, dtype=object)
+            c = np.empty(0, dtype=np.int64)
+        return pa.table({"w": pa.array(w, type=pa.string()),
+                         "cnt": pa.array(c)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("w").aggregate(Sum("cnt", alias_name="cnt"))
+
+
+def _collect(counts, cols):
+    """Materialized aggregate → tuple of numpy columns."""
+    parts = {c: [] for c in cols}
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        for c in cols:
+            a = t[c]
+            if pa.types.is_string(a.type) or pa.types.is_large_string(a.type):
+                parts[c].append(np.asarray(a.to_pylist(), dtype=object))
+            else:
+                parts[c].append(a.to_numpy(zero_copy_only=False))
+    out = []
+    for c in cols:
+        out.append(np.concatenate(parts[c]) if parts[c]
+                   else np.empty(0, dtype=object))
+    return tuple(out)
+
+
+def train_bigram_lm(ds, text_col: str, alpha: float = 1.0,
+                    normalize: bool = False,
+                    max_vocab: int = 50_000_000) -> dict:
+    """Train the LM: two distributed count shuffles → driver arrays
+    (sorted token-hash vocab + aligned unigram counts; sorted composite
+    int64 bigram keys + counts). Returns a plain dict ready for
+    ``ray.put``."""
+    uni = unigram_counts(ds, text_col, normalize).materialize()
+    if uni.count() > max_vocab:
+        raise ValueError(f"vocab exceeds max_vocab ({max_vocab}) — "
+                         "driver model bound; shard the LM")
+    w, uc = _collect(uni, ["w", "cnt"])
+    th = hash64(w).view(np.int64) if len(w) else np.empty(0, np.int64)
+    order = np.argsort(th, kind="stable")
+    vocab = th[order]
+    ucnt = uc[order].astype(np.int64) if len(w) else np.empty(0, np.int64)
+    V = len(vocab)
+
+    bi = bigram_counts(ds, text_col, normalize).materialize()
+    w1, w2, bc = _collect(bi, ["w1", "w2", "cnt"])
+    if len(w1):
+        i1 = np.searchsorted(vocab, hash64(w1).view(np.int64))
+        i2 = np.searchsorted(vocab, hash64(w2).view(np.int64))
+        keys = i1.astype(np.int64) * (V + 1) + i2
+        border = np.argsort(keys, kind="stable")
+        bkeys = keys[border]
+        bcnt = bc[border].astype(np.int64)
+    else:
+        bkeys = np.empty(0, np.int64)
+        bcnt = np.empty(0, np.int64)
+
+    return {"vocab": vocab, "ucnt": ucnt, "total": int(ucnt.sum()),
+            "bkeys": bkeys, "bcnt": bcnt,
+            "alpha": float(alpha), "v_smooth": V + 1}
+
+
+def _lookup_counts(sorted_keys: np.ndarray, counts: np.ndarray,
+                   keys: np.ndarray, valid=None) -> np.ndarray:
+    """Vectorized count lookup: searchsorted + equality, 0 for misses."""
+    out = np.zeros(len(keys), dtype=np.int64)
+    if len(sorted_keys) == 0 or len(keys) == 0:
+        return out
+    idx = np.clip(np.searchsorted(sorted_keys, keys), 0,
+                  len(sorted_keys) - 1)
+    hit = sorted_keys[idx] == keys
+    if valid is not None:
+        hit &= valid
+    out[hit] = counts[idx[hit]]
+    return out
+
+
+def lm_score(ds, model, text_col: str, id_col: str,
+             normalize: bool = False,
+             buckets: tuple[float, float] | None = None):
+    """Broadcast LM scoring: per document with nonempty text,
+    ``(id, n_tokens, logprob, ppl[, bucket])``. The model ships once
+    (``ray.put``); the kernel is flat-stream vectorized (searchsorted
+    lookups + one ``bincount`` segment sum per batch).
+
+    ``buckets=(lo, hi)`` adds the CCNet head/middle/tail column:
+    ppl <= lo → 'head', <= hi → 'middle', else 'tail'."""
+    import ray
+    model_ref = model if isinstance(model, ray.ObjectRef) \
+        else ray.put(model)
+
+    def score(t: pa.Table) -> pa.Table:
+        m = ray.get(model_ref)
+        a, Vs, T = m["alpha"], m["v_smooth"], m["total"]
+        t, lens, flat = _flat_tokens(t, text_col, normalize)
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        n_docs, total = len(lens), len(flat)
+        if total == 0:
+            empty = {"id": pa.array([], type=pa.int64()),
+                     "n_tokens": pa.array([], type=pa.int64()),
+                     "logprob": pa.array([], type=pa.float64()),
+                     "ppl": pa.array([], type=pa.float64())}
+            if buckets is not None:
+                empty["bucket"] = pa.array([], type=pa.string())
+            return pa.table(empty)
+        th = hash64(flat).view(np.int64)
+        cu = np.zeros(total, dtype=np.float64)
+        if len(m["vocab"]):
+            vi = np.clip(np.searchsorted(m["vocab"], th), 0,
+                         len(m["vocab"]) - 1)
+            known = m["vocab"][vi] == th
+            cu[known] = m["ucnt"][vi[known]]
+        else:
+            vi = np.zeros(total, dtype=np.int64)
+            known = np.zeros(total, dtype=bool)
+
+        offs = np.cumsum(lens) - lens          # first-token positions
+        starts = np.zeros(total, dtype=bool)
+        starts[offs] = True
+        lp = np.empty(total, dtype=np.float64)
+        # unigram start events: (c(w)+a) / (T+a*Vs)
+        lp[starts] = np.log((cu[starts] + a) / (T + a * Vs))
+        # bigram events: (c(w1,w2)+a) / (c(w1)+a*Vs)
+        mid = np.nonzero(~starts)[0]
+        if len(mid):
+            both = known[mid - 1] & known[mid]
+            keys = vi[mid - 1].astype(np.int64) * Vs + vi[mid]
+            c12 = _lookup_counts(m["bkeys"], m["bcnt"], keys,
+                                 valid=both).astype(np.float64)
+            lp[mid] = np.log((c12 + a) / (cu[mid - 1] + a * Vs))
+
+        doc_idx = np.repeat(np.arange(n_docs), lens)
+        logprob = np.bincount(doc_idx, weights=lp, minlength=n_docs)
+        ppl = np.exp(-logprob / lens)
+        cols = {"id": ids,
+                "n_tokens": pa.array(lens, type=pa.int64()),
+                "logprob": pa.array(logprob, type=pa.float64()),
+                "ppl": pa.array(ppl, type=pa.float64())}
+        if buckets is not None:
+            lo, hi = buckets
+            b = np.where(ppl <= lo, "head",
+                         np.where(ppl <= hi, "middle", "tail"))
+            cols["bucket"] = pa.array(b.astype(object), type=pa.string())
+        return pa.table(cols)
+
+    return ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,138 @@
+"""Bigram LM (stages/lm.py): distributed counts, add-1 smoothing,
+broadcast perplexity scoring, CCNet buckets — including the
+NON-CIRCULAR hand derivation (Fraction + math.log) of the planted
+constants pasted into the lm_perplexity_docs oracle SQL."""
+import math
+from fractions import Fraction
+
+import numpy as np
+import pyarrow as pa
+
+from prompture_ray.stages.lm import (bigram_counts, unigram_counts,
+                                     train_bigram_lm, lm_score)
+
+TRAIN = ["the cat sat on the mat",
+         "dogs bark dogs bark loudly",
+         "zebras graze quietly near rivers"]
+SCORE = ["the cat sat", "qqq zzz www",
+         "zebras graze quietly near", "the qqq mat"]
+# literals pinned in LM_PERPLEXITY_SQL (queries.py) — derived below
+PINNED = {0: (3, -6.3969, 8.4343, "head"),
+          1: (3, -8.6793, 18.0492, "tail"),
+          2: (4, -8.7528, 8.9191, "head"),
+          3: (3, -7.7142, 13.0843, "middle")}
+BUCKETS = (9.5, 15.0)
+
+
+def _hand_model():
+    uni, bi = {}, {}
+    for d in TRAIN:
+        ts = d.split()
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    return uni, bi
+
+
+def _hand_score(text, uni, bi):
+    """Event probabilities as exact Fractions; float path = the engine's
+    (one correctly-rounded division per event, sequential log sum)."""
+    V = len(uni)
+    Vs, T = V + 1, sum(uni.values())
+    ts = text.split()
+    fr = [Fraction(uni.get(ts[0], 0) + 1, T + Vs)]
+    for a, b in zip(ts, ts[1:]):
+        fr.append(Fraction(bi.get((a, b), 0) + 1, uni.get(a, 0) + Vs))
+    lp = 0.0
+    for f in fr:
+        lp += math.log(f.numerator / f.denominator)
+    return lp, math.exp(-lp / len(ts))
+
+
+def test_bigram_unigram_counts(ray_session):
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "text": pa.array(["a b a b", "b c", "x", "", None])}))
+    bdf = bigram_counts(ds, "text").to_pandas()
+    got = {(r["w1"], r["w2"]): int(r["cnt"]) for _, r in bdf.iterrows()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1, ("b", "c"): 1}
+    udf = unigram_counts(ds, "text").to_pandas()
+    ug = {r["w"]: int(r["cnt"]) for _, r in udf.iterrows()}
+    assert ug == {"a": 2, "b": 3, "c": 1, "x": 1}
+
+
+def test_planted_constants_derivation(ray_session):
+    """Derive the oracle literals by hand arithmetic; assert the engine
+    reproduces them and that every value sits far (>1e-4 relative to the
+    grid) from its 4-dp rounding boundary."""
+    import ray.data as rd
+    uni, bi = _hand_model()
+    assert (len(uni), sum(uni.values())) == (13, 16)
+
+    train = rd.from_arrow(pa.table({"text": pa.array(TRAIN)}))
+    m = train_bigram_lm(train, "text")
+    assert m["v_smooth"] == 14 and m["total"] == 16
+
+    score_ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(8), type=pa.int64()),
+        "text": pa.array([SCORE[i % 4] for i in range(8)])}))
+    df = lm_score(score_ds, m, "text", "doc_id", buckets=BUCKETS) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    for _, r in df.iterrows():
+        v = int(r["id"]) % 4
+        lp, ppl = _hand_score(SCORE[v], uni, bi)
+        n, lp4, ppl4, bucket = PINNED[v]
+        # hand float path vs engine float path: same divisions, libm log
+        assert abs(r["logprob"] - lp) < 1e-9
+        assert abs(r["ppl"] - ppl) < 1e-9
+        # the pinned literals are what the hand derivation rounds to...
+        assert (round(np.round(lp, 4), 6), round(np.round(ppl, 4), 6)) \
+            == (lp4, ppl4)
+        # ...and far from the 4-dp boundary (libm 1-ulp noise can't flip)
+        for x in (abs(lp), ppl):
+            assert abs(x * 1e4 - math.floor(x * 1e4) - 0.5) > 1e-2
+        assert int(r["n_tokens"]) == n
+        assert r["bucket"] == bucket
+
+
+def test_oov_only_and_empty(ray_session):
+    import ray.data as rd
+    train = rd.from_arrow(pa.table({"text": pa.array(TRAIN)}))
+    m = train_bigram_lm(train, "text")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["zz yy", ""])}))
+    df = lm_score(ds, m, "text", "doc_id").to_pandas()
+    assert list(df["id"]) == [1]          # empty text filtered
+    # OOV-only: P = 1/(T+Vs) then 1/(0+Vs)
+    exp = math.exp(-(math.log(1 / 30) + math.log(1 / 14)) / 2)
+    assert abs(df["ppl"][0] - exp) < 1e-12
+
+
+def test_block_layout_invariance(ray_session):
+    import ray.data as rd
+    t = pa.table({"doc_id": pa.array(range(40), type=pa.int64()),
+                  "text": pa.array([SCORE[i % 4] for i in range(40)])})
+    train = rd.from_arrow(pa.table({"text": pa.array(TRAIN)}))
+    m = train_bigram_lm(train, "text")
+    outs = []
+    for nb in (1, 7):
+        ds = rd.from_arrow(t).repartition(nb)
+        outs.append(lm_score(ds, m, "text", "doc_id").to_pandas()
+                    .sort_values("id", ignore_index=True))
+    assert outs[0].equals(outs[1])
+
+
+def test_real_corpus_roundtrip(ray_session):
+    """CCNet shape on the real table: train on the corpus itself, score
+    every doc — finite positive perplexities, vocab hit keeps ppl sane."""
+    import ray.data as rd
+    ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    m = train_bigram_lm(ds, "text")
+    assert m["total"] > 0
+    df = lm_score(ds, m, "text", "doc_id").to_pandas()
+    assert len(df) > 0
+    assert np.isfinite(df["ppl"]).all() and (df["ppl"] > 1.0).all()
+    assert (df["n_tokens"] > 0).all()
