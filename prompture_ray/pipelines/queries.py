@@ -3935,6 +3935,85 @@ QUERIES["lm_perplexity_docs"] = lm_perplexity_docs
 ORACLE["lm_perplexity_docs"] = LM_PERPLEXITY_SQL
 
 
+def quantize_embeddings_vecs(sf_dir: str):
+    """Int8 scalar quantization of the REAL embeddings table (the
+    embedding-compression step for billion-vector ANN stores; beyond
+    reference): per-vector integer profile of the codes. Every
+    arithmetic step is a correctly-rounded double op on identical
+    inputs (float32→double casts are exact, one division per code), so
+    no rounding is needed anywhere — the oracle recomputes the codes
+    in SQL with the same expression tree."""
+    from prompture_ray.stages.quantize import quantization_stats
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    df = quantization_stats(ds, "embedding", "vec_id").to_pandas() \
+        .sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_dims": pa.array(df["n_dims"].astype("int64")),
+        "scale_micro": pa.array(df["scale_micro"].astype("int64")),
+        "q_sum": pa.array(df["q_sum"].astype("int64")),
+        "q_l1": pa.array(df["q_l1"].astype("int64")),
+    })
+
+
+# the SQL mirrors the engine's association exactly:
+# ((CAST(x AS DOUBLE) / scale) * 127.0) + 0.5, then floor
+QUANTIZE_EMBED_SQL = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings),
+s AS (SELECT vec_id, count(*) AS n_dims,
+             max(abs(CAST(x AS DOUBLE))) AS scale
+      FROM e GROUP BY vec_id),
+q AS (SELECT e.vec_id,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(floor(CAST(e.x AS DOUBLE) / s.scale * 127.0
+                                  + 0.5) AS BIGINT) END AS qv
+      FROM e JOIN s USING (vec_id))
+SELECT s.vec_id AS id,
+       CAST(s.n_dims AS BIGINT) AS n_dims,
+       CAST(floor(s.scale * 1e6) AS BIGINT) AS scale_micro,
+       CAST(sum(q.qv) AS BIGINT) AS q_sum,
+       CAST(sum(abs(q.qv)) AS BIGINT) AS q_l1
+FROM q JOIN s USING (vec_id)
+GROUP BY s.vec_id, s.n_dims, s.scale
+ORDER BY id
+"""
+
+QUERIES["quantize_embeddings_vecs"] = quantize_embeddings_vecs
+ORACLE["quantize_embeddings_vecs"] = QUANTIZE_EMBED_SQL
+
+
+def domain_mix_docs(sf_dir: str):
+    """Domain-mixture reweighting over the REAL documents table
+    (uniform target mix across observed sources): per-doc sampling
+    weight = N/(K·n_source) — a single division of exact integers on
+    both sides (IEEE-exactness trick, no rounding)."""
+    from prompture_ray.stages.sampling import domain_mix_weights
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    df = domain_mix_weights(ds, "source", "doc_id").to_pandas() \
+        .sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "source": pa.array(df["source"].astype(str)),
+        "weight": pa.array(df["weight"].astype("float64")),
+    })
+
+
+DOMAIN_MIX_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT (SELECT count(*) FROM documents) AS n_total,
+             (SELECT count(*) FROM c) AS k)
+SELECT d.doc_id AS id, d.source,
+       CAST(t.n_total AS DOUBLE) / (t.k * c.n) AS weight
+FROM documents d
+JOIN c ON d.source = c.source
+CROSS JOIN t
+ORDER BY id
+"""
+
+QUERIES["domain_mix_docs"] = domain_mix_docs
+ORACLE["domain_mix_docs"] = DOMAIN_MIX_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -227,3 +227,66 @@ def pack_sequences(ds, id_col: str, count_col: str, budget: int,
             "bin": prefix // np.int64(budget)})
 
     return run.map_batches(finish, batch_format="pandas")
+
+
+def domain_mix_weights(ds, domain_col: str, id_col: str,
+                       targets: dict | None = None):
+    """Domain-mixture reweighting (the Pile/DoReMi source-mixing step;
+    beyond the reference): per-domain sampling weight that morphs the
+    empirical source mix into a target mixture,
+    ``weight_d = target_share_d / empirical_share_d``. Returns one row
+    per input row: ``(id, <domain_col>, weight)``.
+
+    ``targets`` maps domain → exact rational share ``(num, den)``;
+    ``None`` = uniform over the observed domains (1/K each). Domains
+    absent from ``targets`` get weight 0.0 (dropped from the mix).
+
+    Shape: ONE narrow groupby count (domain lexicon is Heaps-small),
+    weight map broadcast once via ``ray.put``, per-doc attach is a pure
+    map (sorted-hash ``searchsorted``). Exactness: each weight is a
+    SINGLE division of exact integers ``(num·N)/(den·n_d)`` — the
+    correctly-rounded double is bit-identical on any engine (the
+    IEEE-exactness trick)."""
+    import ray
+    from prompture_ray.functions.sketches import hash64
+
+    counts = ds.groupby(domain_col).count().materialize()
+    doms, ns = [], []
+    for t in counts.iter_batches(batch_format="pyarrow"):
+        doms.append(np.asarray(t[domain_col].to_pylist(), dtype=object))
+        ns.append(t["count()"].to_numpy(zero_copy_only=False))
+    dom = np.concatenate(doms) if doms else np.empty(0, dtype=object)
+    n_d = (np.concatenate(ns) if ns else np.empty(0)).astype(np.int64)
+    N, K = int(n_d.sum()), len(dom)
+
+    if targets is None:
+        num = np.ones(K, dtype=np.int64)
+        den = np.full(K, K, dtype=np.int64)
+    else:
+        num = np.array([targets.get(d, (0, 1))[0] for d in dom],
+                       dtype=np.int64)
+        den = np.array([targets.get(d, (0, 1))[1] for d in dom],
+                       dtype=np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        w = (num * N).astype(np.float64) / (den * n_d).astype(np.float64)
+    w = np.where(num == 0, 0.0, w)
+
+    dh = hash64(dom).view(np.int64) if K else np.empty(0, np.int64)
+    order = np.argsort(dh, kind="stable")
+    ref = ray.put((dh[order], w[order]))
+
+    def attach(t: pa.Table) -> pa.Table:
+        keys, wts = ray.get(ref)
+        d_obj = np.asarray(t[domain_col].to_pylist(), dtype=object)
+        ids = t[id_col].combine_chunks().cast(pa.int64())
+        out = np.zeros(len(d_obj), dtype=np.float64)
+        if len(keys) and len(d_obj):
+            h = hash64(d_obj).view(np.int64)
+            i = np.clip(np.searchsorted(keys, h), 0, len(keys) - 1)
+            hit = keys[i] == h
+            out[hit] = wts[i[hit]]
+        return pa.table({"id": ids,
+                         domain_col: pa.array(d_obj, type=pa.string()),
+                         "weight": pa.array(out, type=pa.float64())})
+
+    return ds.map_batches(attach, batch_format="pyarrow")
