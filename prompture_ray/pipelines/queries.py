@@ -4014,6 +4014,95 @@ QUERIES["domain_mix_docs"] = domain_mix_docs
 ORACLE["domain_mix_docs"] = DOMAIN_MIX_SQL
 
 
+def textclean_docs(sf_dir: str):
+    """Encoding hygiene (ftfy-style mojibake repair + Unicode NFC;
+    beyond reference) over PLANTED per-doc texts: latin-1 and cp1252
+    double-encoding inverses plus combining-mark composition. The NFC
+    leg's oracle is GENUINE (DuckDB ``nfc_normalize`` over the same
+    decomposed input); the mojibake legs are planted literals (SQL has
+    no codec round-trip)."""
+    from prompture_ray.stages.textclean import clean_text
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    variants = np.array([
+        "hello world",
+        "Cafe\u0301 ole\u0301",      # decomposed NFC input
+        "Caf\u00c3\u00a9",           # latin-1 mojibake of Caf\u00e9
+        "it\u00e2\u20ac\u2122s fine",  # cp1252 mojibake of it\u2019s
+    ], dtype=object)
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(variants[d % 4],
+                                          type=pa.string())})
+
+    out = clean_text(ds.map_batches(plant, batch_format="pyarrow"),
+                     "text")
+    df = out.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["doc_id"].astype("int64")),
+        "text": pa.array(df["text"].astype(str)),
+        "moji_fixed": pa.array(df["moji_fixed"].astype(bool)),
+        "nfc_changed": pa.array(df["nfc_changed"].astype(bool)),
+    })
+
+
+TEXTCLEAN_SQL = """
+SELECT doc_id AS id,
+       CASE doc_id % 4
+            WHEN 0 THEN 'hello world'
+            WHEN 1 THEN nfc_normalize('Cafe' || chr(769) || ' ole'
+                                      || chr(769))
+            WHEN 2 THEN 'Caf' || chr(233)
+            ELSE 'it' || chr(8217) || 's fine' END AS text,
+       doc_id % 4 IN (2, 3) AS moji_fixed,
+       doc_id % 4 = 1 AS nfc_changed
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["textclean_docs"] = textclean_docs
+ORACLE["textclean_docs"] = TEXTCLEAN_SQL
+
+
+def domain_resample_docs(sf_dir: str):
+    """Deterministic domain-mixture resampling plan over the REAL
+    documents table: uniform-target weights (see domain_mix_docs)
+    turned into per-doc copy counts — floor(w) plus a Knuth-hash
+    remainder draw. All arithmetic is exact-int or identical doubles
+    on both sides (the split-assignment rule, derived in SQL rather
+    than pasted)."""
+    from prompture_ray.stages.sampling import (domain_mix_weights,
+                                               repeat_by_weight)
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    weighted = domain_mix_weights(ds, "source", "doc_id")
+    plan = repeat_by_weight(weighted, "id", "weight", emit_rows=False)
+    df = plan.to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_copies": pa.array(df["n_copies"].astype("int64")),
+    })
+
+
+DOMAIN_RESAMPLE_SQL = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+t AS (SELECT (SELECT count(*) FROM documents) AS n_total,
+             (SELECT count(*) FROM c) AS k),
+w AS (SELECT d.doc_id,
+             LEAST(CAST(t.n_total AS DOUBLE) / (t.k * c.n), 64.0) AS wt
+      FROM documents d JOIN c USING (source) CROSS JOIN t)
+SELECT doc_id AS id,
+       CAST(floor(wt) + CASE WHEN (doc_id * 2654435761) % 4294967296
+            < CAST(floor((wt - floor(wt)) * 4294967296.0) AS BIGINT)
+            THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+FROM w
+ORDER BY id
+"""
+
+QUERIES["domain_resample_docs"] = domain_resample_docs
+ORACLE["domain_resample_docs"] = DOMAIN_RESAMPLE_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -290,3 +290,57 @@ def domain_mix_weights(ds, domain_col: str, id_col: str,
                          "weight": pa.array(out, type=pa.float64())})
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def weighted_sample(ds, id_col: str, weight_col: str):
+    """Per-row deterministic weighted rejection sampling (the
+    downsampling half of domain-mixture resampling): keep iff
+    ``knuth(id) < floor(min(w,1)·2^32)`` — same auditable rule as
+    ``deterministic_sample`` with a per-row fraction."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.minimum(t[weight_col].to_numpy(zero_copy_only=False)
+                       .astype(np.float64), 1.0)
+        return t.filter(pa.array(_keep_mask(ids, w)))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repeat_by_weight(ds, id_col: str, weight_col: str,
+                     max_copies: int = 64, emit_rows: bool = True):
+    """Deterministic mixture resampling (both halves): every row gets
+    ``n = floor(w) + [knuth(id) < floor(frac(w)·2^32)]`` copies —
+    w<1 is rejection sampling, w>1 is upsampling with a stochastic
+    (but id-deterministic) remainder, exactly the resampler of
+    Pile-style domain mixing. ``emit_rows=False`` returns one row per
+    INPUT row with its ``n_copies`` (the auditable plan); otherwise
+    rows are physically repeated with a ``copy_idx`` column.
+    ``max_copies`` bounds pathological weights."""
+
+    def n_copies(t: pa.Table):
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = np.clip(t[weight_col].to_numpy(zero_copy_only=False)
+                    .astype(np.float64), 0.0, float(max_copies))
+        base = np.floor(w)
+        extra = _keep_mask(ids, w - base)
+        return (base.astype(np.int64) + extra).astype(np.int64)
+
+    if not emit_rows:
+        def plan(t: pa.Table) -> pa.Table:
+            return t.append_column("n_copies",
+                                   pa.array(n_copies(t), type=pa.int64()))
+        return ds.map_batches(plan, batch_format="pyarrow")
+
+    def repeat(t: pa.Table) -> pa.Table:
+        n = n_copies(t)
+        idx = np.repeat(np.arange(len(t), dtype=np.int64), n)
+        out = t.take(pa.array(idx))
+        # 0,1,...,n_i-1 within each repeated row
+        starts = np.cumsum(n) - n
+        copy_idx = np.arange(len(idx), dtype=np.int64) \
+            - np.repeat(starts, n)
+        return out.append_column("copy_idx",
+                                 pa.array(copy_idx, type=pa.int64()))
+
+    return ds.map_batches(repeat, batch_format="pyarrow")
