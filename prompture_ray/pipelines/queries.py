@@ -4103,6 +4103,53 @@ QUERIES["domain_resample_docs"] = domain_resample_docs
 ORACLE["domain_resample_docs"] = DOMAIN_RESAMPLE_SQL
 
 
+def tfrecord_roundtrip_docs(sf_dir: str):
+    """TFRecord/tf.train.Example round trip (sources/tfrecord.py,
+    stdlib+numpy codec with masked CRC-32C framing; beyond reference):
+    per doc an Example with bytes/int64/float features is encoded,
+    framed, CRC-verified, parsed back — every recovered field is
+    closed-form in doc_id (floats are exact quarters, lossless in
+    float32)."""
+    from prompture_ray.sources.tfrecord import (encode_example,
+                                                frame_records,
+                                                split_records,
+                                                decode_example)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = [encode_example({
+            "text": ("bytes", [f"doc {i}".encode()]),
+            "ids": ("int64", [i, 2 * i]),
+            "score": ("float", [i / 4.0]),
+        }) for i in ids]
+        back = [decode_example(p)
+                for p in split_records(frame_records(payloads))]
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "caption": pa.array([b["text"][1][0].decode()
+                                 for b in back], type=pa.string()),
+            "i_sum": pa.array([sum(b["ids"][1]) for b in back],
+                              type=pa.int64()),
+            "f0": pa.array([float(np.float32(b["score"][1][0]))
+                            for b in back], type=pa.float64()),
+        })
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+TFRECORD_SQL = """
+SELECT doc_id,
+       'doc ' || doc_id AS caption,
+       CAST(3 * doc_id AS BIGINT) AS i_sum,
+       CAST(doc_id AS DOUBLE) / 4.0 AS f0
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["tfrecord_roundtrip_docs"] = tfrecord_roundtrip_docs
+ORACLE["tfrecord_roundtrip_docs"] = TFRECORD_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
