@@ -4150,6 +4150,78 @@ QUERIES["tfrecord_roundtrip_docs"] = tfrecord_roundtrip_docs
 ORACLE["tfrecord_roundtrip_docs"] = TFRECORD_SQL
 
 
+def curation_pipeline_docs(sf_dir: str):
+    """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
+    mojibake clean → langid → quality filter → reference-LM perplexity
+    bucket → first-wins dedup → verdict; beyond reference): PLANTED
+    five-class corpus where each gate's decision is a closed-form
+    constant. The reference-corpus LM makes every class perplexity a
+    pinned literal (hand-derived non-circularly in
+    tests/test_curation.py with >1e-2 grid margins); the dedup leg's
+    first-wins survivor is derived IN SQL (min doc_id per class), and
+    the verdict conjunction composes them."""
+    import ray.data as rd
+    from prompture_ray.stages.lm import train_bigram_lm
+    from prompture_ray.pipelines.curation import curate_corpus
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    ref = ["the cat and the dog sat on the mat near the tree",
+           "the cat sat on the mat it’s fine",
+           "el perro es una cosa para los gatos del mundo"]
+    variants = np.array([
+        ref[0],
+        "the cat sat on the mat itâ€™s fine",  # mojibake
+        ref[2],
+        "the end",
+        "the qqq zzz www rrr sss",
+    ], dtype=object)
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(variants[d % 5],
+                                          type=pa.string())})
+
+    model = train_bigram_lm(
+        rd.from_arrow(pa.table({"text": pa.array(ref)})), "text")
+    out = curate_corpus(ds.map_batches(plant, batch_format="pyarrow"),
+                        "text", "doc_id", model,
+                        ppl_buckets=(11.0, 16.0))
+    df = out.to_pandas().sort_values("doc_id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["doc_id"].astype("int64")),
+        "lang_pred": pa.array(df["lang_pred"].astype(str)),
+        "quality_keep": pa.array(df["keep"].astype(bool)),
+        "bucket": pa.array(df["bucket"].astype(str)),
+        "ppl": pa.array(np.round(df["ppl"].to_numpy(), 4)),
+        "moji_fixed": pa.array(df["moji_fixed"].astype(bool)),
+        "is_first": pa.array(df["is_first"].astype(bool)),
+        "verdict": pa.array(df["verdict"].astype(bool)),
+    })
+
+
+CURATION_SQL = """
+SELECT doc_id AS id,
+       CASE doc_id % 5 WHEN 2 THEN 'es' ELSE 'en' END AS lang_pred,
+       doc_id % 5 <> 3 AS quality_keep,
+       CASE doc_id % 5 WHEN 0 THEN 'head' WHEN 1 THEN 'head'
+            WHEN 2 THEN 'middle' WHEN 3 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CASE doc_id % 5 WHEN 0 THEN 10.4911 WHEN 1 THEN 9.5395
+            WHEN 2 THEN 12.4774 WHEN 3 THEN 14.4222
+            ELSE 19.1114 END AS ppl,
+       doc_id % 5 = 1 AS moji_fixed,
+       doc_id = min(doc_id) OVER (PARTITION BY doc_id % 5) AS is_first,
+       (doc_id % 5 IN (0, 1))
+         AND doc_id = min(doc_id) OVER (PARTITION BY doc_id % 5)
+         AS verdict
+FROM documents
+ORDER BY id
+"""
+
+QUERIES["curation_pipeline_docs"] = curation_pipeline_docs
+ORACLE["curation_pipeline_docs"] = CURATION_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -65,7 +65,8 @@ def add_content_hash(ds, col: str, out_col: str = "content_hash",
 
 
 def dedup_exact(ds, col: str, order_col: str,
-                normalize: bool = True, hash_col: str = "content_hash"):
+                normalize: bool = True, hash_col: str = "content_hash",
+                flag_col: str | None = None):
     """First-occurrence-wins exact dedup under canonical order
     ``order_col`` (the distributed form of dedup.py:73-96). Returns the
     kept rows (original columns).
@@ -79,6 +80,10 @@ def dedup_exact(ds, col: str, order_col: str,
     driver state is O(n_blocks), never O(n_keys). Assumes ``order_col``
     is a canonical (duplicate-free) ordering, as the reference does —
     rows with identical (hash, order) are kept once per block.
+
+    ``flag_col``: audit mode — keep EVERY row and append a boolean
+    first-occurrence flag instead of filtering (empty-key rows are
+    still dropped, as in filter mode).
     """
     import ray
 
@@ -120,7 +125,11 @@ def dedup_exact(ds, col: str, order_col: str,
         out_cols = [c for c in t.column_names
                     if c not in (hash_col, hash_col + "_empty")]
         if t.num_rows == 0:
-            return t.select(out_cols)
+            empty = t.select(out_cols)
+            if flag_col is not None:
+                empty = empty.append_column(
+                    flag_col, pa.array([], type=pa.bool_()))
+            return empty
         h = t[hash_col].to_numpy(zero_copy_only=False)
         mask = np.empty(len(h), dtype=bool)
         mask[0] = True
@@ -128,6 +137,9 @@ def dedup_exact(ds, col: str, order_col: str,
         dk = ray.get(drop_ref)
         if dk and (int(h[0]), str(t[order_col][0].as_py())) in dk:
             mask[0] = False
+        if flag_col is not None:
+            return t.select(out_cols).append_column(flag_col,
+                                                    pa.array(mask))
         return t.filter(pa.array(mask)).select(out_cols)
 
     return srt.map_batches(keep, batch_format="pyarrow", batch_size=None)

@@ -165,17 +165,54 @@ def _lookup_counts(sorted_keys: np.ndarray, counts: np.ndarray,
 
 def lm_score(ds, model, text_col: str, id_col: str,
              normalize: bool = False,
-             buckets: tuple[float, float] | None = None):
+             buckets: tuple[float, float] | None = None,
+             append: bool = False):
     """Broadcast LM scoring: per document with nonempty text,
     ``(id, n_tokens, logprob, ppl[, bucket])``. The model ships once
     (``ray.put``); the kernel is flat-stream vectorized (searchsorted
     lookups + one ``bincount`` segment sum per batch).
 
     ``buckets=(lo, hi)`` adds the CCNet head/middle/tail column:
-    ppl <= lo → 'head', <= hi → 'middle', else 'tail'."""
+    ppl <= lo → 'head', <= hi → 'middle', else 'tail'.
+
+    ``append=True`` keeps EVERY input row and column (pipeline
+    composition mode): empty-text rows get n_tokens 0 and null
+    logprob/ppl/bucket instead of being dropped."""
     import ray
     model_ref = model if isinstance(model, ray.ObjectRef) \
         else ray.put(model)
+
+    def score_append(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        ne = pc.greater(pc.utf8_length(pc.fill_null(arr, "")), 0) \
+            .to_numpy(zero_copy_only=False)
+        sub = score(t.filter(pa.array(ne)))
+        n = len(t)
+        if len(sub) != int(ne.sum()):    # normalize=True can re-empty
+            raise ValueError("lm_score(append=True) requires "
+                             "normalize=False (row alignment)")
+        n_tok = np.zeros(n, dtype=np.int64)
+        lp = np.full(n, np.nan)
+        ppl = np.full(n, np.nan)
+        idx = np.nonzero(ne)[0]
+        n_tok[idx] = sub["n_tokens"].to_numpy(zero_copy_only=False)
+        lp[idx] = sub["logprob"].to_numpy(zero_copy_only=False)
+        ppl[idx] = sub["ppl"].to_numpy(zero_copy_only=False)
+        out = t.append_column("n_tokens", pa.array(n_tok)) \
+            .append_column("logprob",
+                           pa.array(lp, type=pa.float64(),
+                                    from_pandas=True)) \
+            .append_column("ppl", pa.array(ppl, type=pa.float64(),
+                                           from_pandas=True))
+        if buckets is not None:
+            b = np.full(n, None, dtype=object)
+            b[idx] = np.asarray(sub["bucket"].to_pylist(), dtype=object)
+            out = out.append_column("bucket",
+                                    pa.array(b, type=pa.string()))
+        return out
 
     def score(t: pa.Table) -> pa.Table:
         m = ray.get(model_ref)
@@ -231,4 +268,5 @@ def lm_score(ds, model, text_col: str, id_col: str,
             cols["bucket"] = pa.array(b.astype(object), type=pa.string())
         return pa.table(cols)
 
-    return ds.map_batches(score, batch_format="pyarrow")
+    return ds.map_batches(score_append if append else score,
+                          batch_format="pyarrow")
