@@ -4231,7 +4231,12 @@ ORACLE["curation_pipeline_docs"] = CURATION_SQL
 # changed this round, then (d) a core-pipeline sample; everything beyond
 # slot 50 was driver-green in r3 on unchanged code (VERDICT r3 item #5).
 _WINDOW_PRIORITY = [
-    # (a) never driver-checked / once-failed / new this round
+    # (a0) new in the round-4 late session — never driver-checked
+    "curation_pipeline_docs", "lm_perplexity_docs",
+    "lm_bigram_counts_docs", "quantize_embeddings_vecs",
+    "domain_mix_docs", "domain_resample_docs", "textclean_docs",
+    "tfrecord_roundtrip_docs",
+    # (a) round-4 queries never driver-checked / once-failed
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
     "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
@@ -4242,16 +4247,17 @@ _WINDOW_PRIORITY = [
     "duplicate_span_removed_docs", "url_dedup_docs", "domain_cap_docs",
     "pack_sequences_docs", "bpe_planted_docs", "nb_train_counts_docs",
     "nb_classifier_docs", "corpus_frequency_docs",
-    # (b) green in r2 but outside the r3 window (dropped to fit the
-    # 50-slot window — all planted/stable, untouched since r2, green in
-    # this session's full sf0.01+sf0.1 sweeps: orders_by_segment,
+    # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
+    # code untouched since, and locally PASSed at sf0.01+sf0.1 this
+    # round): events_hourly_streaming, props_schema_events,
+    # nested_schema_docs, coerce_mixed_docs, dedup_semantic_docs,
+    # bm25_topk_docs, entity_resolution_docs, ann_index_knn — plus the
+    # r2 rotations listed in the r3 comment (orders_by_segment,
     # injection_scan_docs, redact_docs, json_repair_events,
     # rrf_fusion_sources, salted_chars_stats, marker_scores_docs,
-    # media_audio_frames [rows-only])
-    "events_hourly_streaming", "props_schema_events", "nested_schema_docs",
-    "coerce_mixed_docs", "dedup_semantic_docs", "bm25_topk_docs",
-    "entity_resolution_docs", "ann_index_knn",
-    # (c) code paths changed in round 4 (dedup tail, joins, sessions)
+    # media_audio_frames).
+    # (c) code paths changed in round 4 (dedup tail, joins, sessions) —
+    # last driver check predates the change, so they stay pinned
     "minhash_planted_docs", "minhash_dedup_docs", "ngram_jaccard_pairs",
     "simhash_planted_pairs", "fingerprint_planted_pairs", "simhash_docs",
     "pagerank_ring_docs",    # fingerprint_docs (rows-only) rotated out:
