@@ -80,3 +80,20 @@ def test_curate_corpus(ray_session):
                                       and int(r["doc_id"]) == v)
     # exactly two survivors: the first doc of each clean English class
     assert df["verdict"].sum() == 2
+
+
+def test_dedup_flag_mode(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.dedup import dedup_exact
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([5, 1, 3, 2, 4], type=pa.int64()),
+        "text": pa.array(["x", "x", "y", "", "y"])})).repartition(3)
+    df = dedup_exact(ds, "text", "doc_id", flag_col="is_first") \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    # empty-key row dropped even in flag mode (reference semantics)
+    assert list(df["doc_id"]) == [1, 3, 4, 5]
+    got = dict(zip(df["doc_id"], df["is_first"]))
+    assert got == {1: True, 5: False, 3: True, 4: False}
+    # filter mode unchanged: kept rows == flagged-first rows
+    kept = dedup_exact(ds, "text", "doc_id").to_pandas()
+    assert sorted(kept["doc_id"]) == [1, 3]

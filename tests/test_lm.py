@@ -136,3 +136,23 @@ def test_real_corpus_roundtrip(ray_session):
     assert len(df) > 0
     assert np.isfinite(df["ppl"]).all() and (df["ppl"] > 1.0).all()
     assert (df["n_tokens"] > 0).all()
+
+
+def test_lm_score_append_mode(ray_session):
+    import ray.data as rd
+    train = rd.from_arrow(pa.table({"text": pa.array(TRAIN)}))
+    m = train_bigram_lm(train, "text")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+        "text": pa.array(["the cat sat", "", None]),
+        "extra": pa.array(["a", "b", "c"])}))
+    df = lm_score(ds, m, "text", "doc_id", buckets=BUCKETS,
+                  append=True).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # all rows and original columns survive
+    assert list(df["doc_id"]) == [1, 2, 3]
+    assert list(df["extra"]) == ["a", "b", "c"]
+    assert df["n_tokens"][0] == 3 and df["bucket"][0] == "head"
+    assert list(df["n_tokens"][1:]) == [0, 0]
+    assert df["ppl"][1:].isna().all()
+    assert df["bucket"][1:].isna().all()
