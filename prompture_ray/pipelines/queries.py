@@ -3894,7 +3894,10 @@ def lm_perplexity_docs(sf_dir: str):
     from prompture_ray.stages.lm import train_bigram_lm, lm_score
     ds = _read(sf_dir, "documents", ["doc_id"])
     planted = ds.map_batches(_lm_planted_train, batch_format="pyarrow")
-    distinct = planted.groupby("text").aggregate(Count())
+    # materialize: train_bigram_lm consumes its input TWICE (unigram +
+    # bigram count shuffles) — without this the distinct groupby and
+    # the whole planted lineage execute twice (round-4 rule)
+    distinct = planted.groupby("text").aggregate(Count()).materialize()
     model = train_bigram_lm(distinct, "text")
 
     def plant_score(t: pa.Table) -> pa.Table:

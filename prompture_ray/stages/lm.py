@@ -112,26 +112,58 @@ def _collect(counts, cols):
     return tuple(out)
 
 
+def _joint_counts(ds, text_col: str, normalize: bool):
+    """Unigram + bigram counts in ONE partial pass and ONE grouped
+    shuffle: unigram rows carry the empty-string sentinel in ``w2``
+    (whitespace tokens are never empty, so the namespaces can't
+    collide)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t, lens, flat = _flat_tokens(t, text_col, normalize)
+        prev, cur = _bigram_pairs(lens, flat)
+        a = np.concatenate([flat, prev]) if len(flat) else prev
+        b = np.concatenate([np.full(len(flat), "", dtype=object), cur]) \
+            if len(flat) else cur
+        if len(a):
+            g = pd.DataFrame({"a": a, "b": b}) \
+                .groupby(["a", "b"], sort=False).size().reset_index()
+            w1 = g["a"].to_numpy()
+            w2 = g["b"].to_numpy()
+            c = g[0].to_numpy().astype(np.int64)
+        else:
+            w1 = w2 = np.empty(0, dtype=object)
+            c = np.empty(0, dtype=np.int64)
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string()),
+                         "cnt": pa.array(c)})
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt"))
+
+
 def train_bigram_lm(ds, text_col: str, alpha: float = 1.0,
                     normalize: bool = False,
                     max_vocab: int = 50_000_000) -> dict:
-    """Train the LM: two distributed count shuffles → driver arrays
-    (sorted token-hash vocab + aligned unigram counts; sorted composite
-    int64 bigram keys + counts). Returns a plain dict ready for
-    ``ray.put``."""
-    uni = unigram_counts(ds, text_col, normalize).materialize()
-    if uni.count() > max_vocab:
+    """Train the LM: ONE distributed count shuffle (unigrams + bigrams
+    share it via the sentinel scheme of ``_joint_counts``) → driver
+    arrays (sorted token-hash vocab + aligned unigram counts; sorted
+    composite int64 bigram keys + counts). Returns a plain dict ready
+    for ``ray.put``. The input Dataset is consumed exactly once."""
+    joint = _joint_counts(ds, text_col, normalize).materialize()
+    if joint.count() > max_vocab:
         raise ValueError(f"vocab exceeds max_vocab ({max_vocab}) — "
                          "driver model bound; shard the LM")
-    w, uc = _collect(uni, ["w", "cnt"])
+    jw1, jw2, jc = _collect(joint, ["w1", "w2", "cnt"])
+    is_uni = np.array([x == "" for x in jw2], dtype=bool)
+    w, uc = jw1[is_uni], jc[is_uni]
     th = hash64(w).view(np.int64) if len(w) else np.empty(0, np.int64)
     order = np.argsort(th, kind="stable")
     vocab = th[order]
     ucnt = uc[order].astype(np.int64) if len(w) else np.empty(0, np.int64)
     V = len(vocab)
 
-    bi = bigram_counts(ds, text_col, normalize).materialize()
-    w1, w2, bc = _collect(bi, ["w1", "w2", "cnt"])
+    w1, w2, bc = jw1[~is_uni], jw2[~is_uni], jc[~is_uni]
     if len(w1):
         i1 = np.searchsorted(vocab, hash64(w1).view(np.int64))
         i2 = np.searchsorted(vocab, hash64(w2).view(np.int64))
