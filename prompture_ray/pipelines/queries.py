@@ -4225,6 +4225,48 @@ QUERIES["curation_pipeline_docs"] = curation_pipeline_docs
 ORACLE["curation_pipeline_docs"] = CURATION_SQL
 
 
+def media_mp3_meta(sf_dir: str):
+    """MP3 frame-header metadata (stages/mp3.py — stdlib frame walk,
+    ID3 skip, CBR/VBR detection; PCM decode stays env-blocked):
+    planted valid MPEG1 Layer-III streams keyed by doc_id — frame
+    count, rate, bitrate and integer-floor duration are closed-form."""
+    from prompture_ray.stages.mp3 import build_mp3, Mp3MetaStage
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    br = [9, 11, 14]                      # 128 / 192 / 320 kbps
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        blobs = [build_mp3(1 + i % 4, bitrate_idx=br[i % 3],
+                           samplerate_idx=i % 3,
+                           id3=(b"t" * (i % 7) if i % 2 else None))
+                 for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(blobs, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(Mp3MetaStage(), batch_format="pyarrow") \
+            .select_columns(["doc_id", "n_frames", "sample_rate",
+                             "bitrate_kbps", "duration_us"])
+    return out
+
+
+MP3_META_SQL = """
+SELECT doc_id,
+       CAST(1 + doc_id % 4 AS BIGINT) AS n_frames,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+            ELSE 32000 END AS BIGINT) AS sample_rate,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+            ELSE 320 END AS BIGINT) AS bitrate_kbps,
+       CAST((1 + doc_id % 4) * 1152 * 1000000
+            // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS BIGINT) AS duration_us
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["media_mp3_meta"] = media_mp3_meta
+ORACLE["media_mp3_meta"] = MP3_META_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
@@ -4238,7 +4280,7 @@ _WINDOW_PRIORITY = [
     "curation_pipeline_docs", "lm_perplexity_docs",
     "lm_bigram_counts_docs", "quantize_embeddings_vecs",
     "domain_mix_docs", "domain_resample_docs", "textclean_docs",
-    "tfrecord_roundtrip_docs",
+    "tfrecord_roundtrip_docs", "media_mp3_meta",
     # (a) round-4 queries never driver-checked / once-failed
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
@@ -4262,9 +4304,12 @@ _WINDOW_PRIORITY = [
     # (c) code paths changed in round 4 (dedup tail, joins, sessions) —
     # last driver check predates the change, so they stay pinned
     "minhash_planted_docs", "minhash_dedup_docs", "ngram_jaccard_pairs",
-    "simhash_planted_pairs", "fingerprint_planted_pairs", "simhash_docs",
-    "pagerank_ring_docs",    # fingerprint_docs (rows-only) rotated out:
-                             # its planted twin covers the same path
+    "simhash_planted_pairs", "fingerprint_planted_pairs",
+    "pagerank_ring_docs",    # simhash_docs + fingerprint_docs
+                             # (rows-only) rotated out: their
+                             # oracle-checked planted twins cover the
+                             # same code path; minhash_dedup_docs stays
+                             # as the rows-only representative
     "embedding_neardup_docs", "sessions_per_user",
     "asof_event_order", "range_join_signup_events", "orders_customer_join",
     "hopping_events", "knn_embeddings",
