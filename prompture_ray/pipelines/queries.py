@@ -4226,13 +4226,16 @@ ORACLE["curation_pipeline_docs"] = CURATION_SQL
 
 
 def media_mp3_meta(sf_dir: str):
-    """MP3 frame-header metadata (stages/mp3.py — stdlib frame walk,
-    ID3 skip, CBR/VBR detection; PCM decode stays env-blocked):
-    planted valid MPEG1 Layer-III streams keyed by doc_id — frame
-    count, rate, bitrate and integer-floor duration are closed-form."""
-    from prompture_ray.stages.mp3 import build_mp3, Mp3MetaStage
+    """MP3 + Ogg/Vorbis metadata (stages/mp3.py — stdlib MPEG frame
+    walk with ID3 skip + CBR/VBR detection, and Ogg page walk with
+    last-granule duration; PCM decode stays env-blocked): planted
+    valid streams keyed by doc_id — frame/page counts, rates, bitrate
+    and the integer-floor durations are closed-form."""
+    from prompture_ray.stages.mp3 import (build_mp3, Mp3MetaStage,
+                                          build_ogg, parse_ogg_meta)
     ds = _read(sf_dir, "documents", ["doc_id"])
     br = [9, 11, 14]                      # 128 / 192 / 320 kbps
+    osr = [44100, 48000, 22050]
 
     def plant(t: pa.Table) -> pa.Table:
         ids = t["doc_id"].to_pylist()
@@ -4247,7 +4250,21 @@ def media_mp3_meta(sf_dir: str):
             .map_batches(Mp3MetaStage(), batch_format="pyarrow") \
             .select_columns(["doc_id", "n_frames", "sample_rate",
                              "bitrate_kbps", "duration_us"])
-    return out
+
+    def add_ogg(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        metas = [parse_ogg_meta(build_ogg(
+            osr[i % 3] * (1 + i % 2) + i % 7,
+            sample_rate=osr[i % 3], channels=1 + i % 2)) for i in ids]
+        return t.append_column(
+            "ogg_channels", pa.array([m["channels"] for m in metas],
+                                     type=pa.int64())) \
+            .append_column(
+            "ogg_duration_us", pa.array([m["duration_us"]
+                                         for m in metas],
+                                        type=pa.int64()))
+
+    return out.map_batches(add_ogg, batch_format="pyarrow")
 
 
 MP3_META_SQL = """
@@ -4259,7 +4276,12 @@ SELECT doc_id,
             ELSE 320 END AS BIGINT) AS bitrate_kbps,
        CAST((1 + doc_id % 4) * 1152 * 1000000
             // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
-               ELSE 32000 END AS BIGINT) AS duration_us
+               ELSE 32000 END AS BIGINT) AS duration_us,
+       CAST(1 + doc_id % 2 AS BIGINT) AS ogg_channels,
+       CAST((CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+             ELSE 22050 END * (1 + doc_id % 2) + doc_id % 7) * 1000000
+            // CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 22050 END AS BIGINT) AS ogg_duration_us
 FROM documents ORDER BY doc_id
 """
 

@@ -130,3 +130,72 @@ class Mp3MetaStage:
             .append_column("bitrate_kbps", col("bitrate_kbps", pa.int64())) \
             .append_column("duration_us", col("duration_us", pa.int64())) \
             .append_column("vbr", col("vbr", pa.bool_()))
+
+
+# ---------------------------------------------------------------------------
+# Ogg/Vorbis metadata (same metadata-level coverage for the other
+# ubiquitous web audio container; PCM decode is env-blocked like MP3)
+# ---------------------------------------------------------------------------
+
+
+def build_ogg(n_samples: int, sample_rate: int = 44100,
+              channels: int = 2) -> bytes:
+    """Minimal valid Ogg-Vorbis stream: page 0 carries the Vorbis
+    identification header, a final page carries granule = n_samples
+    (the duration convention). CRCs are zeroed (parsers that skip
+    verification — like ours — accept it; documented)."""
+    import struct
+
+    def page(granule: int, seq: int, header_type: int,
+             payload: bytes) -> bytes:
+        segs = []
+        rest = len(payload)
+        while rest >= 255:
+            segs.append(255)
+            rest -= 255
+        segs.append(rest)
+        head = b"OggS" + bytes([0, header_type]) \
+            + struct.pack("<q", granule) \
+            + struct.pack("<I", 0xFEED) + struct.pack("<I", seq) \
+            + b"\x00\x00\x00\x00" + bytes([len(segs)]) + bytes(segs)
+        return head + payload
+
+    ident = b"\x01vorbis" + struct.pack("<I", 0) \
+        + bytes([channels]) + struct.pack("<I", sample_rate) \
+        + b"\x00" * 12 + b"\xb8\x01"
+    return page(0, 0, 0x02, ident) + page(n_samples, 1, 0x04, b"")
+
+
+def parse_ogg_meta(blob: bytes) -> dict:
+    """Page-walk metadata: ``sample_rate, channels, n_samples``
+    (last-page granule), ``duration_us`` (integer floor), ``n_pages``."""
+    import struct
+    pos, n = 0, len(blob)
+    sr = ch = None
+    last_granule = 0
+    n_pages = 0
+    while pos + 27 <= n:
+        if blob[pos:pos + 4] != b"OggS":
+            raise ValueError(f"ogg: lost page sync at byte {pos}")
+        (granule,) = struct.unpack_from("<q", blob, pos + 6)
+        nseg = blob[pos + 26]
+        segs = blob[pos + 27:pos + 27 + nseg]
+        if len(segs) != nseg:
+            raise ValueError("ogg: truncated lacing table")
+        body_len = sum(segs)
+        body = blob[pos + 27 + nseg:pos + 27 + nseg + body_len]
+        if len(body) != body_len:
+            raise ValueError("ogg: truncated page body")
+        if sr is None and body[:7] == b"\x01vorbis":
+            ch = body[11]
+            (sr,) = struct.unpack_from("<I", body, 12)
+        if granule >= 0:
+            last_granule = max(last_granule, granule)
+        n_pages += 1
+        pos += 27 + nseg + body_len
+    if n_pages == 0 or sr is None:
+        raise ValueError("ogg: no vorbis identification header")
+    return {"sample_rate": sr, "channels": ch,
+            "n_samples": last_granule,
+            "duration_us": last_granule * 1_000_000 // sr,
+            "n_pages": n_pages}

@@ -50,3 +50,20 @@ def test_stage_on_error_null(ray_session):
     assert df["n_frames"].isna()[1]
     with pytest.raises(Exception):
         ds.map_batches(Mp3MetaStage(), batch_format="pyarrow").to_pandas()
+
+
+def test_ogg_roundtrip():
+    from prompture_ray.stages.mp3 import build_ogg, parse_ogg_meta
+    blob = build_ogg(44100 * 3, sample_rate=44100, channels=2)
+    m = parse_ogg_meta(blob)
+    assert m == {"sample_rate": 44100, "channels": 2,
+                 "n_samples": 132300, "duration_us": 3_000_000,
+                 "n_pages": 2}
+    m2 = parse_ogg_meta(build_ogg(48000 + 17, sample_rate=48000,
+                                  channels=1))
+    assert m2["duration_us"] == (48000 + 17) * 1_000_000 // 48000
+    import pytest
+    with pytest.raises(ValueError, match="sync"):
+        parse_ogg_meta(b"not an ogg stream" * 3)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_ogg_meta(build_ogg(100)[:-1])
