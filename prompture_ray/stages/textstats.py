@@ -445,3 +445,52 @@ def corpus_frequency_score(ds, text_col: str = "text",
         Sum("tok_count", alias_name="count_sum"),
         Count(alias_name="n_tokens"))
     return per_doc.map_batches(finish, batch_format="pandas")
+
+
+def badword_flags(ds, text_col: str, words, max_hits: int = 0,
+                  lowercase: bool = True, out_prefix: str = ""):
+    """C4-style blocklist filter (Raffel et al. 2020 §2.2 'bad words'
+    line; beyond the reference's marker scanner, which scores phrase
+    positions — this one counts exact token hits): per row appends
+    ``<prefix>n_hits`` (blocklisted-token occurrences, whitespace
+    tokens) and ``<prefix>keep`` (hits <= max_hits).
+
+    Shape: the word list ships inside the task closure as a SORTED
+    hash array (tiny — blocklists are thousands of words); the kernel
+    is flat-token hash64 → searchsorted membership → one bincount per
+    batch. No per-row Python, nothing shuffled."""
+    from prompture_ray.functions.sketches import hash64
+    from prompture_ray.stages.classify import _flat_tokens
+
+    w = np.asarray([str(x).lower() if lowercase else str(x)
+                    for x in words], dtype=object)
+    wh = np.sort(hash64(w).view(np.int64)) if len(w) \
+        else np.empty(0, np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        hits = np.zeros(n, dtype=np.int64)
+        if n and len(wh):
+            ft, lens, flat = _flat_tokens(t, text_col, False)
+            if len(flat):
+                if lowercase:
+                    flat = np.asarray([s.lower() for s in flat],
+                                      dtype=object)
+                th = hash64(flat).view(np.int64)
+                idx = np.clip(np.searchsorted(wh, th), 0, len(wh) - 1)
+                hit = wh[idx] == th
+                # map the filtered sub-table's rows back to t's rows
+                arr = t[text_col]
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                ne = pc.greater(pc.utf8_length(pc.fill_null(arr, "")), 0) \
+                    .to_numpy(zero_copy_only=False)
+                rows = np.nonzero(ne)[0]
+                doc_idx = np.repeat(rows, lens)
+                hits = np.bincount(doc_idx[hit], minlength=n) \
+                    .astype(np.int64)
+        return t.append_column(out_prefix + "n_hits", pa.array(hits)) \
+                .append_column(out_prefix + "keep",
+                               pa.array(hits <= max_hits))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -75,3 +75,22 @@ def test_weighted_sample_and_repeat(ray_session):
     for i, r in g.iterrows():
         assert r["n"] == exp_n[i] and r["mx"] == exp_n[i] - 1
     assert set(rows["id"]) == set(ids[exp_n > 0])
+
+
+def test_badword_flags(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.textstats import badword_flags
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(5), type=pa.int64()),
+        "text": pa.array(["clean words only", "one BAD token",
+                          "bad bad evil", "", None])}))
+    df = badword_flags(ds, "text", ["bad", "evil"]).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(df["n_hits"]) == [0, 1, 3, 0, 0]   # case-insensitive
+    assert list(df["keep"]) == [True, False, False, True, True]
+    # case-sensitive + threshold
+    df2 = badword_flags(ds, "text", ["bad"], max_hits=2,
+                        lowercase=False).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(df2["n_hits"]) == [0, 0, 2, 0, 0]
+    assert df2["keep"].all()
