@@ -277,13 +277,18 @@ def write_tfrecord(ds, out_dir: str, spec: dict[str, str],
                 feats[c] = (kind, vals)
             payloads.append(encode_example(feats))
         blob = frame_records(payloads)
-        import uuid
-        path = os.path.join(out_dir,
-                            f"{prefix}-{uuid.uuid4().hex[:12]}.tfrecord")
-        tmp = path + ".tmp"
-        with open(tmp, "wb") as f:
-            f.write(blob)
-        os.replace(tmp, path)          # atomic — resume-safe
+        # content-derived shard name: a rerun over the same block
+        # produces the same file and SKIPS the write (resume-safe);
+        # the write itself is tmp+rename (atomic, no torn shards)
+        import hashlib
+        digest = hashlib.sha1(blob).hexdigest()[:16]
+        path = os.path.join(out_dir, f"{prefix}-{digest}.tfrecord")
+        if not (os.path.exists(path)
+                and os.path.getsize(path) == len(blob)):
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "wb") as f:
+                f.write(blob)
+            os.replace(tmp, path)
         return pa.table({"path": pa.array([path]),
                          "n_records": pa.array([len(payloads)],
                                                type=pa.int64()),

@@ -75,3 +75,24 @@ def test_sink_source_roundtrip(ray_session, tmp_path):
     for i in range(n):
         assert back["text"][i] == f"doc {i}".encode()
         assert list(back["vals"][i]) == [i, i * 2]
+
+
+def test_sink_resume_skips_existing(ray_session, tmp_path):
+    import os
+    import ray.data as rd
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(20), type=pa.int64()),
+        "text": pa.array([f"doc {i}" for i in range(20)])})) \
+        .repartition(2)
+    out = str(tmp_path / "shards")
+    spec = {"doc_id": "int64", "text": "bytes"}
+    m1 = write_tfrecord(ds, out, spec).to_pandas()
+    files = sorted(os.listdir(out))
+    mtimes = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    m2 = write_tfrecord(ds, out, spec).to_pandas()
+    # same content → same shard names, untouched on disk
+    assert sorted(os.listdir(out)) == files
+    for f in files:
+        assert os.path.getmtime(os.path.join(out, f)) == mtimes[f]
+    assert sorted(m1["path"]) == sorted(m2["path"])
+    assert m2["n_records"].sum() == 20
