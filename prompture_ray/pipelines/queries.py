@@ -4341,6 +4341,65 @@ QUERIES["badword_filter_docs"] = badword_filter_docs
 ORACLE["badword_filter_docs"] = BADWORD_SQL
 
 
+def corpus_diff_docs(sf_dir: str):
+    """Corpus snapshot diff (stages/diff.py — dataset-versioning audit;
+    beyond reference): old = the REAL documents table, new = a planted
+    derivation (every 7th doc removed, every 3rd text changed, a new
+    id block added for every 5th). ONE grouped Min-fold, no join in
+    the engine; the oracle is a genuine FULL OUTER JOIN. Registered
+    OUTSIDE the full 50-slot driver window — locally oracle-PASSed at
+    both SFs (tools/check_queries.py)."""
+    from prompture_ray.stages.diff import corpus_diff
+    old = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def plant_new(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        txt = t["text"].combine_chunks()
+        keep = d % 7 != 0
+        changed = pc.binary_join_element_wise(
+            txt, pa.array(["x"] * len(d)), "")
+        new_txt = pc.if_else(pa.array(d % 3 == 0), changed, txt)
+        base = pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": new_txt}).filter(pa.array(keep))
+        add_ids = d[d % 5 == 0] + 10_000_000
+        added = pa.table({
+            "doc_id": pa.array(add_ids, type=pa.int64()),
+            "text": pa.array(["new doc"] * len(add_ids),
+                             type=pa.string())})
+        return pa.concat_tables([base, added])
+
+    new = _read(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(plant_new, batch_format="pyarrow")
+    df = corpus_diff(old, new, "doc_id", "text").to_pandas() \
+        .sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "status": pa.array(df["status"].astype(str)),
+    })
+
+
+CORPUS_DIFF_SQL = """
+WITH o AS (SELECT doc_id, text FROM documents),
+n AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN text || 'x' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 10000000 AS doc_id, 'new doc' AS text
+  FROM documents WHERE doc_id % 5 = 0)
+SELECT coalesce(o.doc_id, n.doc_id) AS id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.text IS NOT DISTINCT FROM n.text THEN 'same'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+ORDER BY id
+"""
+
+QUERIES["corpus_diff_docs"] = corpus_diff_docs
+ORACLE["corpus_diff_docs"] = CORPUS_DIFF_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
