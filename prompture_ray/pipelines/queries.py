@@ -864,6 +864,48 @@ FROM documents ORDER BY doc_id
 """
 
 
+def media_flac_stats(sf_dir: str):
+    """REAL lossless audio decode (pure-numpy FLAC codec — Rice coding +
+    fixed predictors, stages/flac.py): mono 16-bit square waves encoded
+    to FLAC with rate/length/amplitude derived from doc_id, decoded by
+    AudioFeatureStage (sniffs the fLaC magic). Duration is exactly k/10 s
+    and the RMS of a ±A square wave is exactly A — closed SQL forms, and
+    the decode path exercises CRC-8/CRC-16 verification per frame."""
+    from prompture_ray.stages.multimodal import AudioFeatureStage
+    from prompture_ray.stages.flac import synth_flac
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        payloads = []
+        for i in ids:
+            sr = 8000 * (1 + i % 3)
+            n = (sr // 10) * (1 + i % 5)
+            payloads.append(synth_flac(sr, n, 100 * (1 + i % 7)))
+        return pa.table({"media_id": pa.array(ids, type=pa.int64()),
+                         "payload": pa.array(payloads, type=pa.binary())})
+
+    out = ds.map_batches(plant, batch_format="pyarrow") \
+            .map_batches(AudioFeatureStage("payload", decoder="real"),
+                         batch_format="pyarrow", batch_size=256)
+    return out.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["media_id"], pa.int64()),
+            "duration_s": t["duration_s"],
+            "sample_rate": pc.cast(t["sample_rate"], pa.int64()),
+            "rms_energy": t["rms_energy"],
+        }), batch_format="pyarrow")
+
+
+MEDIA_FLAC_STATS_SQL = """
+SELECT doc_id,
+       round((1 + doc_id % 5) / 10.0, 6) AS duration_s,
+       8000 * (1 + doc_id % 3) AS sample_rate,
+       CAST(100 * (1 + doc_id % 7) AS DOUBLE) AS rms_energy
+FROM documents ORDER BY doc_id
+"""
+
+
 def media_png_dims(sf_dir: str):
     """REAL PNG decode (stdlib zlib codec, stages/multimodal.py): solid
     8-bit RGB PNGs with dimensions and color derived from doc_id —
@@ -2098,6 +2140,7 @@ QUERIES.update({
     "media_features": media_features,
     "media_bmp_dims": media_bmp_dims,
     "media_wav_stats": media_wav_stats,
+    "media_flac_stats": media_flac_stats,
     "media_png_dims": media_png_dims,
     "media_transform_docs": media_transform_docs,
     "media_frame_stats": media_frame_stats,
@@ -2139,6 +2182,7 @@ ORACLE.update({
     "drift_events": DRIFT_EVENTS_SQL,
     "media_bmp_dims": MEDIA_BMP_DIMS_SQL,
     "media_wav_stats": MEDIA_WAV_STATS_SQL,
+    "media_flac_stats": MEDIA_FLAC_STATS_SQL,
     "media_png_dims": MEDIA_PNG_DIMS_SQL,
     "media_transform_docs": MEDIA_TRANSFORM_SQL,
     "media_frame_stats": MEDIA_FRAME_STATS_SQL,

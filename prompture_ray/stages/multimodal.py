@@ -630,7 +630,12 @@ class AudioFeatureStage:
 
     def _features_one(self, p: bytes) -> tuple[float, int, float]:
         if self.decoder == "real":
-            sr_v, n, _ch, samples = decode_wav(p)
+            if p[:4] == b"fLaC":
+                from prompture_ray.stages.flac import decode_flac
+                sr_v, n, _ch, _bps, sm = decode_flac(p)
+                samples = sm.astype(np.float64).reshape(-1)
+            else:
+                sr_v, n, _ch, samples = decode_wav(p)
             dur = round(n / sr_v, 6) if sr_v else 0.0
             rms = (float(np.sqrt(np.mean(samples ** 2)))
                    if samples.size else 0.0)
