@@ -3832,6 +3832,53 @@ QUERIES["nb_classifier_docs"] = nb_classifier_docs
 ORACLE["nb_classifier_docs"] = NB_CLASSIFIER_SQL
 
 
+def dsir_select_docs(sf_dir: str):
+    """DSIR importance resampling (stages/dsir.py, Xie et al. 2023;
+    beyond reference): hashed-unigram importance weights of planted raw
+    docs against a planted target corpus. dedup-first fitting makes the
+    model N-invariant (the lm.py device), so every residue class
+    doc_id % 12 has a PINNED log-weight whose sign is float-noise-immune
+    (min |log w| ≈ 0.0258 — hand-derived non-circularly in
+    tests/test_dsir.py); the oracle is integer arithmetic + a CASE-set
+    literal. Planted-word buckets are verified collision-free there."""
+    from prompture_ray.stages.dsir import dsir_fit, dsir_score
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_raw(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        txt = [" ".join([f"T{i % 3}"] * (i % 4)
+                        + [f"R{i % 3}"] * (1 + i % 3)) for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(txt, type=pa.string())})
+
+    def plant_target(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 10 == 0]
+        txt = [f"T{i % 3} T{i % 3} T{(i + 1) % 3} R{i % 3}" for i in ids]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(txt, type=pa.string())})
+
+    raw = ds.map_batches(plant_raw, batch_format="pyarrow") \
+        .materialize()                    # consumed by fit AND score
+    target = ds.map_batches(plant_target, batch_format="pyarrow")
+    model = dsir_fit(target, raw, "text", n_buckets=4096, bigrams=False,
+                     alpha=0.001, dedup_first=True)
+    out = dsir_score(raw, model, "text", "doc_id", threshold=0.0)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "n_tokens", "selected"]),
+        batch_format="pyarrow")
+
+
+DSIR_SELECT_SQL = """
+SELECT doc_id,
+       (doc_id % 4) + 1 + (doc_id % 3) AS n_tokens,
+       (doc_id % 12) IN (3, 6, 9) AS selected
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["dsir_select_docs"] = dsir_select_docs
+ORACLE["dsir_select_docs"] = DSIR_SELECT_SQL
+
+
 def pagerank_ring_docs(sf_dir: str):
     """Distributed PageRank power iteration (link-graph analysis;
     beyond reference) over a PLANTED ring on the doc ids (dst =
