@@ -3879,6 +3879,50 @@ QUERIES["dsir_select_docs"] = dsir_select_docs
 ORACLE["dsir_select_docs"] = DSIR_SELECT_SQL
 
 
+def semdedup_docs(sf_dir: str):
+    """K-means + SemDeDup (stages/cluster.py; beyond reference): planted
+    4-axis embeddings v_i = e_{i%4} + 0.1*(i%3)*e_{(i%4+1)%4}. Seeding
+    from the 4 smallest ids puts seed j on axis j, so the DISCRETE
+    cluster label is exactly i%4 (inter-cluster distance^2 >= 1.64 vs
+    intra <= 0.04 — float-noise-immune), and within a cluster only
+    IDENTICAL vectors (same i%12) have cosine > 1-1e-6 (next-closest
+    pair is 0.995229): the kept set is min-id-per-residue-class, a pure
+    window-function oracle. Margins pinned in tests/test_cluster.py."""
+    from prompture_ray.stages.cluster import kmeans_fit, semdedup
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(d)
+        V = np.zeros((n, 4))
+        V[np.arange(n), d % 4] = 1.0
+        V[np.arange(n), (d % 4 + 1) % 4] += 0.1 * (d % 3)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "embedding": pa.array(V.tolist(),
+                                               type=pa.list_(
+                                                   pa.float64()))})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow") \
+        .materialize()                  # consumed by fit, assign, prune
+    cents = kmeans_fit(planted, "embedding", k=4, n_iter=2,
+                       id_col="doc_id")
+    out = semdedup(planted, "embedding", "doc_id", cents, eps=1e-6)
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "cluster", "kept"]),
+        batch_format="pyarrow")
+
+
+SEMDEDUP_SQL = """
+SELECT doc_id,
+       doc_id % 4 AS cluster,
+       doc_id = min(doc_id) OVER (PARTITION BY doc_id % 12) AS kept
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["semdedup_docs"] = semdedup_docs
+ORACLE["semdedup_docs"] = SEMDEDUP_SQL
+
+
 def pagerank_ring_docs(sf_dir: str):
     """Distributed PageRank power iteration (link-graph analysis;
     beyond reference) over a PLANTED ring on the doc ids (dst =
