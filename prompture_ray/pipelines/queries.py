@@ -1305,6 +1305,60 @@ FROM events ORDER BY event_id
 """
 
 
+def analytic_window_events(sf_dir: str):
+    """Per-user analytic window functions ordered by (ts, event_id):
+    row_number, lag, lead, 3-row rolling sum and mean — the hot-key-safe
+    bucketed form (stages/analytic.py) is the default path. Values in
+    exact integer cents; mavg is ONE double division of exact ints on
+    both sides (bit-identical, no rounding)."""
+    from prompture_ray.stages.analytic import analytic_window_bucketed
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"], "ts": t["ts"],
+                         "cents": cents})
+
+    out = analytic_window_bucketed(
+        ds.map_batches(to_cents, batch_format="pyarrow"),
+        "user_id", "ts", "event_id", "cents", window=3)
+
+    def project(b):
+        import pandas as _pd
+        return _pd.DataFrame({
+            "event_id": b["event_id"].astype("int64"),
+            "rn": b["rn"].astype("int64"),
+            "lag_cents": b["lag_v"].astype("float64"),
+            "lead_cents": b["lead_v"].astype("float64"),
+            "msum_cents": b["msum"].astype("int64"),
+            "mavg": b["mavg"].astype("float64"),
+        })
+
+    return out.map_batches(project, batch_format="pandas")
+
+
+ANALYTIC_WINDOW_SQL = """
+WITH c AS (
+  SELECT event_id, user_id, ts,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events)
+SELECT event_id,
+       row_number() OVER w AS rn,
+       CAST(lag(cents) OVER w AS DOUBLE) AS lag_cents,
+       CAST(lead(cents) OVER w AS DOUBLE) AS lead_cents,
+       CAST(sum(cents) OVER wr AS BIGINT) AS msum_cents,
+       CAST(sum(cents) OVER wr AS BIGINT)
+         / least(row_number() OVER w, 3) AS mavg
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wr AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def split_assignment_docs(sf_dir: str):
     """Deterministic 80/10/10 split assignment (sampling.assign_splits):
     per-row split keyed on doc_id AND a leakage-safe GROUP split keyed
@@ -2151,6 +2205,7 @@ QUERIES.update({
     "kg_two_hop_docs": kg_two_hop_docs,
     "gpt2_token_rows": gpt2_token_rows,
     "running_sum_events": running_sum_events,
+    "analytic_window_events": analytic_window_events,
     "split_assignment_docs": split_assignment_docs,
     "pca_scores_docs": pca_scores_docs,
     "webdataset_roundtrip_docs": webdataset_roundtrip_docs,
@@ -2193,6 +2248,7 @@ ORACLE.update({
     "kg_two_hop_docs": KG_TWO_HOP_SQL,
     "gpt2_token_rows": GPT2_TOKEN_ROWS_SQL,
     "running_sum_events": RUNNING_SUM_SQL,
+    "analytic_window_events": ANALYTIC_WINDOW_SQL,
     "split_assignment_docs": SPLIT_ASSIGNMENT_SQL,
     "pca_scores_docs": PCA_SCORES_SQL,
     "webdataset_roundtrip_docs": WEBDATASET_SQL,

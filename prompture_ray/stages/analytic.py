@@ -1,0 +1,202 @@
+"""Analytic (ordered-window) functions per key: row_number, lag, lead,
+rolling sum / mean over the last W rows.
+
+Reference analogue: Prompture's stepwise usage accumulation walks records
+in order updating running state (prompture/infra/usage.py's per-call
+totals and the streaming accumulate loop, prompture/extraction/
+streaming.py:215-306); these operators generalize that "ordered walk with
+carried state" to per-key analytic columns over a distributed Dataset —
+SQL's ``row_number() / lag / lead / sum OVER (PARTITION BY key ORDER BY
+ts ROWS BETWEEN W-1 PRECEDING AND CURRENT ROW)``.
+
+Two forms:
+
+- ``analytic_window`` — one key = one pandas group (reference-shaped;
+  breaks when a hot key's history exceeds a worker).
+- ``analytic_window_bucketed`` — group size bounded by (key × coarse
+  time bucket). Per-cell local analytics are computed inside bounded
+  hash-partition frames with ONE vectorized pandas pass (never a frame
+  per tiny cell — the repo's round-4 rule); cross-cell corrections ride
+  on TINY per-cell patch rows (row-number offset, previous cell's last
+  W-1 values right-aligned into W-1 int columns, next cell's first
+  value) that are joined back with one ``bucketed_equi_join``. No
+  driver state; every stage is a Dataset op.
+
+Exactness: values are summed as int64 (callers pass an integer value
+column — the q1 integer-units trick), so ``msum`` is association-free
+and ``mavg = msum / min(rn, W)`` is ONE correctly-rounded double
+division of exactly representable ints on both engine and SQL sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _plain_run(order_cols: list, value_col: str, window: int):
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort").copy()
+        v = g[value_col].to_numpy().astype(np.int64)
+        n = len(v)
+        cum = v.cumsum()
+        rn = np.arange(1, n + 1, dtype=np.int64)
+        shifted = np.zeros(n, dtype=np.int64)
+        if n > window:
+            shifted[window:] = cum[:-window]
+        msum = cum - shifted
+        lag = np.full(n, np.nan)
+        lead = np.full(n, np.nan)
+        if n > 1:
+            lag[1:] = v[:-1]
+            lead[:-1] = v[1:]
+        g["rn"] = rn
+        g["lag_v"] = lag
+        g["lead_v"] = lead
+        g["msum"] = msum
+        g["mavg"] = msum / np.minimum(rn, window)
+        return g
+    return run
+
+
+def analytic_window(ds, key_col: str, order_cols: list, value_col: str,
+                    window: int = 3):
+    """Per-key analytic columns, one key per pandas group. ``order_cols``
+    must be a unique ordering within a key (pass a tiebreaker)."""
+    return ds.groupby(key_col).map_groups(
+        _plain_run(order_cols, value_col, window), batch_format="pandas")
+
+
+def analytic_window_bucketed(ds, key_col: str, ts_col: str, tie_col: str,
+                             value_col: str, window: int = 3,
+                             bucket: "pd.Timedelta | str" = "1d",
+                             n_parts: int = 64):
+    """Hot-key-safe analytic window (see module docstring). Equality with
+    ``analytic_window`` is pinned by test, including cells smaller than
+    the window (patch tails span multiple preceding cells)."""
+    from prompture_ray.stages.joins import bucketed_equi_join
+    from prompture_ray.functions.sketches import hash64
+    assert window >= 2, "window < 2 degenerates; use window >= 2"
+    bucket_us = int(pd.Timedelta(bucket).total_seconds() * 1e6)
+    W = int(window)
+    ptail_cols = [f"__p{j}" for j in range(1, W)]   # __p1 .. __p{W-1}
+
+    def tag(t: pa.Table) -> pa.Table:
+        ts = t[ts_col]
+        if isinstance(ts, pa.ChunkedArray):
+            ts = ts.combine_chunks()
+        us = pc.cast(pc.cast(ts, pa.timestamp("us")), pa.int64())
+        b = pc.multiply(pc.divide(us, bucket_us), bucket_us)
+        t = t.append_column("__bucket", b)
+        key = t[key_col]
+        if isinstance(key, pa.ChunkedArray):
+            key = key.combine_chunks()
+        kb = pc.binary_join_element_wise(
+            pc.cast(key, pa.string()), pc.cast(b, pa.string()), "|")
+        t = t.append_column("__kb", kb)
+        pb = hash64(np.asarray(kb.to_pylist(), dtype=object)) \
+            % np.uint64(n_parts)
+        return t.append_column("__pb", pa.array(pb.astype(np.int64)))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+
+    # phase 1: local analytics per (key, bucket) cell — ONE vectorized
+    # pandas pass over all cells in a bounded hash-partition frame
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__bucket", ts_col, tie_col],
+                          kind="mergesort").copy()
+        grp = g.groupby([key_col, "__bucket"], sort=False)
+        g["__lrn"] = (grp.cumcount() + 1).astype(np.int64)
+        g["__n"] = grp[value_col].transform("size").astype(np.int64)
+        lcum = grp[value_col].cumsum().astype(np.int64)
+        lsh = lcum.groupby(
+            [g[key_col], g["__bucket"]], sort=False).shift(W) \
+            .fillna(0).astype(np.int64)
+        g["__lmsum"] = lcum - lsh
+        g["__llag"] = grp[value_col].shift(1).astype(np.float64)
+        g["__llead"] = grp[value_col].shift(-1).astype(np.float64)
+        return g.drop(columns=["__pb"])
+
+    part = tagged.groupby("__pb").map_groups(
+        local, batch_format="pandas").materialize()
+
+    # phase 2: per-cell patch rows from BOUNDARY rows only (first / last /
+    # trailing W-1 rows of each cell — ≤ W+1 rows per cell reach this
+    # group, so a key's group here is tiny even for an unbounded history)
+    def boundary(b: pd.DataFrame) -> pd.DataFrame:
+        lrn, n = b["__lrn"].to_numpy(), b["__n"].to_numpy()
+        keep = (lrn == 1) | (lrn == n) | (lrn > n - (W - 1))
+        return b.loc[keep, [key_col, "__bucket", "__kb", "__lrn", "__n",
+                            value_col]]
+
+    def patches(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["__bucket", "__lrn"], kind="mergesort")
+        rows = []
+        carry: list[int] = []          # last W-1 values preceding cell
+        cumn = 0
+        cells = list(g.groupby("__bucket", sort=True))
+        for _, cell in cells:
+            lrn = cell["__lrn"].to_numpy()
+            vals = cell[value_col].to_numpy().astype(np.int64)
+            n = int(cell["__n"].iloc[0])
+            kb = cell["__kb"].iloc[0]
+            first_v = float(vals[lrn == 1][0])
+            pt = [0] * (W - 1 - len(carry)) + list(carry)   # left pad
+            rows.append({"__kb": kb, "__rnoff": cumn,
+                         "__prevlast": float(carry[-1]) if carry
+                         else np.nan,
+                         "__plen": len(carry), "__nextfirst": np.nan,
+                         "__first": first_v,
+                         **{c: int(v) for c, v in zip(ptail_cols, pt)}})
+            # extend carry with this cell's trailing values (cell rows
+            # here are the boundary subset; trailing W-1 are present)
+            tail_mask = lrn > n - (W - 1)
+            tail = list(vals[tail_mask][np.argsort(lrn[tail_mask])])
+            carry = (carry + tail)[-(W - 1):]
+            cumn += n
+        out = pd.DataFrame(rows)
+        out["__nextfirst"] = out["__first"].shift(-1)
+        return out.drop(columns=["__first"])
+
+    patch_ds = part.map_batches(boundary, batch_format="pandas") \
+        .groupby(key_col).map_groups(patches, batch_format="pandas") \
+        .materialize()
+
+    part_cols = [c for c in part.schema().names if c != "__bucket"]
+    joined = bucketed_equi_join(
+        part, patch_ds, key="__kb",
+        left_cols=part_cols,
+        right_cols=["__kb", "__rnoff", "__prevlast", "__plen",
+                    "__nextfirst"] + ptail_cols)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        lrn = b["__lrn"].to_numpy().astype(np.int64)
+        n = b["__n"].to_numpy().astype(np.int64)
+        rn = lrn + b["__rnoff"].to_numpy().astype(np.int64)
+        plen = b["__plen"].to_numpy().astype(np.int64)
+        lag = np.where(lrn == 1, b["__prevlast"].to_numpy(),
+                       b["__llag"].to_numpy())
+        lead = np.where(lrn == n, b["__nextfirst"].to_numpy(),
+                        b["__llead"].to_numpy())
+        msum = b["__lmsum"].to_numpy().astype(np.int64)
+        need = np.maximum(W - lrn, 0)
+        take = np.minimum(need, plen)
+        extra = np.zeros(len(b), dtype=np.int64)
+        for j, cname in enumerate(ptail_cols, start=1):
+            pj = b[cname].to_numpy().astype(np.int64)
+            extra += np.where(take >= (W - j), pj, 0)
+        msum = msum + extra
+        b["rn"] = rn
+        b["lag_v"] = lag
+        b["lead_v"] = lead
+        b["msum"] = msum
+        b["mavg"] = msum / np.minimum(rn, W)
+        drop = (["__kb", "__lrn", "__n", "__lmsum", "__llag", "__llead",
+                 "__rnoff", "__prevlast", "__plen", "__nextfirst"]
+                + ptail_cols)
+        return b.drop(columns=[c for c in drop if c in b.columns])
+
+    return joined.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,92 @@
+"""Analytic window functions: plain vs bucketed equality + hand-checked
+values (stages/analytic.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _mk(ds_rows: pd.DataFrame):
+    import ray.data as rd
+    return rd.from_pandas(ds_rows).repartition(7)
+
+
+def test_plain_hand_values(ray_session):
+    from prompture_ray.stages.analytic import analytic_window
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": pd.to_datetime([10, 20, 30, 40, 5], unit="s"),
+        "tie": [0, 1, 2, 3, 4],
+        "v": np.array([5, 7, -2, 10, 3], dtype="int64"),
+    })
+    out = analytic_window(_mk(df), "k", ["ts", "tie"], "v", window=3) \
+        .to_pandas().sort_values(["k", "tie"]).reset_index(drop=True)
+    assert out["rn"].tolist() == [1, 2, 3, 4, 1]
+    # lag/lead
+    lag = out["lag_v"].tolist()
+    assert np.isnan(lag[0]) and lag[1:4] == [5, 7, -2] and np.isnan(lag[4])
+    lead = out["lead_v"].tolist()
+    assert lead[0:3] == [7, -2, 10] and np.isnan(lead[3]) and np.isnan(lead[4])
+    # rolling sums over last 3 rows
+    assert out["msum"].tolist() == [5, 12, 10, 15, 3]
+    assert out["mavg"].tolist() == [5.0, 6.0, 10 / 3, 5.0, 3.0]
+
+
+def test_bucketed_equals_plain_hot_and_sparse(ray_session):
+    from prompture_ray.stages.analytic import (analytic_window,
+                                               analytic_window_bucketed)
+    rng = np.random.default_rng(42)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n),            # hot keys, many per day
+        "ts": pd.to_datetime(rng.integers(0, 15 * 86400, n), unit="s"),
+        "tie": np.arange(n),
+        "v": rng.integers(-100, 500, n).astype("int64"),
+    })
+    # sparse key: one event every 3 days → every (key, day) cell has a
+    # single row, so lag/lead AND the rolling tail all cross cells
+    sparse = pd.DataFrame({
+        "k": 99,
+        "ts": pd.to_datetime(np.arange(8) * 86400 * 3 + 11, unit="s"),
+        "tie": np.arange(n, n + 8),
+        "v": (np.arange(8, dtype="int64") * 13 - 20),
+    })
+    df = pd.concat([df, sparse], ignore_index=True)
+    ds = _mk(df)
+    cols = ["k", "tie", "rn", "lag_v", "lead_v", "msum", "mavg"]
+    a = analytic_window(ds, "k", ["ts", "tie"], "v", window=3) \
+        .to_pandas()[cols].sort_values(["k", "tie"]).reset_index(drop=True)
+    b = analytic_window_bucketed(ds, "k", "ts", "tie", "v", window=3) \
+        .to_pandas()[cols].sort_values(["k", "tie"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_bucketed_window_wider_than_cells(ray_session):
+    """window=5 with single-row cells: the patch tail must span FOUR
+    preceding cells (carry merging across cells)."""
+    from prompture_ray.stages.analytic import (analytic_window,
+                                               analytic_window_bucketed)
+    df = pd.DataFrame({
+        "k": 7,
+        "ts": pd.to_datetime(np.arange(12) * 86400 + 3600, unit="s"),
+        "tie": np.arange(12),
+        "v": np.array([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048],
+                      dtype="int64"),
+    })
+    ds = _mk(df)
+    cols = ["tie", "rn", "lag_v", "lead_v", "msum", "mavg"]
+    a = analytic_window(ds, "k", ["ts", "tie"], "v", window=5) \
+        .to_pandas()[cols].sort_values("tie").reset_index(drop=True)
+    b = analytic_window_bucketed(ds, "k", "ts", "tie", "v", window=5) \
+        .to_pandas()[cols].sort_values("tie").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # geometric values make window sums unambiguous: sum of last 5
+    assert b["msum"].tolist()[5] == 2 + 4 + 8 + 16 + 32
+
+
+def test_window_must_be_at_least_two(ray_session):
+    from prompture_ray.stages.analytic import analytic_window_bucketed
+    df = pd.DataFrame({"k": [1], "ts": pd.to_datetime([0], unit="s"),
+                       "tie": [0], "v": np.array([1], dtype="int64")})
+    with pytest.raises(AssertionError):
+        analytic_window_bucketed(_mk(df), "k", "ts", "tie", "v", window=1)
