@@ -4344,6 +4344,54 @@ QUERIES["tfrecord_roundtrip_docs"] = tfrecord_roundtrip_docs
 ORACLE["tfrecord_roundtrip_docs"] = TFRECORD_SQL
 
 
+def avro_roundtrip_docs(sf_dir: str):
+    """Avro object-container round trip THROUGH THE FILESYSTEM
+    (sources/avro.py, stdlib zigzag-varint + deflate codec; beyond
+    reference): planted per-doc records are written as content-named
+    .avro shards by the Dataset sink and read back by the Dataset
+    source; every recovered field is closed-form in doc_id (the double
+    is ONE exact division; the nullable union exercises branch
+    encoding)."""
+    import shutil
+    import tempfile
+    from prompture_ray.sources.avro import read_avro, write_avro
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "caption": pa.array(["doc %d" % i for i in ids]),
+            "x": pa.array(ids / 8.0, type=pa.float64()),
+            "opt": pa.array([None if i % 3 == 0 else int(2 * i)
+                             for i in ids], type=pa.int64()),
+        })
+
+    out_dir = tempfile.mkdtemp(prefix="prompture_ray_avro_")
+    try:
+        write_avro(ds.map_batches(plant, batch_format="pyarrow"),
+                   out_dir).materialize()
+        back = read_avro(out_dir)
+        return back.map_batches(
+            lambda t: t.select(["doc_id", "caption", "x", "opt"]),
+            batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+AVRO_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'doc ' || doc_id AS caption,
+       CAST(doc_id AS DOUBLE) / 8.0 AS x,
+       CASE WHEN doc_id % 3 = 0 THEN NULL
+            ELSE CAST(2 * doc_id AS BIGINT) END AS opt
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["avro_roundtrip_docs"] = avro_roundtrip_docs
+ORACLE["avro_roundtrip_docs"] = AVRO_ROUNDTRIP_SQL
+
+
 def curation_pipeline_docs(sf_dir: str):
     """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
     mojibake clean → langid → quality filter → reference-LM perplexity
