@@ -4392,6 +4392,60 @@ QUERIES["avro_roundtrip_docs"] = avro_roundtrip_docs
 ORACLE["avro_roundtrip_docs"] = AVRO_ROUNDTRIP_SQL
 
 
+def columnar_roundtrip_docs(sf_dir: str):
+    """ORC + Feather filesystem round trip (sources/columnar.py; beyond
+    reference): even doc_ids are planted, written as ORC shards and read
+    back; odd doc_ids go through Feather/Arrow-IPC; the union's fields
+    are closed-form in doc_id with a fmt tag proving which codec each
+    row traversed."""
+    import shutil
+    import tempfile
+    from prompture_ray.sources.columnar import (read_feather, read_orc,
+                                                write_feather, write_orc)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(fmt: str, keep_parity: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ids = ids[ids % 2 == keep_parity]
+            return pa.table({
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "caption": pa.array(["%s %d" % (fmt, i) for i in ids]),
+                "x": pa.array(ids / 16.0, type=pa.float64()),
+                "fmt": pa.array([fmt] * len(ids)),
+            })
+        return fn
+
+    root = tempfile.mkdtemp(prefix="prompture_ray_columnar_")
+    try:
+        write_orc(ds.map_batches(plant("orc", 0), batch_format="pyarrow"),
+                  f"{root}/orc").materialize()
+        write_feather(ds.map_batches(plant("feather", 1),
+                                     batch_format="pyarrow"),
+                      f"{root}/feather").materialize()
+        back = read_orc(f"{root}/orc").union(
+            read_feather(f"{root}/feather"))
+        return back.map_batches(
+            lambda t: t.select(["doc_id", "caption", "x", "fmt"]),
+            batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+COLUMNAR_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'orc ' ELSE 'feather ' END
+         || doc_id AS caption,
+       CAST(doc_id AS DOUBLE) / 16.0 AS x,
+       CASE WHEN doc_id % 2 = 0 THEN 'orc' ELSE 'feather' END AS fmt
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["columnar_roundtrip_docs"] = columnar_roundtrip_docs
+ORACLE["columnar_roundtrip_docs"] = COLUMNAR_ROUNDTRIP_SQL
+
+
 def curation_pipeline_docs(sf_dir: str):
     """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
     mojibake clean → langid → quality filter → reference-LM perplexity
