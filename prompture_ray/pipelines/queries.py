@@ -4446,6 +4446,68 @@ QUERIES["columnar_roundtrip_docs"] = columnar_roundtrip_docs
 ORACLE["columnar_roundtrip_docs"] = COLUMNAR_ROUNDTRIP_SQL
 
 
+def cdc_snapshot_docs(sf_dir: str):
+    """CDC merge (stages/cdc.py — incremental-crawl refresh): planted
+    deltas exercise every op path (double update latest-wins, delete,
+    delete-then-reinsert, brand-new key); the SQL reconstructs the final
+    snapshot per doc_id residue class arithmetically."""
+    from prompture_ray.stages.cdc import apply_changes
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant_base(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"key": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(["v0 %d" % i for i in ids])})
+
+    def plant_deltas(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keys, texts, seqs, ops = [], [], [], []
+        for i in ids:
+            r = i % 5
+            if r == 1:                       # two updates: seq 2 wins
+                keys += [i, i]
+                texts += ["u1 %d" % i, "u2 %d" % i]
+                seqs += [1, 2]
+                ops += ["U", "U"]
+            elif r == 2:                     # delete
+                keys.append(i); texts.append(""); seqs.append(1)
+                ops.append("D")
+            elif r == 3:                     # delete then re-insert
+                keys += [i, i]
+                texts += ["", "ri %d" % i]
+                seqs += [1, 2]
+                ops += ["D", "I"]
+            elif r == 4:                     # brand-new key
+                k = i + 1_000_000
+                keys.append(k); texts.append("new %d" % k)
+                seqs.append(1); ops.append("I")
+        return pa.table({"key": pa.array(keys, type=pa.int64()),
+                         "text": pa.array(texts),
+                         "seq": pa.array(seqs, type=pa.int64()),
+                         "op": pa.array(ops)})
+
+    base = ds.map_batches(plant_base, batch_format="pyarrow")
+    deltas = ds.map_batches(plant_deltas, batch_format="pyarrow")
+    return apply_changes(base, deltas, "key", "seq")
+
+
+CDC_SNAPSHOT_SQL = """
+SELECT doc_id AS key, 'v0 ' || doc_id AS text
+  FROM documents WHERE doc_id % 5 IN (0, 4)
+UNION ALL
+SELECT doc_id, 'u2 ' || doc_id FROM documents WHERE doc_id % 5 = 1
+UNION ALL
+SELECT doc_id, 'ri ' || doc_id FROM documents WHERE doc_id % 5 = 3
+UNION ALL
+SELECT doc_id + 1000000, 'new ' || (doc_id + 1000000)
+  FROM documents WHERE doc_id % 5 = 4
+ORDER BY key
+"""
+
+QUERIES["cdc_snapshot_docs"] = cdc_snapshot_docs
+ORACLE["cdc_snapshot_docs"] = CDC_SNAPSHOT_SQL
+
+
 def curation_pipeline_docs(sf_dir: str):
     """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
     mojibake clean → langid → quality filter → reference-LM perplexity
