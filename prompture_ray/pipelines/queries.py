@@ -4508,6 +4508,62 @@ QUERIES["cdc_snapshot_docs"] = cdc_snapshot_docs
 ORACLE["cdc_snapshot_docs"] = CDC_SNAPSHOT_SQL
 
 
+_COMP_VARIANTS = [
+    "the " * 50,                                       # repetitive
+    "k9f2qx7melw0bjzv84hcynrd1sgu5tpao63i" * 3 + "q",  # high entropy
+    ("A quick brown fox jumps over the lazy dog. " * 3).strip(),
+    "hi",                                              # tiny (ratio > 1)
+    "abcdefghij" * 20,
+]
+# pinned zlib level-6 outputs for the 5 variants; re-derived from zlib
+# directly in tests/test_textstats2.py (keeps the SQL CASE literals
+# honest without putting zlib in SQL)
+_COMP_SIZES = [(200, 15), (109, 48), (128, 54), (2, 10), (200, 21)]
+
+
+def compression_ratio_docs(sf_dir: str):
+    """zlib compression-ratio quality signal (textstats.
+    compression_signals; the CCNet/C4-adjacent repetitiveness
+    heuristic): PLANTED ASCII texts per doc_id residue with pinned
+    compressed sizes — ratio is ONE exact-int division on both sides."""
+    from prompture_ray.stages.textstats import compression_signals
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    variants = np.array(_COMP_VARIANTS, dtype=object)
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": pa.array(d, type=pa.int64()),
+                         "text": pa.array(variants[d % 5],
+                                          type=pa.string())})
+
+    out = compression_signals(
+        ds.map_batches(plant, batch_format="pyarrow"))
+    return out.map_batches(
+        lambda t: t.select(["doc_id", "orig_len", "comp_len",
+                            "comp_ratio"]),
+        batch_format="pyarrow")
+
+
+def _case_of(vals):
+    w = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+    return f"CASE doc_id % 5 {w} END"
+
+
+COMPRESSION_RATIO_SQL = f"""
+SELECT doc_id,
+       CAST({_case_of([o for o, _ in _COMP_SIZES])} AS BIGINT)
+         AS orig_len,
+       CAST({_case_of([c for _, c in _COMP_SIZES])} AS BIGINT)
+         AS comp_len,
+       CAST({_case_of([c for _, c in _COMP_SIZES])} AS DOUBLE)
+         / {_case_of([o for o, _ in _COMP_SIZES])} AS comp_ratio
+FROM documents ORDER BY doc_id
+"""
+
+QUERIES["compression_ratio_docs"] = compression_ratio_docs
+ORACLE["compression_ratio_docs"] = COMPRESSION_RATIO_SQL
+
+
 def curation_pipeline_docs(sf_dir: str):
     """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
     mojibake clean → langid → quality filter → reference-LM perplexity

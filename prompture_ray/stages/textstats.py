@@ -494,3 +494,37 @@ def badword_flags(ds, text_col: str, words, max_hits: int = 0,
                                pa.array(hits <= max_hits))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compression_signals(ds, text_col: str = "text", level: int = 6):
+    """Per-doc zlib compression signal — the classic cheap quality /
+    repetitiveness heuristic for web text (boilerplate and keyword-stuffed
+    pages compress far below prose; near-random strings compress above
+    1.0). Appends ``orig_len`` (utf-8 bytes), ``comp_len`` (zlib bytes at
+    ``level``) and ``comp_ratio`` = comp/orig (ONE exact-int division;
+    NaN for empty text). Complements the LM-perplexity bucket
+    (stages/lm.py) the way CCNet pairs both signals.
+
+    The compress call is per-row by nature (zlib is a stream codec), but
+    it is one C call per doc with no Python-object churn — the same cost
+    class as the media codecs."""
+    import zlib
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[text_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        texts = pc.fill_null(arr, "").to_pylist()
+        orig = np.fromiter((len(s.encode("utf-8")) for s in texts),
+                           dtype=np.int64, count=len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(s.encode("utf-8"), level)) for s in texts),
+            dtype=np.int64, count=len(texts))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(orig > 0, comp / np.maximum(orig, 1), np.nan)
+        return t.append_column("orig_len", pa.array(orig)) \
+                .append_column("comp_len", pa.array(comp)) \
+                .append_column("comp_ratio",
+                               pa.array(ratio, type=pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
