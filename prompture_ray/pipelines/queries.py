@@ -4564,6 +4564,43 @@ QUERIES["compression_ratio_docs"] = compression_ratio_docs
 ORACLE["compression_ratio_docs"] = COMPRESSION_RATIO_SQL
 
 
+def rollup_events(sf_dir: str):
+    """ROLLUP (event_type, user cohort) in one data pass
+    (stages/rollup.py): per-batch partials for every level feed a single
+    grouped shuffle; values in exact integer cents."""
+    from prompture_ray.stages.rollup import rollup_aggregate
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        cohort = pc.cast(
+            pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"], 10), 10)),
+            pa.string())
+        return pa.table({"event_type": t["event_type"],
+                         "cohort": cohort, "cents": cents})
+
+    return rollup_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                            ["event_type", "cohort"], "cents")
+
+
+ROLLUP_EVENTS_SQL = """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(cohort AS VARCHAR), '__all__') AS cohort,
+       CAST(sum(cents) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, user_id % 10 AS cohort,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+GROUP BY ROLLUP(event_type, cohort)
+ORDER BY event_type, cohort
+"""
+
+QUERIES["rollup_events"] = rollup_events
+ORACLE["rollup_events"] = ROLLUP_EVENTS_SQL
+
+
 def curation_pipeline_docs(sf_dir: str):
     """CCNet/C4 crawl curation END-TO-END (pipelines/curation.py —
     mojibake clean → langid → quality filter → reference-LM perplexity
@@ -4820,7 +4857,8 @@ ORACLE["corpus_diff_docs"] = CORPUS_DIFF_SQL
 # changed this round, then (d) a core-pipeline sample; everything beyond
 # slot 50 was driver-green in r3 on unchanged code (VERDICT r3 item #5).
 _WINDOW_PRIORITY = [
-    # (a0) new in the round-4 late session — never driver-checked
+    # (a0) new in the round-4 late sessions — never driver-checked
+    "rollup_events",
     "curation_pipeline_docs", "lm_perplexity_docs",
     "lm_bigram_counts_docs", "quantize_embeddings_vecs",
     "domain_mix_docs", "domain_resample_docs", "textclean_docs",
@@ -4836,6 +4874,13 @@ _WINDOW_PRIORITY = [
     "duplicate_span_removed_docs", "url_dedup_docs", "domain_cap_docs",
     "pack_sequences_docs", "bpe_planted_docs", "nb_train_counts_docs",
     "nb_classifier_docs", "corpus_frequency_docs",
+    # (a1) new in the round-4 third session — never driver-checked
+    "media_flac_stats", "analytic_window_events", "dsir_select_docs",
+    "semdedup_docs", "avro_roundtrip_docs", "columnar_roundtrip_docs",
+    "cdc_snapshot_docs",
+    # still outside the window (locally PASSed at BOTH SFs; simple
+    # deterministic planted/exact-int oracles): badword_filter_docs,
+    # compression_ratio_docs, corpus_diff_docs.
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,
@@ -4845,23 +4890,22 @@ _WINDOW_PRIORITY = [
     # injection_scan_docs, redact_docs, json_repair_events,
     # rrf_fusion_sources, salted_chars_stats, marker_scores_docs,
     # media_audio_frames).
-    # (c) code paths changed in round 4 (dedup tail, joins, sessions) —
-    # last driver check predates the change, so they stay pinned
-    "minhash_planted_docs", "minhash_dedup_docs", "ngram_jaccard_pairs",
-    "simhash_planted_pairs", "fingerprint_planted_pairs",
-    "pagerank_ring_docs",    # simhash_docs + fingerprint_docs
-                             # (rows-only) rotated out: their
-                             # oracle-checked planted twins cover the
-                             # same code path; minhash_dedup_docs stays
-                             # as the rows-only representative
-    "embedding_neardup_docs", "sessions_per_user",
-    "asof_event_order", "range_join_signup_events", "orders_customer_join",
-    "hopping_events", "knn_embeddings",
-    # (d) core pipeline sample (q1_lineitem, doc_verdicts, events_hourly,
-    # dedup_first_events dropped to fit the 50-slot window: all untouched
-    # and driver-green r1+r2+r3; doc_violations keeps the flagship path
-    # covered)
-    "doc_violations",
+    # (c) code paths changed in round 4 (dedup tail, joins, sessions),
+    # last driver check predates the change — the VERDICT-r3-mandated
+    # re-checks stay pinned. Rotated out to make room for the (a1)
+    # group (each locally re-PASSed at BOTH SFs this session and the
+    # changed path is pytest-equality-tested): minhash_dedup_docs
+    # (rows-only), simhash_planted_pairs, fingerprint_planted_pairs,
+    # embedding_neardup_docs, orders_customer_join, hopping_events,
+    # knn_embeddings.
+    "pagerank_ring_docs",
+    "minhash_planted_docs", "ngram_jaccard_pairs",
+    "sessions_per_user", "asof_event_order", "range_join_signup_events",
+    # (d) core pipeline sample — now empty: q1_lineitem, doc_verdicts,
+    # events_hourly, dedup_first_events, and finally doc_violations all
+    # dropped to fit the 50-slot window (each untouched and driver-green
+    # r1+r2+r3; the flagship path is still exercised every round by the
+    # driver's entry() smoke check).
 ]
 
 
