@@ -4848,6 +4848,185 @@ QUERIES["corpus_diff_docs"] = corpus_diff_docs
 ORACLE["corpus_diff_docs"] = CORPUS_DIFF_SQL
 
 
+def cube_events(sf_dir: str):
+    """CUBE (event_type, user cohort): all 4 grouping sets in one data
+    pass (stages/rollup.py cube_aggregate — same sentinel-keyed partial
+    discipline as ROLLUP); values in exact integer cents."""
+    from prompture_ray.stages.rollup import cube_aggregate
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        cohort = pc.cast(
+            pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"], 10), 10)),
+            pa.string())
+        return pa.table({"event_type": t["event_type"],
+                         "cohort": cohort, "cents": cents})
+
+    return cube_aggregate(ds.map_batches(prep, batch_format="pyarrow"),
+                          ["event_type", "cohort"], "cents")
+
+
+CUBE_EVENTS_SQL = """
+SELECT COALESCE(event_type, '__all__') AS event_type,
+       COALESCE(CAST(cohort AS VARCHAR), '__all__') AS cohort,
+       CAST(sum(cents) AS BIGINT) AS total,
+       CAST(count(*) AS BIGINT) AS n
+FROM (SELECT event_type, user_id % 10 AS cohort,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events)
+GROUP BY CUBE(event_type, cohort)
+"""
+
+QUERIES["cube_events"] = cube_events
+ORACLE["cube_events"] = CUBE_EVENTS_SQL
+
+
+def funnel_events(sf_dir: str):
+    """Ordered 3-step funnel signup → click → purchase per user
+    (stages/userpath.py): strictly-after reach times, int64-µs exact;
+    one hash(user) partition shuffle, vectorized chain per frame."""
+    from prompture_ray.stages.userpath import funnel_counts
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return funnel_counts(ds, "user_id", "ts", "event_type",
+                         ["signup", "click", "purchase"])
+
+
+FUNNEL_EVENTS_SQL = """
+WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+         CAST(count(*) AS BIGINT) AS users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+"""
+
+QUERIES["funnel_events"] = funnel_events
+ORACLE["funnel_events"] = FUNNEL_EVENTS_SQL
+
+
+def retention_events(sf_dir: str):
+    """Cohort retention (stages/userpath.py): cohort = a user's first
+    active day; one row per (cohort_day, day_offset) with active-user
+    counts. Map-side distinct (user, day), one user-partition shuffle,
+    pure int64 day arithmetic."""
+    from prompture_ray.stages.userpath import retention_cohorts
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ds, "user_id", "ts")
+
+
+RETENTION_EVENTS_SQL = """
+WITH ud AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 86400000000 AS day FROM events),
+f AS (SELECT user_id, min(day) AS day0 FROM ud GROUP BY user_id)
+SELECT f.day0 AS cohort_day, ud.day - f.day0 AS day_offset,
+       CAST(count(*) AS BIGINT) AS users
+FROM ud JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+QUERIES["retention_events"] = retention_events
+ORACLE["retention_events"] = RETENTION_EVENTS_SQL
+
+
+def boilerplate_docs(sf_dir: str):
+    """Per-HOST boilerplate line removal (stages/boilerplate.py —
+    trafilatura/CCNet shape, beyond the corpus-global line_dedup):
+    planted nav/footer lines repeat on every page of a source (removed
+    at the exact-integer 1/2 fraction threshold), a promo line on ~1/3
+    of pages (kept), body text unique (kept); doc_id%97 pages are pure
+    chrome (exercise the empty-rejoin path). The SQL oracle runs the
+    SAME generic counting pipeline (split → per-host distinct-doc df →
+    threshold → ordered rejoin) on the same planted input — the
+    boilerplate set is derived, not pasted."""
+    from prompture_ray.stages.boilerplate import boilerplate_lines
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        src = pc.cast(t["source"], pa.string())
+        join = pc.binary_join_element_wise
+        nav = join("nav ", src, "")
+        footer = join("footer ", src, "")
+        promo = join("promo ", src, "")
+        did = t["doc_id"]
+        is3 = pc.equal(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), 0)
+        is97 = pc.equal(pc.subtract(did, pc.multiply(
+            pc.divide(did, 97), 97)), 0)
+        body = pc.if_else(is3, join(t["text"], promo, "\n"), t["text"])
+        full = join(nav, body, footer, "\n")
+        chrome = join(nav, footer, "\n")
+        return pa.table({"doc_id": did, "source": src,
+                         "text": pc.if_else(is97, chrome, full)})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return boilerplate_lines(planted, min_docs=2, frac_num=1, frac_den=2)
+
+
+BOILERPLATE_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 97 = 0
+              THEN 'nav ' || source || chr(10) || 'footer ' || source
+              ELSE 'nav ' || source || chr(10) || text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'promo ' || source ELSE '' END ||
+                   chr(10) || 'footer ' || source END AS t
+  FROM documents),
+split AS (SELECT doc_id, source, string_split(t, chr(10)) AS ls FROM d),
+l AS (SELECT doc_id, source, unnest(ls) AS ln,
+             unnest(generate_series(1, len(ls))) AS i FROM split),
+hosts AS (SELECT source, count(*) AS n FROM d GROUP BY source),
+df AS (SELECT source, ln, count(DISTINCT doc_id) AS df
+       FROM l GROUP BY source, ln),
+bp AS (SELECT df.source, df.ln FROM df JOIN hosts USING (source)
+       WHERE df.df >= 2 AND df.df * 2 >= hosts.n),
+kept AS (SELECT l.doc_id, l.ln, l.i FROM l
+         ANTI JOIN bp ON l.source = bp.source AND l.ln = bp.ln)
+SELECT d.doc_id,
+       COALESCE(string_agg(kept.ln, chr(10) ORDER BY kept.i), '') AS text,
+       CAST(count(kept.ln) AS BIGINT) AS n_kept,
+       CAST(len(string_split(any_value(d.t), chr(10)))
+            - count(kept.ln) AS BIGINT) AS n_removed
+FROM d LEFT JOIN kept ON d.doc_id = kept.doc_id
+GROUP BY d.doc_id
+"""
+
+QUERIES["boilerplate_docs"] = boilerplate_docs
+ORACLE["boilerplate_docs"] = BOILERPLATE_SQL
+
+
+def topk_per_lang_docs(sf_dir: str):
+    """Top-3 documents per language by length (stages/analytic.py
+    top_k_per_group — per-batch partial top-k shrinks the shuffle to
+    <= k rows per (key, batch); deterministic doc_id tie-break)."""
+    from prompture_ray.stages.analytic import top_k_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return top_k_per_group(ds, "lang", "n_chars", k=3, tie_col="doc_id")
+
+
+TOPK_PER_LANG_SQL = """
+SELECT doc_id, lang, n_chars,
+       CAST(row_number() OVER (PARTITION BY lang
+            ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rk
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY lang
+        ORDER BY n_chars DESC, doc_id) <= 3
+"""
+
+QUERIES["topk_per_lang_docs"] = topk_per_lang_docs
+ORACLE["topk_per_lang_docs"] = TOPK_PER_LANG_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -200,3 +200,52 @@ def analytic_window_bucketed(ds, key_col: str, ts_col: str, tie_col: str,
         return b.drop(columns=[c for c in drop if c in b.columns])
 
     return joined.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# top-k rows per group (training-data selection per domain/language —
+# SQL's row_number() OVER (PARTITION BY key ORDER BY ...) <= k)
+# ---------------------------------------------------------------------------
+def top_k_per_group(ds, key_col: str, order_col: str, k: int,
+                    tie_col: str, ascending: bool = False,
+                    n_parts: int = 64):
+    """Keep the top ``k`` rows of every group, ordered by ``order_col``
+    (descending by default) with ``tie_col`` ascending as the
+    deterministic tie-break. Returns the surviving rows (all input
+    columns) plus an ``rk`` rank column (1-based).
+
+    Scale shape: a per-batch PARTIAL top-k (one vectorized sort +
+    ``groupby.head(k)`` per batch — any row outside its batch-local
+    top k can't be in the global top k) shrinks the shuffle to
+    <= k rows per (key, batch); the final pass groups partials by
+    ``hash64(key) % n_parts`` and re-ranks every key of the partition
+    in ONE vectorized pandas pass (never a frame per key). No global
+    sort, no driver state.
+    """
+    from prompture_ray.functions.sketches import hash64
+
+    by = [key_col, order_col, tie_col]
+    asc = [True, ascending, True]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(by, ascending=asc, kind="mergesort")
+        return b.groupby(key_col, sort=False).head(k)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        kv = b[key_col].to_numpy()
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        b = b.copy()
+        b["__pb"] = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return b
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(by, ascending=asc, kind="mergesort")
+        g = g.groupby(key_col, sort=False).head(k)
+        g["rk"] = g.groupby(key_col, sort=False).cumcount() + 1
+        g["rk"] = g["rk"].astype("int64")
+        return g.drop(columns=["__pb"])
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .map_batches(tag, batch_format="pandas") \
+        .groupby("__pb").map_groups(final, batch_format="pandas")

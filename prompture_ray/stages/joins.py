@@ -16,6 +16,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _canon_key(v: np.ndarray, ctx: str) -> np.ndarray:
@@ -463,6 +464,19 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
 
     Broadcast beats this whenever one side fits in the object store —
     use ``broadcast_join`` there; this is the 100-TB-both-sides form.
+
+    The tagged union travels as ARROW blocks end to end: Ray's arrow
+    schema unification null-extends a side's missing columns KEEPING
+    their types, so an int64 key/payload whose magnitude exceeds 2^53
+    (every hash64-derived column in this repo: gram/comb/__dh/__ch)
+    survives bit-exact. The previous pandas union widened such columns
+    to float64 during null fill, silently rounding the low bits before
+    ``_restore_int_cols`` cast them back — equal keys still collided
+    identically (same deterministic rounding on both sides) but
+    distinct keys could false-match at ~n²/2^54 odds, and a hash
+    column re-derived downstream no longer matched its joined copy.
+    Each side converts to pandas only AFTER the side split, when its
+    own columns carry no fill-nulls.
     """
     right_key = right_key or key
     # fixed per-side column lists: every bucket's output is reindexed to
@@ -471,31 +485,38 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
     ls, rs = left_ds.schema(), right_ds.schema()
     lc = list(left_cols) if left_cols else list(ls.names)
     rc = list(right_cols) if right_cols else list(rs.names)
-    l_ints = _int_cols_of(ls) & frozenset(lc)
-    r_ints = _int_cols_of(rs) & frozenset(rc)
     l_empty = _empty_frame(ls, lc)
     r_empty = _empty_frame(rs, rc)
 
-    def tag(side, k, cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[cols].copy()
-            b["__bucket"] = _bucket_of(b[k], n_buckets, "bucketed_equi_join")
-            b["__side"] = side
-            return b
+    def tag(side_val, k, cols):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(cols)
+            b = _bucket_of(t[k].to_pandas(), n_buckets,
+                           "bucketed_equi_join")
+            t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+            return t.append_column("__side", pa.array(
+                np.full(t.num_rows, side_val, dtype=np.int64)))
         return fn
 
-    tagged = left_ds.map_batches(tag("L", key, lc),
-                                 batch_format="pandas").union(
-        right_ds.map_batches(tag("R", right_key, rc),
-                             batch_format="pandas"))
+    tagged = left_ds.map_batches(tag(0, key, lc),
+                                 batch_format="pyarrow").union(
+        right_ds.map_batches(tag(1, right_key, rc),
+                             batch_format="pyarrow"))
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = _side_frame(g, "L", lc, l_ints, l_empty)
-        right = _side_frame(g, "R", rc, r_ints, r_empty)
-        # merge even when a side is empty: pd.merge of correctly-typed
-        # empty frames yields the same columns/dtypes as a hit bucket
+    def side_pdf(g: pa.Table, val: int, cols: list,
+                 empty: pd.DataFrame) -> pd.DataFrame:
+        sub = g.filter(pc.equal(g["__side"], val))
+        if sub.num_rows == 0 or any(c not in sub.column_names
+                                    for c in cols):
+            # typed empty keeps every bucket's output schema identical
+            return empty.copy()
+        return sub.select(cols).to_pandas()
+
+    def per_bucket(g: pa.Table) -> pd.DataFrame:
+        left = side_pdf(g, 0, lc, l_empty)
+        right = side_pdf(g, 1, rc, r_empty)
         return pd.merge(left, right, left_on=key, right_on=right_key,
                         how=how)
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")

@@ -1,5 +1,6 @@
-"""ROLLUP aggregation: every prefix level of a dimension list —
-(a, b), (a), () — computed in ONE pass over the data.
+"""ROLLUP / CUBE aggregation: grouping-set levels of a dimension list —
+every prefix (ROLLUP) or every subset (CUBE) — computed in ONE pass
+over the data.
 
 Reference analogue: the suite report's nested rollups (per-check, then
 per-column, then suite totals — prompture's validation report folds the
@@ -22,10 +23,11 @@ import pandas as pd
 ALL = "__all__"
 
 
-def rollup_aggregate(ds, dims: list[str], value_col: str):
-    """Sum + count of ``value_col`` at every ROLLUP prefix level of
-    ``dims``. Dimension columns are cast to string (the sentinel lives
-    in the same column); output columns: dims..., total, n."""
+def _grouping_set_aggregate(ds, dims: list[str], value_col: str,
+                            sets: list[tuple[str, ...]]):
+    """Sum + count of ``value_col`` at every grouping set in ``sets``.
+    Dimension columns are cast to string (the sentinel lives in the
+    same column); output columns: dims..., total, n."""
     from ray.data.aggregate import Sum
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -33,16 +35,17 @@ def rollup_aggregate(ds, dims: list[str], value_col: str):
         for d in dims:
             b[d] = b[d].astype(str)
         outs = []
-        for lvl in range(len(dims), -1, -1):
-            keys = dims[:lvl]
+        for keys in sets:
+            keys = list(keys)
             if keys:
                 g = b.groupby(keys, sort=False)[value_col] \
                     .agg(total="sum", n="count").reset_index()
             else:
                 g = pd.DataFrame({"total": [b[value_col].sum()],
                                   "n": [len(b)]})
-            for d in dims[lvl:]:
-                g[d] = ALL
+            for d in dims:
+                if d not in keys:
+                    g[d] = ALL
             outs.append(g[dims + ["total", "n"]])
         out = pd.concat(outs, ignore_index=True)
         out["total"] = out["total"].astype("int64")
@@ -52,3 +55,22 @@ def rollup_aggregate(ds, dims: list[str], value_col: str):
     return ds.map_batches(partial, batch_format="pandas") \
         .groupby(dims).aggregate(Sum("total", alias_name="total"),
                                  Sum("n", alias_name="n"))
+
+
+def rollup_aggregate(ds, dims: list[str], value_col: str):
+    """SQL ``GROUP BY ROLLUP`` — every prefix level of ``dims``."""
+    sets = [tuple(dims[:lvl]) for lvl in range(len(dims), -1, -1)]
+    return _grouping_set_aggregate(ds, dims, value_col, sets)
+
+
+def cube_aggregate(ds, dims: list[str], value_col: str):
+    """SQL ``GROUP BY CUBE`` — every subset of ``dims`` (2^d grouping
+    sets). Same one-pass sentinel-keyed partial discipline as ROLLUP:
+    the per-batch partial emits rows for all subsets at once, so the
+    subset count multiplies only the (tiny) partial rows entering the
+    single grouped shuffle, never the data scan count."""
+    sets: list[tuple[str, ...]] = [()]
+    for d in dims:
+        sets += [s + (d,) for s in sets]
+    sets.sort(key=len, reverse=True)
+    return _grouping_set_aggregate(ds, dims, value_col, sets)

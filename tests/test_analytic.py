@@ -90,3 +90,39 @@ def test_window_must_be_at_least_two(ray_session):
                        "tie": [0], "v": np.array([1], dtype="int64")})
     with pytest.raises(AssertionError):
         analytic_window_bucketed(_mk(df), "k", "ts", "tie", "v", window=1)
+
+
+def test_top_k_per_group_matches_pandas(ray_session):
+    from prompture_ray.stages.analytic import top_k_per_group
+    rng = np.random.default_rng(9)
+    n = 3000
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b", "c", "d"], n),
+        "score": rng.integers(0, 40, n).astype("int64"),  # many ties
+        "id": np.arange(n, dtype="int64"),
+    })
+    cols = ["key", "score", "id", "rk"]
+    truth = df.sort_values(["key", "score", "id"],
+                           ascending=[True, False, True],
+                           kind="mergesort")
+    truth = truth.groupby("key", sort=False).head(5).copy()
+    truth["rk"] = (truth.groupby("key", sort=False).cumcount() + 1) \
+        .astype("int64")
+    truth = truth[cols].sort_values(["key", "rk"], ignore_index=True)
+    for parts in (1, 11):
+        out = top_k_per_group(_mk(df).repartition(parts), "key", "score",
+                              k=5, tie_col="id").to_pandas()[cols] \
+            .sort_values(["key", "rk"], ignore_index=True)
+        pd.testing.assert_frame_equal(out, truth)
+
+
+def test_top_k_small_groups(ray_session):
+    from prompture_ray.stages.analytic import top_k_per_group
+    df = pd.DataFrame({"key": ["x", "x", "y"],
+                       "score": np.array([1, 2, 9], dtype="int64"),
+                       "id": np.array([0, 1, 2], dtype="int64")})
+    out = top_k_per_group(_mk(df), "key", "score", k=10,
+                          tie_col="id").to_pandas() \
+        .sort_values(["key", "rk"], ignore_index=True)
+    assert out["id"].tolist() == [1, 0, 2]       # group smaller than k
+    assert out["rk"].tolist() == [1, 2, 1]

@@ -69,6 +69,30 @@ def test_matches_pandas_any_layout(ray_session):
         pd.testing.assert_frame_equal(got, truth)
 
 
+def test_cube_all_subsets(ray_session):
+    from prompture_ray.stages.rollup import cube_aggregate, ALL
+    rng = np.random.default_rng(3)
+    n = 1500
+    df = pd.DataFrame({
+        "a": rng.choice(["p", "q"], n),
+        "b": rng.integers(0, 3, n),
+        "v": rng.integers(0, 100, n).astype("int64"),
+    })
+    out = cube_aggregate(_mk(df, 5), ["a", "b"], "v").to_pandas() \
+        .sort_values(["a", "b"], ignore_index=True)
+    # 4 grouping sets: (a,b) 6 rows + (a) 2 + (b) 3 + () 1 = 12
+    assert len(out) == 12
+    d = df.copy()
+    d["b"] = d["b"].astype(str)
+    # the CUBE-only set (b alone) must match pandas
+    byb = d.groupby("b")["v"].sum()
+    for b_val, total in byb.items():
+        row = out[(out["a"] == ALL) & (out["b"] == b_val)].iloc[0]
+        assert row["total"] == total
+    top = out[(out["a"] == ALL) & (out["b"] == ALL)].iloc[0]
+    assert top["total"] == d["v"].sum() and top["n"] == n
+
+
 def test_single_dim_and_negative_sums(ray_session):
     df = pd.DataFrame({"a": ["u"] * 4 + ["w"],
                        "v": np.array([-5, -5, 3, 0, 9], dtype="int64")})
