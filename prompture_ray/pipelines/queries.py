@@ -5027,6 +5027,51 @@ QUERIES["topk_per_lang_docs"] = topk_per_lang_docs
 ORACLE["topk_per_lang_docs"] = TOPK_PER_LANG_SQL
 
 
+_FUZZY_DICT = ["table", "value", "hash", "merge", "batch", "window",
+               "scan", "sort", "spark", "row"]
+
+
+def fuzzy_match_docs(sf_dir: str):
+    """Typo-tolerant dictionary match, edit distance <= 1
+    (stages/fuzzy.py — SymSpell deletion-variant blocking, broadcast
+    dict, vectorized verify, zero shuffles). Token = each doc's first
+    word; docs with doc_id%5==0 get a planted leading-char deletion so
+    insertions/deletions are exercised, not just exact hits. Oracle =
+    DuckDB levenshtein() — the engine's blocking+verify must agree with
+    the true metric."""
+    from prompture_ray.stages.fuzzy import fuzzy_dict_match
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def first_token(t: pa.Table) -> pa.Table:
+        tok = pc.list_element(pc.utf8_split_whitespace(t["text"]), 0)
+        did = t["doc_id"]
+        is5 = pc.equal(pc.subtract(did, pc.multiply(
+            pc.divide(did, 5), 5)), 0)
+        tok = pc.if_else(is5, pc.utf8_slice_codeunits(tok, 1, 1 << 30),
+                         tok)
+        return pa.table({"doc_id": did, "token": tok})
+
+    return fuzzy_dict_match(ds.map_batches(first_token,
+                                           batch_format="pyarrow"),
+                            "token", "doc_id", _FUZZY_DICT)
+
+
+FUZZY_MATCH_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN t[2:] ELSE t END AS token
+  FROM (SELECT doc_id, string_split(text, ' ')[1] AS t FROM documents)),
+d(w) AS (VALUES ('table'),('value'),('hash'),('merge'),('batch'),
+               ('window'),('scan'),('sort'),('spark'),('row'))
+SELECT doc_id, token, min(w) AS match
+FROM tok JOIN d ON levenshtein(token, w) <= 1
+GROUP BY doc_id, token
+"""
+
+QUERIES["fuzzy_match_docs"] = fuzzy_match_docs
+ORACLE["fuzzy_match_docs"] = FUZZY_MATCH_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------
