@@ -5072,6 +5072,83 @@ QUERIES["fuzzy_match_docs"] = fuzzy_match_docs
 ORACLE["fuzzy_match_docs"] = FUZZY_MATCH_SQL
 
 
+def connected_components_docs(sf_dir: str):
+    """Generic distributed connected components (min-label propagation,
+    stages/dedup.py components_label_propagation — the engine behind
+    every near-dup cluster tail) exposed over an explicit edge table:
+    planted chains doc_id → doc_id+1 for doc_id%10 < 5 (diameter-5
+    components {10k..10k+5}), self-loop edges for the rest (singleton
+    components). The SQL oracle RUNS min-label propagation too — five
+    nested relational iterations — so the clustering is derived on both
+    sides, not pasted."""
+    from prompture_ray.stages.dedup import components_label_propagation
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def edges(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        if isinstance(did, pa.ChunkedArray):
+            did = did.combine_chunks()
+        d = did.to_numpy(zero_copy_only=False).astype(np.int64)
+        chain = d % 10 < 5
+        a = d
+        b = np.where(chain, d + 1, d)  # self-loop keeps singletons in
+        return pa.table({"id_a": pa.array(a, type=pa.int64()),
+                         "id_b": pa.array(b, type=pa.int64())})
+
+    comp = components_label_propagation(
+        ds.map_batches(edges, batch_format="pyarrow"))
+    return comp.map_batches(
+        lambda t: pa.table({"id": pc.cast(t["id"], pa.int64()),
+                            "component": t["component"]}),
+        batch_format="pyarrow")
+
+
+CONNECTED_COMPONENTS_SQL = """
+WITH e AS (
+  SELECT doc_id AS a, doc_id + 1 AS b FROM documents WHERE doc_id % 10 < 5
+  UNION ALL
+  SELECT doc_id + 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 < 5
+  UNION ALL
+  SELECT doc_id AS a, doc_id AS b FROM documents WHERE doc_id % 10 >= 5),
+l0 AS (SELECT DISTINCT a AS id, a AS comp FROM e
+       UNION SELECT DISTINCT b, b FROM e),
+l1 AS (SELECT l.id, least(l.comp, min(p.comp)) AS comp FROM l0 l
+       JOIN e ON e.a = l.id JOIN l0 p ON p.id = e.b GROUP BY l.id, l.comp),
+l2 AS (SELECT l.id, least(l.comp, min(p.comp)) AS comp FROM l1 l
+       JOIN e ON e.a = l.id JOIN l1 p ON p.id = e.b GROUP BY l.id, l.comp),
+l3 AS (SELECT l.id, least(l.comp, min(p.comp)) AS comp FROM l2 l
+       JOIN e ON e.a = l.id JOIN l2 p ON p.id = e.b GROUP BY l.id, l.comp),
+l4 AS (SELECT l.id, least(l.comp, min(p.comp)) AS comp FROM l3 l
+       JOIN e ON e.a = l.id JOIN l3 p ON p.id = e.b GROUP BY l.id, l.comp),
+l5 AS (SELECT l.id, least(l.comp, min(p.comp)) AS comp FROM l4 l
+       JOIN e ON e.a = l.id JOIN l4 p ON p.id = e.b GROUP BY l.id, l.comp)
+SELECT id, comp AS component FROM l5
+"""
+
+QUERIES["connected_components_docs"] = connected_components_docs
+ORACLE["connected_components_docs"] = CONNECTED_COMPONENTS_SQL
+
+
+def percent_rank_docs(sf_dir: str):
+    """Per-language percent_rank of document length (stages/analytic.py
+    percent_rank_by_key — distinct-cell fold + broadcast rank lookup,
+    rows never shuffle). IEEE-exact vs SQL percent_rank(): one double
+    division of exact ints on both sides, NO rounding anywhere."""
+    from prompture_ray.stages.analytic import percent_rank_by_key
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return percent_rank_by_key(ds, "lang", "n_chars")
+
+
+PERCENT_RANK_SQL = """
+SELECT doc_id, lang, n_chars,
+       percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+FROM documents
+"""
+
+QUERIES["percent_rank_docs"] = percent_rank_docs
+ORACLE["percent_rank_docs"] = PERCENT_RANK_SQL
+
+
 # --------------------------------------------------------------------------
 # driver-window ordering
 # --------------------------------------------------------------------------

@@ -249,3 +249,93 @@ def top_k_per_group(ds, key_col: str, order_col: str, k: int,
     return ds.map_batches(partial, batch_format="pandas") \
         .map_batches(tag, batch_format="pandas") \
         .groupby("__pb").map_groups(final, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# percent_rank per key (per-domain score normalization) — SQL's
+# percent_rank() OVER (PARTITION BY key ORDER BY value)
+# ---------------------------------------------------------------------------
+def percent_rank_by_key(ds, key_col: str, value_col: str,
+                        out_col: str = "pr",
+                        broadcast_max: int = 20_000_000):
+    """Append ``out_col`` = (rank-1)/(n_key-1) with rank = the min rank
+    over ties (SQL RANK), 0.0 for single-row keys. IEEE-exact against a
+    SQL ``percent_rank()`` oracle: both sides compute the SAME single
+    correctly-rounded double division of exactly representable ints —
+    no rounding step anywhere.
+
+    Scale shape: per-batch (key, value, count) partials fold into ONE
+    narrow shuffle of the DISTINCT (key, value) table — inherently
+    compressed (|keys| x |distinct values|, independent of row count).
+    That table is collected once (must fit ``broadcast_max`` rows — a
+    genuinely huge distinct set wants a pre-bucketing the caller can do
+    by quantizing ``value_col``), cumsum'd per key vectorized, and
+    broadcast as sorted hash arrays; every batch then looks ranks up by
+    searchsorted. Rows themselves NEVER shuffle. Identity of (key,
+    value) cells is hash-mixed (64-bit; ~n^2/2^64 collision odds)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.functions.sketches import hash64
+
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def _comb(keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        hk = hash64(keys).astype(np.uint64)
+        hv = hash64(vals.astype(np.int64)).astype(np.uint64)
+        return ((hk * _GOLD) ^ hv).view(np.int64)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([key_col, value_col], sort=False) \
+            .size().rename("c").reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    cells = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([key_col, value_col]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+    n_cells = cells.count()
+    if n_cells > broadcast_max:
+        raise RuntimeError(
+            f"distinct (key, value) table too large to broadcast "
+            f"({n_cells} > {broadcast_max}); quantize {value_col} or "
+            f"raise broadcast_max")
+    cdf = cells.to_pandas().sort_values([key_col, value_col],
+                                        kind="mergesort",
+                                        ignore_index=True)
+    c = cdf["c"].to_numpy().astype(np.int64)
+    keys = cdf[key_col].to_numpy()
+    if keys.dtype.kind not in "iu":
+        keys = np.asarray(keys, dtype=object)
+    new_key = np.ones(len(cdf), dtype=bool)
+    if len(cdf) > 1:
+        new_key[1:] = keys[1:] != keys[:-1]
+    # rank of a cell = 1 + rows of the same key with smaller value:
+    # (global rows before the cell) - (global rows before its key),
+    # the latter propagated from each key's first cell by a segmented
+    # maximum.accumulate (csum-c is non-decreasing)
+    csum = np.cumsum(c)
+    seg_start_total = np.maximum.accumulate(
+        np.where(new_key, csum - c, np.int64(np.iinfo(np.int64).min)))
+    rank = (csum - c) - seg_start_total + 1
+    key_idx = np.cumsum(new_key) - 1
+    n_per_key = np.bincount(key_idx, weights=c).astype(np.int64)
+    n_of_cell = n_per_key[key_idx]
+    comb = _comb(keys, cdf[value_col].to_numpy())
+    order = np.argsort(comb, kind="mergesort")
+    ref = ray.put((comb[order], rank[order].astype(np.int64),
+                   n_of_cell[order]))
+
+    def attach(b: pd.DataFrame) -> pd.DataFrame:
+        combs, ranks, ns = ray.get(ref)
+        kv = b[key_col].to_numpy()
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        cb = _comb(kv, b[value_col].to_numpy())
+        i = np.searchsorted(combs, cb)
+        r, n = ranks[i], ns[i]
+        pr = np.where(n > 1, (r - 1) / np.maximum(n - 1, 1), 0.0)
+        out = b.copy()
+        out[out_col] = pr
+        return out
+
+    return ds.map_batches(attach, batch_format="pandas")

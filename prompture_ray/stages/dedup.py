@@ -914,6 +914,8 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
     (LSH near-dup components are near-cliques → 2-3 rounds typical).
 
     Returns a Dataset (id, component) for every node in ``pairs_ds``.
+    Node ids must stay below 2^53 in magnitude: the nullable ``peer``
+    column crosses a pandas frame (float64) once per round.
     """
     from ray.data.aggregate import Min
 
@@ -934,34 +936,51 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
             "label": pc.min_element_wise(t["id"], t["m"]),
         }), batch_format="pyarrow").materialize()
 
+    from prompture_ray.functions.sketches import hash64
+    N_PARTS = 64
+
+    def pb_tagged(which):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = t["id"]
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            iv = ids.to_numpy(zero_copy_only=False).astype(np.int64)
+            pb = (hash64(iv) % np.uint64(N_PARTS)).astype(np.int64)
+            cols = {"id": ids, "__pb": pa.array(pb)}
+            if which == "label":
+                cols["peer"] = pa.nulls(t.num_rows, pa.int64())
+                cols["label"] = pc.cast(t["label"], pa.int64())
+            else:
+                cols["peer"] = pc.cast(t["peer"], pa.int64())
+                cols["label"] = pa.nulls(t.num_rows, pa.int64())
+            return pa.table(cols)
+        return fn
+
+    # message passing without a join primitive: union label rows
+    # (peer = null) with edge rows (label = null) inside hash(id)
+    # partitions, then ONE vectorized pandas pass per partition sends
+    # every node's label to all its peers + itself (never a frame per
+    # node — a node's edges and label row share its partition).
+    tagged_edges = edges.map_batches(pb_tagged("edge"),
+                                     batch_format="pyarrow").materialize()
+
+    def send_part(g: pd.DataFrame) -> pd.DataFrame:
+        lab = g.loc[g["label"].notna(), ["id", "label"]] \
+            .groupby("id")["label"].min()
+        eg = g.loc[g["peer"].notna(), ["id", "peer"]]
+        out_id = np.concatenate([eg["peer"].to_numpy().astype(np.int64),
+                                 lab.index.to_numpy().astype(np.int64)])
+        out_lab = np.concatenate([lab.loc[eg["id"]].to_numpy()
+                                  .astype(np.int64),
+                                  lab.to_numpy().astype(np.int64)])
+        return pd.DataFrame({"id": out_id, "label": out_lab})
+
     prev = labels.sum("label")
     for _ in range(max_rounds):
-        # message passing without a join primitive: union label rows
-        # (peer = null) with edge rows (label = null), group by id, and
-        # emit the group's label to every peer + itself.
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({
-                "id": t["id"],
-                "peer": pa.nulls(t.num_rows, pa.int64()),
-                "label": pc.cast(t["label"], pa.int64()),
-            }), batch_format="pyarrow")
-        tagged_edges = edges.map_batches(
-            lambda t: pa.table({
-                "id": t["id"], "peer": t["peer"],
-                "label": pa.nulls(t.num_rows, pa.int64()),
-            }), batch_format="pyarrow")
-
-        def send(g: pd.DataFrame) -> pd.DataFrame:
-            lab_rows = g["label"].dropna()
-            if lab_rows.empty:
-                return pd.DataFrame({"id": [], "label": []})
-            lab = int(lab_rows.min())
-            peers = g["peer"].dropna().astype("int64").tolist()
-            out_ids = peers + [int(g["id"].iloc[0])]
-            return pd.DataFrame({"id": out_ids, "label": [lab] * len(out_ids)})
-
-        msgs = tagged_labels.union(tagged_edges).groupby("id") \
-            .map_groups(send, batch_format="pandas")
+        tagged_labels = labels.map_batches(pb_tagged("label"),
+                                           batch_format="pyarrow")
+        msgs = tagged_labels.union(tagged_edges).groupby("__pb") \
+            .map_groups(send_part, batch_format="pandas")
         labels = msgs.groupby("id").aggregate(
             Min("label", alias_name="label")).materialize()
         cur = labels.sum("label")

@@ -126,3 +126,26 @@ def test_top_k_small_groups(ray_session):
         .sort_values(["key", "rk"], ignore_index=True)
     assert out["id"].tolist() == [1, 0, 2]       # group smaller than k
     assert out["rk"].tolist() == [1, 2, 1]
+
+
+def test_percent_rank_matches_pandas(ray_session):
+    from prompture_ray.stages.analytic import percent_rank_by_key
+    rng = np.random.default_rng(13)
+    n = 4000
+    df = pd.DataFrame({
+        "key": rng.choice(["a", "b", "c"], n),
+        "v": rng.integers(0, 25, n).astype("int64"),   # heavy ties
+        "id": np.arange(n, dtype="int64"),
+    })
+    # one single-row key exercises the n==1 -> 0.0 branch
+    df = pd.concat([df, pd.DataFrame({"key": ["solo"], "v": [7],
+                                      "id": [n]})], ignore_index=True)
+    out = percent_rank_by_key(_mk(df).repartition(9), "key", "v") \
+        .to_pandas().sort_values("id", ignore_index=True)
+    truth = df.copy()
+    truth["pr"] = truth.groupby("key")["v"].rank(method="min") \
+        .sub(1).div(truth.groupby("key")["v"].transform("size").sub(1)
+                    .clip(lower=1))
+    truth.loc[truth.groupby("key")["v"].transform("size") == 1, "pr"] = 0.0
+    truth = truth.sort_values("id", ignore_index=True)
+    assert np.array_equal(out["pr"].to_numpy(), truth["pr"].to_numpy())
