@@ -3244,6 +3244,55 @@ QUERIES["bm25_index_topk_docs"] = bm25_index_topk_docs
 ORACLE["bm25_index_topk_docs"] = BM25_TOPK_SQL
 
 
+def bm25_index_update_docs(sf_dir: str):
+    """Incremental text-index maintenance (stages/text_index.py
+    update_text_index — the CDC story for the persisted index): build
+    on the EVEN docs only, add the ODD docs as a delta (new files moved
+    into the existing bucket dirs, old corpus never re-read), tombstone
+    doc_id%10==0, then search. Scores must equal a scan-path BM25 over
+    the live corpus (all docs minus tombstoned) — df/n_docs/avgdl are
+    refreshed excluding tombstones, so this catches stale-statistics
+    bugs, not just missing rows."""
+    import shutil
+    from prompture_ray.stages.text_index import (
+        build_text_index, update_text_index, text_index_search)
+
+    index_dir = f"/tmp/prompture_ray_tidx_upd/{Path(sf_dir).name}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def parity(rem: int):
+        def fn(t: pa.Table) -> pa.Table:
+            did = t["doc_id"]
+            m = pc.equal(pc.subtract(did, pc.multiply(
+                pc.divide(did, 2), 2)), rem)
+            return t.filter(m)
+        return fn
+
+    build_text_index(ds.map_batches(parity(0), batch_format="pyarrow"),
+                     "text", "doc_id", index_dir, n_buckets=32)
+    removed = [r["doc_id"] for r in ds.map_batches(
+        lambda t: t.filter(pc.equal(pc.subtract(
+            t["doc_id"], pc.multiply(pc.divide(t["doc_id"], 10), 10)),
+            0)).select(["doc_id"]), batch_format="pyarrow").take_all()]
+    update_text_index(index_dir,
+                      add_ds=ds.map_batches(parity(1),
+                                            batch_format="pyarrow"),
+                      remove_ids=removed)
+    df = text_index_search(index_dir, "hash join stream", k=10)
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"], type=pa.int64()),
+        "bm25": pa.array(df["bm25"].round(6), type=pa.float64()),
+    })
+
+
+BM25_INDEX_UPDATE_SQL = BM25_TOPK_SQL.replace(
+    "FROM documents)", "FROM documents WHERE doc_id % 10 <> 0)")
+
+QUERIES["bm25_index_update_docs"] = bm25_index_update_docs
+ORACLE["bm25_index_update_docs"] = BM25_INDEX_UPDATE_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
@@ -5163,25 +5212,33 @@ _WINDOW_PRIORITY = [
     "curation_pipeline_docs", "lm_perplexity_docs",
     "lm_bigram_counts_docs", "quantize_embeddings_vecs",
     "domain_mix_docs", "domain_resample_docs", "textclean_docs",
-    "tfrecord_roundtrip_docs", "media_mp3_meta",
     # (a) round-4 queries never driver-checked / once-failed
     "hybrid_topk_docs", "bm25_index_topk_docs",
     "media_png_dims", "media_transform_docs", "media_frame_stats",
-    "stream_snapshot_docs", "media_jpeg_stats", "media_gif_frames",
-    "media_mixed_dims", "kg_two_hop_docs", "gpt2_token_rows",
+    "stream_snapshot_docs",
+    "kg_two_hop_docs",
     "running_sum_events", "split_assignment_docs", "pca_scores_docs",
-    "webdataset_roundtrip_docs", "ngram_contamination_docs",
+    "ngram_contamination_docs",
     "gopher_repetition_docs", "line_dedup_docs", "duplicate_span_docs",
     "duplicate_span_removed_docs", "url_dedup_docs", "domain_cap_docs",
     "pack_sequences_docs", "bpe_planted_docs", "nb_train_counts_docs",
     "nb_classifier_docs", "corpus_frequency_docs",
     # (a1) new in the round-4 third session — never driver-checked
-    "media_flac_stats", "analytic_window_events", "dsir_select_docs",
+    "analytic_window_events", "dsir_select_docs",
     "semdedup_docs", "avro_roundtrip_docs", "columnar_roundtrip_docs",
     "cdc_snapshot_docs",
-    # still outside the window (locally PASSed at BOTH SFs; simple
-    # deterministic planted/exact-int oracles): badword_filter_docs,
-    # compression_ratio_docs, corpus_diff_docs.
+    # (a2) new operators from the round-4 fourth session — never
+    # driver-checked, each the sole query on a brand-new stage
+    "cube_events", "funnel_events", "retention_events",
+    "boilerplate_docs", "topk_per_lang_docs", "fuzzy_match_docs",
+    "connected_components_docs", "percent_rank_docs",
+    "bm25_index_update_docs",
+    # still outside the window (every one locally PASSed at BOTH SFs
+    # this session; machinery pytest-covered or twinned in-window):
+    # badword_filter_docs, compression_ratio_docs, corpus_diff_docs,
+    # tfrecord_roundtrip_docs, media_mp3_meta, media_jpeg_stats,
+    # media_gif_frames, media_mixed_dims, webdataset_roundtrip_docs,
+    # gpt2_token_rows, media_flac_stats.
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,

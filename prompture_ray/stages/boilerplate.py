@@ -122,8 +122,10 @@ def boilerplate_lines(ds, text_col: str = "text", id_col: str = "doc_id",
         bp = df_rows.map_batches(mark_bp, batch_format="pyarrow") \
             .materialize()
     else:
-        joined = bucketed_equi_join(df_rows, host_counts, key="hh",
-                                    n_buckets=n_buckets)
+        # the join probes .schema() on its inputs — materialize the
+        # groupby output or its whole lineage runs once per probe
+        joined = bucketed_equi_join(df_rows.materialize(), host_counts,
+                                    key="hh", n_buckets=n_buckets)
 
         def filt(b: pd.DataFrame) -> pd.DataFrame:
             df, n = b["df"].to_numpy(), b["n"].to_numpy()

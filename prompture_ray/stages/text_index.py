@@ -38,17 +38,9 @@ def _term_bucket(terms: np.ndarray, n_buckets: int) -> np.ndarray:
     return (hash64(terms) % np.uint64(n_buckets)).astype(np.int32)
 
 
-def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
-                     n_buckets: int = 32, overwrite: bool = False) -> dict:
-    """One corpus pass → partitioned postings + df table + meta."""
-    import ray.data as rd
-
-    if os.path.exists(os.path.join(index_dir, "meta.json")):
-        if not overwrite:
-            raise FileExistsError(
-                f"text index already exists at {index_dir}; pass "
-                "overwrite=True to rebuild")
-        shutil.rmtree(index_dir)
+def _make_extract(text_col: str, id_col: str, n_buckets: int):
+    """Tokenize-and-post batch fn shared by build and incremental
+    update (one tokenize per document, ever)."""
 
     def extract(t: pa.Table) -> pa.Table:
         from prompture_ray.functions import limit_arrow_threads
@@ -100,26 +92,58 @@ def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
         })
         return pa.concat_tables([post, sentinel])
 
-    os.makedirs(index_dir, exist_ok=True)
-    ds.map_batches(extract, batch_format="pyarrow") \
-        .write_parquet(index_dir, partition_cols=["bucket"])
+    return extract
 
-    # derived tables come from narrow DISK re-reads of what was written —
-    # the corpus is never re-tokenized
+
+def _tombstone_ids(index_dir: str) -> np.ndarray:
+    """Sorted array of removed doc ids (empty if none)."""
+    paths = sorted(glob.glob(
+        os.path.join(index_dir, "tombstones", "*.parquet")))
+    if not paths:
+        return np.empty(0, dtype=np.int64)
+    import pyarrow.parquet as pq
+    ids = np.concatenate([
+        pq.read_table(p, columns=["doc_id"])["doc_id"]
+        .to_numpy(zero_copy_only=False).astype(np.int64) for p in paths])
+    return np.unique(ids)
+
+
+def _refresh_derived(index_dir: str, n_buckets: int, id_col: str) -> dict:
+    """Recompute df table + meta from narrow DISK re-reads of the
+    written postings (the corpus is never re-tokenized), excluding
+    tombstoned docs so BM25 statistics stay exact after removals."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    tomb = _tombstone_ids(index_dir)
+    tomb_ref = ray.put(tomb)
+
+    def live(t: pa.Table) -> pa.Table:
+        ts = ray.get(tomb_ref)
+        if not len(ts) or t.num_rows == 0:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.clip(np.searchsorted(ts, ids), 0, len(ts) - 1)
+        return t.filter(pa.array(ts[i] != ids))
+
     doc_paths = sorted(glob.glob(
         os.path.join(index_dir, "bucket=-1", "*.parquet")))
-    docs = rd.read_parquet(doc_paths, columns=["dl"])
+    docs = rd.read_parquet(doc_paths, columns=["doc_id", "dl"]) \
+        .map_batches(live, batch_format="pyarrow").materialize()
     n_docs = docs.count()
     total_len = int(docs.sum("dl") or 0)
 
     post_paths = [p for p in glob.glob(
         os.path.join(index_dir, "bucket=*", "*.parquet"))
         if "bucket=-1" not in p]
+    df_dir = os.path.join(index_dir, "df")
+    shutil.rmtree(df_dir, ignore_errors=True)
     if post_paths:
-        from ray.data.aggregate import Count
-        df_tbl = rd.read_parquet(post_paths, columns=["term"]) \
+        df_tbl = rd.read_parquet(post_paths, columns=["term", "doc_id"]) \
+            .map_batches(live, batch_format="pyarrow") \
             .groupby("term").aggregate(Count(alias_name="df"))
-        df_tbl.write_parquet(os.path.join(index_dir, "df"))
+        df_tbl.write_parquet(df_dir)
 
     meta = {"n_docs": int(n_docs), "total_len": total_len,
             "avgdl": total_len / n_docs if n_docs else 0.0,
@@ -127,6 +151,72 @@ def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
     with open(os.path.join(index_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
+
+
+def build_text_index(ds, text_col: str, id_col: str, index_dir: str,
+                     n_buckets: int = 32, overwrite: bool = False) -> dict:
+    """One corpus pass → partitioned postings + df table + meta."""
+    if os.path.exists(os.path.join(index_dir, "meta.json")):
+        if not overwrite:
+            raise FileExistsError(
+                f"text index already exists at {index_dir}; pass "
+                "overwrite=True to rebuild")
+        shutil.rmtree(index_dir)
+
+    os.makedirs(index_dir, exist_ok=True)
+    ds.map_batches(_make_extract(text_col, id_col, n_buckets),
+                   batch_format="pyarrow") \
+        .write_parquet(index_dir, partition_cols=["bucket"])
+    return _refresh_derived(index_dir, n_buckets, id_col)
+
+
+def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
+                      remove_ids=None) -> dict:
+    """Incremental index maintenance — the CDC story for the text index:
+
+    - ``add_ds``: new documents tokenize ONCE (same extract as build)
+      and their postings are written as ADDITIONAL files moved into the
+      existing ``bucket=K`` partition dirs — the old corpus is never
+      re-read, and a search picks the delta up automatically because it
+      globs the bucket dir.
+    - ``remove_ids``: appended to a ``tombstones/`` parquet; removed
+      docs are filtered out of search results AND out of the refreshed
+      df/n_docs/avgdl statistics, so scores equal a from-scratch build
+      over the live corpus. Postings stay on disk (cheap, append-only);
+      a removal-heavy index should eventually rebuild (compaction).
+
+    Updating a document = remove_ids + add_ds in one call. Returns the
+    refreshed meta."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+
+    if add_ds is not None:
+        tmp = os.path.join(index_dir, "_delta_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        add_ds.map_batches(_make_extract(text_col, id_col, n_buckets),
+                           batch_format="pyarrow") \
+            .write_parquet(tmp, partition_cols=["bucket"])
+        gen = len(glob.glob(os.path.join(index_dir, "bucket=-1",
+                                         "upd*"))) + 1
+        for src in glob.glob(os.path.join(tmp, "bucket=*", "*.parquet")):
+            bdir = os.path.join(index_dir, os.path.basename(
+                os.path.dirname(src)))
+            os.makedirs(bdir, exist_ok=True)
+            os.replace(src, os.path.join(
+                bdir, f"upd{gen}-{os.path.basename(src)}"))
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    if remove_ids is not None and len(remove_ids):
+        tdir = os.path.join(index_dir, "tombstones")
+        os.makedirs(tdir, exist_ok=True)
+        import pyarrow.parquet as pq
+        ids = np.asarray(sorted(set(int(i) for i in remove_ids)),
+                         dtype=np.int64)
+        pq.write_table(pa.table({"doc_id": pa.array(ids)}),
+                       os.path.join(tdir, f"t{len(os.listdir(tdir))}.parquet"))
+
+    return _refresh_derived(index_dir, n_buckets, id_col)
 
 
 def text_index_search(index_dir: str, query: str, k: int = 10,
@@ -174,6 +264,7 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
     term_arr = pa.array(uniq, type=pa.string())
     # per-term weight = idf × query multiplicity (dup query terms score ×n)
     weights = np.array([idf[t] * terms.count(t) for t in uniq])
+    tomb = _tombstone_ids(index_dir)
 
     def score(t: pa.Table) -> pa.Table:
         col = t["term"]
@@ -181,6 +272,11 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
             col = col.combine_chunks()
         codes = pc.index_in(col, value_set=term_arr)
         keep = pc.is_valid(codes)
+        if len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            j = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
+            keep = pc.and_(keep, pa.array(tomb[j] != ids))
         t = t.filter(keep)
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),

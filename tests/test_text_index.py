@@ -56,3 +56,56 @@ def test_text_index_rebuild_guard(corpus, tmp_path):
         build_text_index(corpus, "text", "doc_id", idx)
     meta = build_text_index(corpus, "text", "doc_id", idx, overwrite=True)
     assert meta["n_docs"] == 7
+
+
+def test_incremental_update_equals_rebuild(corpus, tmp_path):
+    """build(evens) + update(add odds, remove %3==0) must give the SAME
+    search results (scores included) as a from-scratch build over the
+    live corpus — catches stale df/n_docs/avgdl, missing delta files,
+    and unfiltered tombstones."""
+    import pyarrow.compute as pc
+    from prompture_ray.stages.text_index import (
+        build_text_index, update_text_index, text_index_search)
+
+    def par(r):
+        return lambda t: t.filter(pc.equal(
+            pc.subtract(t["doc_id"], pc.multiply(
+                pc.divide(t["doc_id"], 2), 2)), r))
+
+    inc_dir = str(tmp_path / "inc")
+    build_text_index(corpus.map_batches(par(0), batch_format="pyarrow"),
+                     "text", "doc_id", inc_dir, n_buckets=8)
+    removed = [0, 3, 6]
+    meta = update_text_index(
+        inc_dir, add_ds=corpus.map_batches(par(1),
+                                           batch_format="pyarrow"),
+        remove_ids=removed)
+
+    ref_dir = str(tmp_path / "ref")
+    live = corpus.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(
+            t["doc_id"], value_set=pa.array(removed, type=pa.int64())))),
+        batch_format="pyarrow")
+    ref_meta = build_text_index(live, "text", "doc_id", ref_dir,
+                                n_buckets=8)
+    assert meta["n_docs"] == ref_meta["n_docs"]
+    assert meta["avgdl"] == ref_meta["avgdl"]
+    for q in ["hash join stream", "merge", "fox the"]:
+        a = text_index_search(inc_dir, q, k=10)
+        b = text_index_search(ref_dir, q, k=10)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        assert np.allclose(a["bm25"], b["bm25"], rtol=0, atol=0), q
+    # removed docs never surface
+    hits = text_index_search(inc_dir, "hash join stream", k=10)
+    assert not set(hits["doc_id"]) & set(removed)
+
+
+def test_update_then_remove_only(corpus, tmp_path):
+    from prompture_ray.stages.text_index import (
+        build_text_index, update_text_index, text_index_search)
+    d = str(tmp_path / "r")
+    build_text_index(corpus, "text", "doc_id", d, n_buckets=8)
+    update_text_index(d, remove_ids=[4])      # the 'hash hash hash' doc
+    out = text_index_search(d, "hash", k=10)
+    assert 4 not in set(out["doc_id"])
+    assert len(out) > 0
