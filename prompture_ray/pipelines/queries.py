@@ -3293,6 +3293,44 @@ QUERIES["bm25_index_update_docs"] = bm25_index_update_docs
 ORACLE["bm25_index_update_docs"] = BM25_INDEX_UPDATE_SQL
 
 
+def phrase_search_docs(sf_dir: str):
+    """Exact-phrase search 'hash join' from the persisted index
+    (text_index_phrase_search): boolean-AND candidate pruning from the
+    position-free postings, then a vectorized adjacency verify over
+    only the candidate docs. Reuses the per-sf cached index."""
+    import os
+    from prompture_ray.stages.text_index import (
+        build_text_index, text_index_phrase_search)
+
+    index_dir = f"/tmp/prompture_ray_tidx/{Path(sf_dir).name}"
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    if not os.path.exists(os.path.join(index_dir, "meta.json")):
+        build_text_index(docs, "text", "doc_id", index_dir, n_buckets=32)
+    out = text_index_phrase_search(index_dir, "hash join", docs)
+    return out.map_batches(
+        lambda t: pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64()),
+                            "n_occ": t["n_occ"]}),
+        batch_format="pyarrow")
+
+
+PHRASE_SEARCH_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS tk
+  FROM documents),
+pos AS (SELECT doc_id, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS i
+        FROM toks WHERE len(tk) >= 2)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+FROM pos WHERE tk[i] = 'hash' AND tk[i + 1] = 'join'
+GROUP BY doc_id
+"""
+
+QUERIES["phrase_search_docs"] = phrase_search_docs
+ORACLE["phrase_search_docs"] = PHRASE_SEARCH_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
@@ -5225,20 +5263,20 @@ _WINDOW_PRIORITY = [
     "nb_classifier_docs", "corpus_frequency_docs",
     # (a1) new in the round-4 third session — never driver-checked
     "analytic_window_events", "dsir_select_docs",
-    "semdedup_docs", "avro_roundtrip_docs", "columnar_roundtrip_docs",
+    "semdedup_docs", "columnar_roundtrip_docs",
     "cdc_snapshot_docs",
     # (a2) new operators from the round-4 fourth session — never
     # driver-checked, each the sole query on a brand-new stage
     "cube_events", "funnel_events", "retention_events",
     "boilerplate_docs", "topk_per_lang_docs", "fuzzy_match_docs",
     "connected_components_docs", "percent_rank_docs",
-    "bm25_index_update_docs",
+    "bm25_index_update_docs", "phrase_search_docs",
     # still outside the window (every one locally PASSed at BOTH SFs
     # this session; machinery pytest-covered or twinned in-window):
     # badword_filter_docs, compression_ratio_docs, corpus_diff_docs,
     # tfrecord_roundtrip_docs, media_mp3_meta, media_jpeg_stats,
     # media_gif_frames, media_mixed_dims, webdataset_roundtrip_docs,
-    # gpt2_token_rows, media_flac_stats.
+    # gpt2_token_rows, media_flac_stats, avro_roundtrip_docs.
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,

@@ -219,6 +219,49 @@ def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
     return _refresh_derived(index_dir, n_buckets, id_col)
 
 
+def compact_text_index(index_dir: str) -> dict:
+    """Fold deltas and drop tombstoned postings: re-read every bucket
+    live-filtered and rewrite it as a fresh file set, then clear the
+    tombstone dir. Search results are unchanged (equality-tested); disk
+    and per-search read cost shrink to the live corpus. Atomic per
+    bucket: the new files land in a sibling dir that replaces the old
+    one with os.replace."""
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    tomb = _tombstone_ids(index_dir)
+    tomb_ref = ray.put(tomb)
+
+    def live(t: pa.Table) -> pa.Table:
+        ts = ray.get(tomb_ref)
+        if not len(ts) or t.num_rows == 0:
+            return t
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = np.clip(np.searchsorted(ts, ids), 0, len(ts) - 1)
+        return t.filter(pa.array(ts[i] != ids))
+
+    for bdir in sorted(glob.glob(os.path.join(index_dir, "bucket=*"))):
+        paths = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
+        if not paths:
+            continue
+        tmp = bdir + ".compact"
+        shutil.rmtree(tmp, ignore_errors=True)
+        ds = rd.read_parquet(paths) \
+            .map_batches(live, batch_format="pyarrow").materialize()
+        # coalesce: a handful of files per bucket, not one per input
+        # block (5M posting rows ≈ 150 MB per output file)
+        ds.repartition(max(1, -(-ds.count() // 5_000_000))) \
+            .write_parquet(tmp)
+        shutil.rmtree(bdir)
+        os.replace(tmp, bdir)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"),
+                  ignore_errors=True)
+    return _refresh_derived(index_dir, int(meta["n_buckets"]),
+                            meta["id_col"])
+
+
 def text_index_search(index_dir: str, query: str, k: int = 10,
                       k1: float = 1.5, b: float = 0.75) -> pd.DataFrame:
     """BM25 top-k from the persisted index: reads ONLY the buckets the
@@ -301,3 +344,111 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
         .sort_values(["bm25", id_col], ascending=[False, True],
                      kind="mergesort").head(k).reset_index(drop=True)
     return out[[id_col, "bm25"]]
+
+
+def text_index_phrase_search(index_dir: str, phrase: str, docs_ds,
+                             text_col: str = "text"):
+    """Exact-phrase search served BY the index without positional
+    postings: the index prunes (boolean AND — only docs containing
+    EVERY phrase term, read from the probed buckets alone), then a
+    verification pass re-reads just the candidate docs and counts
+    adjacent occurrences vectorized over the dictionary-encoded token
+    stream. The classic candidate-then-verify trade: postings stay
+    position-free (¼ the size), and the verify scan is bounded by the
+    rarest term's document frequency, not the corpus.
+
+    ``docs_ds`` must be the corpus the index was built from (the id
+    column named as at build time). Returns (id, n_occ) for docs with
+    >= 1 occurrence."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col = meta["id_col"]
+    terms = bm25_tokenize(phrase)
+    uniq = sorted(set(terms))
+    if not terms:
+        raise ValueError("empty phrase")
+
+    buckets = sorted({int(b) for b in
+                      _term_bucket(np.asarray(uniq, dtype=object),
+                                   meta["n_buckets"])})
+    paths = []
+    for bkt in buckets:
+        paths.extend(sorted(glob.glob(
+            os.path.join(index_dir, f"bucket={bkt}", "*.parquet"))))
+    empty = pa.table({id_col: pa.array([], type=pa.int64()),
+                      "n_occ": pa.array([], type=pa.int64())})
+    if not paths:
+        return rd.from_arrow(empty)
+
+    term_arr = pa.array(uniq, type=pa.string())
+    tomb = _tombstone_ids(index_dir)
+
+    def hit_rows(t: pa.Table) -> pa.Table:
+        keep = pc.is_valid(pc.index_in(t["term"], value_set=term_arr))
+        if len(tomb):
+            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            j = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
+            keep = pc.and_(keep, pa.array(tomb[j] != ids))
+        return t.filter(keep).select(["doc_id", "term"])
+
+    hits = rd.read_parquet(paths, columns=["term", "doc_id"]) \
+        .map_batches(hit_rows, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Count(alias_name="nt"))
+    cand = np.sort(np.concatenate(
+        [t.filter(pc.equal(t["nt"], len(uniq)))["doc_id"]
+         .to_numpy(zero_copy_only=False).astype(np.int64)
+         for t in hits.iter_batches(batch_format="pyarrow")]
+        or [np.empty(0, dtype=np.int64)]))
+    if not len(cand):
+        return rd.from_arrow(empty)
+    cand_ref = ray.put(cand)
+
+    def verify(t: pa.Table) -> pa.Table:
+        cs = ray.get(cand_ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        j = np.clip(np.searchsorted(cs, ids), 0, len(cs) - 1)
+        t = t.filter(pa.array(cs[j] == ids))
+        if t.num_rows == 0:
+            return empty
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(
+                pc.utf8_lower(pc.fill_null(col, ""))))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        row_len = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        dict_arr = lists.flatten().dictionary_encode()
+        codes = dict_arr.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+        tcodes = []
+        for w in terms:
+            hit = np.flatnonzero(vocab == w)
+            tcodes.append(int(hit[0]) if hit.size else -1)
+        parent = np.repeat(np.arange(t.num_rows), row_len)
+        n, L = len(codes), len(terms)
+        if -1 in tcodes or n < L:
+            occ = np.zeros(t.num_rows, dtype=np.int64)
+        else:
+            m = codes[:n - L + 1] == tcodes[0]
+            for off in range(1, L):
+                m &= codes[off:n - L + 1 + off] == tcodes[off]
+            # the whole window must sit inside ONE doc
+            m &= parent[:n - L + 1] == parent[L - 1:]
+            occ = np.bincount(parent[:n - L + 1][m],
+                              minlength=t.num_rows).astype(np.int64)
+        keep = occ > 0
+        return pa.table({
+            id_col: pa.array(
+                t[id_col].to_numpy(zero_copy_only=False)[keep]),
+            "n_occ": pa.array(occ[keep], type=pa.int64())})
+
+    return docs_ds.map_batches(verify, batch_format="pyarrow")

@@ -109,3 +109,59 @@ def test_update_then_remove_only(corpus, tmp_path):
     out = text_index_search(d, "hash", k=10)
     assert 4 not in set(out["doc_id"])
     assert len(out) > 0
+
+
+def test_compaction_preserves_results(corpus, tmp_path):
+    import os, glob
+    import pyarrow.compute as pc
+    from prompture_ray.stages.text_index import (
+        build_text_index, update_text_index, compact_text_index,
+        text_index_search, _tombstone_ids)
+
+    d = str(tmp_path / "c")
+    build_text_index(corpus.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 4)),
+        batch_format="pyarrow"), "text", "doc_id", d, n_buckets=8)
+    update_text_index(d, add_ds=corpus.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 4)),
+        batch_format="pyarrow"), remove_ids=[1, 4])
+    before = {q: text_index_search(d, q, k=10)
+              for q in ["hash join stream", "merge", "fox"]}
+    n_files_before = len(glob.glob(os.path.join(d, "bucket=*",
+                                                "*.parquet")))
+    meta = compact_text_index(d)
+    assert len(_tombstone_ids(d)) == 0
+    n_files_after = len(glob.glob(os.path.join(d, "bucket=*",
+                                               "*.parquet")))
+    assert n_files_after <= n_files_before
+    for q, b in before.items():
+        a = text_index_search(d, q, k=10)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        assert np.allclose(a["bm25"], b["bm25"], rtol=0, atol=0), q
+    assert meta["n_docs"] == 5  # 7 docs - 2 removed
+
+
+def test_phrase_search(corpus, tmp_path):
+    from prompture_ray.stages.text_index import (
+        build_text_index, text_index_phrase_search)
+    d = str(tmp_path / "p")
+    build_text_index(corpus, "text", "doc_id", d, n_buckets=8)
+    out = text_index_phrase_search(d, "hash join", corpus).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # doc 0: "hash join beats nested loop join" -> 1 occurrence;
+    # doc 4 has hash×3 but never followed by join; doc 6 has join
+    # without preceding hash
+    assert out["doc_id"].tolist() == [0]
+    assert out["n_occ"].tolist() == [1]
+    # tri-gram phrase spanning doc 0 only
+    out3 = text_index_phrase_search(d, "nested loop join",
+                                    corpus).to_pandas()
+    assert out3["doc_id"].tolist() == [0]
+    # repeated-token phrase: "hash hash" occurs twice (overlapping) in
+    # doc 4 ("hash hash hash everywhere")
+    out2 = text_index_phrase_search(d, "hash hash", corpus).to_pandas()
+    assert out2["doc_id"].tolist() == [4]
+    assert out2["n_occ"].tolist() == [2]
+    # phrase whose words exist but never adjacently -> empty
+    none = text_index_phrase_search(d, "join hash", corpus).to_pandas()
+    assert len(none) == 0
