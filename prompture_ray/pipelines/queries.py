@@ -3331,6 +3331,72 @@ QUERIES["phrase_search_docs"] = phrase_search_docs
 ORACLE["phrase_search_docs"] = PHRASE_SEARCH_SQL
 
 
+def contamination_minhash_docs(sf_dir: str):
+    """Cross-corpus NEAR-dup contamination (dedup.py
+    cross_corpus_minhash_pairs — the fuzzy complement of
+    ngram_contamination_docs): planted sha-hex train texts; eval docs
+    are EXACT copies for doc_id%9==0 (guaranteed candidate, est 1.0)
+    plus fresh eval-only texts for doc_id%9==1 (must not match). A
+    train-train duplicate planted at doc_id+10000 for doc_id%10==0
+    proves same-side pairs are PRUNED, not reported."""
+    import hashlib
+    from prompture_ray.stages.dedup import cross_corpus_minhash_pairs
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def txt(i: int, salt: str) -> str:
+        return "".join(
+            hashlib.sha256(f"{salt}:{i}:{j}".encode()).hexdigest()
+            for j in range(3))
+
+    def train(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for i in t["doc_id"].to_pylist():
+            ids.append(i)
+            texts.append(txt(i, "xc"))
+            if i % 10 == 0:           # same-side duplicate (pruned)
+                ids.append(i + 10000)
+                texts.append(txt(i, "xc"))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    def eval_side(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for i in t["doc_id"].to_pylist():
+            if i % 9 == 0:
+                ids.append(i)
+                texts.append(txt(i, "xc"))   # contaminated copy
+            elif i % 9 == 1:
+                ids.append(i)
+                texts.append(txt(i, "xe"))   # clean eval doc
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    pairs = cross_corpus_minhash_pairs(
+        ds.map_batches(train, batch_format="pyarrow"),
+        ds.map_batches(eval_side, batch_format="pyarrow"),
+        "text", "doc_id", threshold=0.8)
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "train_id": t["train_id"], "eval_id": t["eval_id"],
+            "est_jaccard": pc.round(t["est_jaccard"], 6)}),
+        batch_format="pyarrow")
+
+
+CONTAMINATION_MINHASH_SQL = """
+SELECT doc_id AS train_id, doc_id AS eval_id, 1.0 AS est_jaccard
+FROM documents WHERE doc_id % 9 = 0
+UNION ALL
+-- the planted train-train duplicate shares the eval copy's text when
+-- doc_id%90==0: its CROSS pair is genuine contamination and must be
+-- reported even though its same-side pair is pruned
+SELECT doc_id + 10000, doc_id, 1.0
+FROM documents WHERE doc_id % 90 = 0
+"""
+
+QUERIES["contamination_minhash_docs"] = contamination_minhash_docs
+ORACLE["contamination_minhash_docs"] = CONTAMINATION_MINHASH_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
@@ -5263,7 +5329,7 @@ _WINDOW_PRIORITY = [
     "nb_classifier_docs", "corpus_frequency_docs",
     # (a1) new in the round-4 third session — never driver-checked
     "analytic_window_events", "dsir_select_docs",
-    "semdedup_docs", "columnar_roundtrip_docs",
+    "semdedup_docs",
     "cdc_snapshot_docs",
     # (a2) new operators from the round-4 fourth session — never
     # driver-checked, each the sole query on a brand-new stage
@@ -5271,12 +5337,14 @@ _WINDOW_PRIORITY = [
     "boilerplate_docs", "topk_per_lang_docs", "fuzzy_match_docs",
     "connected_components_docs", "percent_rank_docs",
     "bm25_index_update_docs", "phrase_search_docs",
+    "contamination_minhash_docs",
     # still outside the window (every one locally PASSed at BOTH SFs
     # this session; machinery pytest-covered or twinned in-window):
     # badword_filter_docs, compression_ratio_docs, corpus_diff_docs,
     # tfrecord_roundtrip_docs, media_mp3_meta, media_jpeg_stats,
     # media_gif_frames, media_mixed_dims, webdataset_roundtrip_docs,
-    # gpt2_token_rows, media_flac_stats, avro_roundtrip_docs.
+    # gpt2_token_rows, media_flac_stats, avro_roundtrip_docs,
+    # columnar_roundtrip_docs.
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,

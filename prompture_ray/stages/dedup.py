@@ -373,7 +373,8 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
                             shingle_k: int = DEFAULT_SHINGLE_K,
                             threshold: float = DEFAULT_JACCARD,
                             max_bucket: int = 200,
-                            stats_out: dict | None = None):
+                            stats_out: dict | None = None,
+                            pair_filter=None):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     Stage 1 — shingle→minhash→band keys in map_batches (NO signatures in
@@ -434,6 +435,12 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
         stats_out.update(stats)
     # dedupe pairs discovered in multiple bands (one sorted aggregate)
     cand = _distinct_pairs(pairs).materialize()
+    if pair_filter is not None:
+        # prune candidates BEFORE signature recompute + scoring (e.g.
+        # cross-corpus contamination drops same-side pairs here, so
+        # train-train duplicates never cost a verify)
+        cand = cand.map_batches(pair_filter,
+                                batch_format="pyarrow").materialize()
 
     # ---- stage 2: distributed scoring by recomputed signatures -------
     if cand.count() == 0:
@@ -1773,3 +1780,47 @@ def remove_duplicate_spans(ds, text_col: str = "text",
                          clean).to_pandas()
 
     return joined.map_batches(clean_rows, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# cross-corpus near-dup contamination (benchmark decontamination — the
+# FUZZY complement of ngram_contamination's exact 5-gram overlap; GPT-3
+# appendix C uses both)
+# ---------------------------------------------------------------------------
+def cross_corpus_minhash_pairs(train_ds, eval_ds, text_col: str,
+                               id_col: str, offset: int = 1 << 40,
+                               **kw):
+    """Near-duplicate (train_id, eval_id, est_jaccard) pairs BETWEEN two
+    corpora: eval ids ride through one shared banding pass under
+    ``+offset`` namespacing (both sides' ids must stay below
+    ``offset``), same-side candidate pairs are pruned BEFORE signature
+    recompute/scoring (a duplicate-heavy train side never costs a
+    verify), and verified cross pairs come back de-namespaced. Reuses
+    the whole distributed minhash machinery — no new shuffle shapes."""
+    def tag(shift: int):
+        def fn(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t[id_col], pa.int64())
+            if shift:
+                ids = pc.add(ids, shift)
+            return pa.table({id_col: ids, text_col: t[text_col]})
+        return fn
+
+    u = train_ds.map_batches(tag(0), batch_format="pyarrow").union(
+        eval_ds.map_batches(tag(offset), batch_format="pyarrow"))
+
+    def cross_only(t: pa.Table) -> pa.Table:
+        a = pc.less(t["id_a"], offset)
+        b = pc.less(t["id_b"], offset)
+        return t.filter(pc.xor(a, b))
+
+    pairs = minhash_candidate_pairs(u, text_col, id_col,
+                                    pair_filter=cross_only, **kw)
+    # in-bucket pairs are emitted id_a < id_b, and every train id is
+    # below every eval id by construction
+    return pairs.map_batches(
+        lambda t: pa.table({
+            "train_id": pc.cast(t["id_a"], pa.int64()),
+            "eval_id": pc.cast(pc.subtract(t["id_b"], offset),
+                               pa.int64()),
+            "est_jaccard": t["est_jaccard"],
+        }), batch_format="pyarrow")

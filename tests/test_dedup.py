@@ -453,3 +453,35 @@ def test_remove_duplicate_spans(ray_session):
         assert got == expect, (bmax, got, expect)
     assert expect[3][3] == ""        # doc 3 is fully removed
     assert expect[4][3] == "u v"     # short doc unchanged
+
+
+def test_cross_corpus_minhash_pairs(ray_session):
+    """Cross pairs verified; same-side duplicates pruned before
+    scoring; ids de-namespaced."""
+    import hashlib
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.dedup import cross_corpus_minhash_pairs
+
+    def txt(key):
+        return "".join(hashlib.sha256(f"{key}:{j}".encode()).hexdigest()
+                       for j in range(3))
+
+    train = pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "text": [txt("a"), txt("b"), txt("c"), txt("a")],  # 1 and 4 dup
+    })
+    ev = pd.DataFrame({
+        "id": [7, 8],
+        "text": [txt("a"), txt("z")],   # 7 contaminated, 8 clean
+    })
+    out = cross_corpus_minhash_pairs(
+        rd.from_pandas(train).repartition(2),
+        rd.from_pandas(ev), "text", "id", threshold=0.8) \
+        .to_pandas().sort_values(["train_id", "eval_id"],
+                                 ignore_index=True)
+    # BOTH train copies of txt("a") pair with eval 7; the train-train
+    # pair (1,4) is pruned; clean eval 8 matches nothing
+    assert out["train_id"].tolist() == [1, 4]
+    assert out["eval_id"].tolist() == [7, 7]
+    assert (out["est_jaccard"] == 1.0).all()
