@@ -9,9 +9,12 @@ fraction threshold is held exact in integers (``df * frac_den >=
 frac_num * n_host``) so the SQL oracle can mirror it with no float
 anywhere.
 
-Reference analogue: prompture's HTML extraction drops structural
-chrome per page (functions/extract_html.py parity); this operator is
-the corpus-statistical generalization a 100-TB crawl pipeline needs.
+Reference analogue: prompture's HtmlParser drops structural chrome
+per page (prompture/ingestion/parsers/html.py; our per-page parity
+lives in functions/extract_html.py); this operator is the
+corpus-statistical generalization a 100-TB crawl pipeline needs —
+chrome the per-page parse can't identify (plain-text nav repeated
+site-wide) falls out of cross-page frequency.
 
 Scale shape mirrors ``line_dedup``: pass 1 emits per-batch
 (host_hash, line_hash, partial-df) rows — each doc is a single row in

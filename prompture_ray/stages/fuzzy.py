@@ -3,7 +3,7 @@ deletion-variant blocking with a fully vectorized verify.
 
 Reference analogue: prompture's enum normalization accepts near-miss
 values (validate_enum_value's lowercase/strip forgiveness,
-prompture/validation/fields.py) — this generalizes it to true
+prompture/extraction/fields.py) — this generalizes it to true
 typo-tolerant matching against a dictionary, the spell-correction /
 entity-gazetteer join a crawl pipeline runs per token.
 

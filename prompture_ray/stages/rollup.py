@@ -3,9 +3,9 @@ every prefix (ROLLUP) or every subset (CUBE) — computed in ONE pass
 over the data.
 
 Reference analogue: the suite report's nested rollups (per-check, then
-per-column, then suite totals — prompture's validation report folds the
-same counts at three levels). Generalized to SQL ``GROUP BY ROLLUP``
-semantics over a Dataset.
+per-column, then suite totals — prompture/cli/formatters.py:8
+``format_table`` folds the same counts at three levels). Generalized
+to SQL ``GROUP BY ROLLUP`` / ``CUBE`` semantics over a Dataset.
 
 Scale shape: a per-batch pandas partial emits (sum, count) rows for ALL
 levels at once (rolled-up dimensions take the ``__all__`` sentinel), so

@@ -1,10 +1,11 @@
 """User-path analytics over an event stream: ordered multi-step funnel
 and cohort retention.
 
-Reference analogue: prompture's usage/report rollups fold per-user
-event sequences into suite-level counts (prompture/validation report
-machinery); these are the two standard sequence rollups a web-scale
-event table needs that plain groupby can't express.
+Reference analogue: prompture's UsageTracker folds a per-session event
+stream into ordered per-entity rollups (prompture/infra/tracker.py —
+buffered event walk, first/last-seen accounting); these are the two
+standard sequence rollups a web-scale event table needs that plain
+groupby can't express.
 
 Scale shape (both operators): ONE hash-partition shuffle — rows are
 tagged ``hash64(user) % P`` so every user's history lands wholly inside
