@@ -908,7 +908,8 @@ def bloom_dedup(ds, col: str, actor, normalize: bool = True):
 # ---------------------------------------------------------------------------
 # distributed connected components (min-label propagation)
 # ---------------------------------------------------------------------------
-def components_label_propagation(pairs_ds, max_rounds: int = 10):
+def components_label_propagation(pairs_ds, max_rounds: int = 10,
+                                 jump: bool = False):
     """Connected components over a pair Dataset (id_a, id_b) of INTEGER
     node ids WITHOUT driver state: iterative min-label propagation via
     groupby rounds — the scale path when the verified-pair set outgrows
@@ -923,6 +924,14 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
     Returns a Dataset (id, component) for every node in ``pairs_ds``.
     Node ids must stay below 2^53 in magnitude: the nullable ``peer``
     column crosses a pandas frame (float64) once per round.
+
+    ``jump=True`` adds POINTER JUMPING after each propagation round:
+    label ← label(label) via one self-join of the label table (labels
+    are node ids, so every label exists as a row). The remaining
+    diameter halves per round → O(log d) rounds instead of O(d), at
+    the cost of one extra bucketed join per round. Worth it only for
+    long-chain graphs; near-dup cluster graphs converge in 2-3 plain
+    rounds (measured — see BASELINE round-4 fourth session).
     """
     from ray.data.aggregate import Min
 
@@ -982,6 +991,23 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
                                   lab.to_numpy().astype(np.int64)])
         return pd.DataFrame({"id": out_id, "label": out_lab})
 
+    def jump_once(lab):
+        from prompture_ray.stages.joins import bucketed_equi_join
+        lut = lab.map_batches(
+            lambda t: pa.table({
+                "rid": pc.cast(t["id"], pa.int64()),
+                "rlabel": pc.cast(t["label"], pa.int64())}),
+            batch_format="pyarrow").materialize()
+        j = bucketed_equi_join(lab, lut, key="label", right_key="rid")
+
+        def take(b: pd.DataFrame) -> pd.DataFrame:
+            # rlabel = label(label) <= label (labels only decrease)
+            return pd.DataFrame({
+                "id": b["id"].to_numpy().astype(np.int64),
+                "label": b["rlabel"].to_numpy().astype(np.int64)})
+
+        return j.map_batches(take, batch_format="pandas").materialize()
+
     prev = labels.sum("label")
     for _ in range(max_rounds):
         tagged_labels = labels.map_batches(pb_tagged("label"),
@@ -990,6 +1016,8 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10):
             .map_groups(send_part, batch_format="pandas")
         labels = msgs.groupby("id").aggregate(
             Min("label", alias_name="label")).materialize()
+        if jump:
+            labels = jump_once(labels)
         cur = labels.sum("label")
         if cur == prev:
             break

@@ -485,3 +485,39 @@ def test_cross_corpus_minhash_pairs(ray_session):
     assert out["train_id"].tolist() == [1, 4]
     assert out["eval_id"].tolist() == [7, 7]
     assert (out["est_jaccard"] == 1.0).all()
+
+
+def test_pointer_jumping_components(ray_session):
+    """jump=True must (a) equal the plain form, and (b) converge on a
+    diameter-40 chain within O(log d) rounds where the plain form
+    provably cannot (min label travels one hop per plain round)."""
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.dedup import components_label_propagation
+
+    n = 41  # one chain 0-1-...-40 plus a separate triangle
+    pairs = pd.DataFrame({
+        "id_a": list(range(n - 1)) + [100, 101, 100],
+        "id_b": list(range(1, n)) + [101, 102, 102],
+    })
+    ds = rd.from_pandas(pairs).repartition(4)
+    jumped = components_label_propagation(ds, max_rounds=8, jump=True) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    assert (jumped[jumped["id"] < 100]["component"] == 0).all()
+    assert (jumped[jumped["id"] >= 100]["component"] == 100).all()
+    # the plain form needs ~40 rounds for this chain; with 8 it must
+    # NOT have converged (guards against the test being vacuous)
+    plain8 = components_label_propagation(ds, max_rounds=8, jump=False) \
+        .to_pandas()
+    assert (plain8[plain8["id"] < 100]["component"] != 0).any()
+    # equality of the two forms on a graph the plain form CAN finish
+    # cheaply: diameter-6 chains + the triangle
+    small = pd.DataFrame({
+        "id_a": [0, 1, 2, 3, 4, 5, 100, 101, 100],
+        "id_b": [1, 2, 3, 4, 5, 6, 101, 102, 102]})
+    sds = rd.from_pandas(small).repartition(3)
+    a = components_label_propagation(sds, max_rounds=10, jump=True) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    b = components_label_propagation(sds, max_rounds=10, jump=False) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
