@@ -3397,6 +3397,32 @@ QUERIES["contamination_minhash_docs"] = contamination_minhash_docs
 ORACLE["contamination_minhash_docs"] = CONTAMINATION_MINHASH_SQL
 
 
+def sample_k_per_lang_docs(sf_dir: str):
+    """Deterministic 4-per-language document sample
+    (sampling.sample_k_per_group — Knuth-hash draw order, block-layout
+    independent, partial-top-k shuffle bound)."""
+    from prompture_ray.stages.sampling import sample_k_per_group
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = sample_k_per_group(ds, "lang", "doc_id", k=4)
+    return out.map_batches(
+        lambda b: b[["doc_id", "lang", "rk"]], batch_format="pandas")
+
+
+SAMPLE_K_PER_LANG_SQL = """
+SELECT doc_id, lang, rk FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+              PARTITION BY lang
+              ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+              AS BIGINT) AS rk
+  FROM documents)
+WHERE rk <= 4
+"""
+
+QUERIES["sample_k_per_lang_docs"] = sample_k_per_lang_docs
+ORACLE["sample_k_per_lang_docs"] = SAMPLE_K_PER_LANG_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
@@ -5344,7 +5370,8 @@ _WINDOW_PRIORITY = [
     # tfrecord_roundtrip_docs, media_mp3_meta, media_jpeg_stats,
     # media_gif_frames, media_mixed_dims, webdataset_roundtrip_docs,
     # gpt2_token_rows, media_flac_stats, avro_roundtrip_docs,
-    # columnar_roundtrip_docs.
+    # columnar_roundtrip_docs, sample_k_per_lang_docs (rides the
+    # in-window top_k_per_group machinery).
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,

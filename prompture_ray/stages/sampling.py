@@ -344,3 +344,26 @@ def repeat_by_weight(ds, id_col: str, weight_col: str,
                                  pa.array(copy_idx, type=pa.int64()))
 
     return ds.map_batches(repeat, batch_format="pyarrow")
+
+
+def sample_k_per_group(ds, key_col: str, id_col: str, k: int):
+    """Deterministic exactly-min(k, n)-rows-per-group sample: order a
+    group by ``(knuth(id), id)`` and keep the first k. Reproducible
+    under any block layout (pure function of the id, the repo's
+    sampling invariant), auditable in SQL with the same Knuth rule the
+    other samplers use, and executed by the partial-top-k machinery —
+    the shuffle carries <= k rows per (group, batch), never the group.
+    Returns the surviving rows + rk (1-based draw order)."""
+    import pyarrow as pa
+    from prompture_ray.stages.analytic import top_k_per_group
+
+    def add_h(t: "pa.Table") -> "pa.Table":
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * _KNUTH) % np.uint64(1 << 32)
+        return t.append_column("__kh", pa.array(h.astype(np.int64)))
+
+    out = top_k_per_group(ds.map_batches(add_h, batch_format="pyarrow"),
+                          key_col, "__kh", k=k, tie_col=id_col,
+                          ascending=True)
+    return out.map_batches(lambda b: b.drop(columns=["__kh"]),
+                           batch_format="pandas")

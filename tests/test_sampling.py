@@ -43,3 +43,29 @@ def test_pack_sequences(ray_session):
     assert (df["offset_in_stream"].to_numpy() == prefix).all()
     assert (df["bin"].to_numpy() == prefix // budget).all()
     assert (df["id"].to_numpy() == ids).all()
+
+
+def test_sample_k_per_group_layout_independent(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.sampling import sample_k_per_group
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 500),
+                       "id": np.arange(500, dtype="int64")})
+    outs = []
+    for parts in (1, 9):
+        o = sample_k_per_group(rd.from_pandas(df).repartition(parts),
+                               "g", "id", k=5).to_pandas() \
+            .sort_values(["g", "rk"], ignore_index=True)
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    assert (outs[0].groupby("g").size() == 5).all()
+    # draw order is the Knuth rule, not id order
+    truth = df.copy()
+    truth["h"] = (truth["id"].to_numpy().astype(np.uint64)
+                  * np.uint64(2654435761)) % np.uint64(1 << 32)
+    first = truth.sort_values(["g", "h", "id"]).groupby("g").head(1) \
+        .sort_values("g")["id"].tolist()
+    got_first = outs[0][outs[0]["rk"] == 1].sort_values("g")["id"].tolist()
+    assert got_first == first
