@@ -3423,6 +3423,75 @@ QUERIES["sample_k_per_lang_docs"] = sample_k_per_lang_docs
 ORACLE["sample_k_per_lang_docs"] = SAMPLE_K_PER_LANG_SQL
 
 
+def decontaminate_spans_docs(sf_dir: str):
+    """Decontamination by REMOVAL (dedup.remove_contaminated_spans —
+    the PaLM/GPT-3 cleanup step): the eval corpus is DERIVED from the
+    train corpus on both sides (tokens 4..8 of every doc_id%25==0 doc),
+    and every train token covered by an eval token 3-gram is cut out.
+    Generic pipeline on both sides — the SQL runs the same gram join +
+    coverage union, nothing pasted."""
+    from prompture_ray.stages.dedup import remove_contaminated_spans
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_side(t: pa.Table) -> pa.Table:
+        ids, texts = [], []
+        for i, txt in zip(t["doc_id"].to_pylist(),
+                          t["text"].to_pylist()):
+            toks = txt.split(" ")
+            if i % 25 == 0 and len(toks) >= 8:
+                ids.append(i)
+                texts.append(" ".join(toks[3:8]))
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": pa.array(texts, type=pa.string())})
+
+    ev = ds.map_batches(eval_side, batch_format="pyarrow")
+    df = remove_contaminated_spans(ds, ev, "text", "doc_id", n=3,
+                                   normalize=False) \
+        .to_pandas().sort_values("id", ignore_index=True)
+    return pa.table({
+        "id": pa.array(df["id"].astype("int64")),
+        "n_tokens": pa.array(df["n_tokens"].astype("int64")),
+        "kept_tokens": pa.array(df["kept_tokens"].astype("int64")),
+        "removed_tokens": pa.array(df["removed_tokens"].astype("int64")),
+        "clean_text": pa.array(df["clean_text"].astype(str)),
+    })
+
+
+DECONTAMINATE_SPANS_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE length(text) > 0),
+base AS (SELECT doc_id, t, len(t) AS ntok FROM toks),
+ev AS (SELECT t[4:8] AS et FROM base
+       WHERE doc_id % 25 = 0 AND ntok >= 8),
+ep AS (SELECT et, unnest(generate_series(1, len(et) - 2)) AS i
+       FROM ev WHERE len(et) >= 3),
+c AS (SELECT DISTINCT array_to_string(et[i:i+2], ' ') AS gram FROM ep),
+p AS (SELECT doc_id, t, unnest(generate_series(1, ntok - 2)) AS i
+      FROM base WHERE ntok >= 3),
+g AS (SELECT doc_id, i, array_to_string(t[i:i+2], ' ') AS gram FROM p),
+dup AS (SELECT g.doc_id, g.i FROM g JOIN c USING (gram)),
+cov AS (SELECT DISTINCT doc_id, unnest(generate_series(i, i + 2)) AS q
+        FROM dup),
+tok_pos AS (SELECT doc_id, t, unnest(generate_series(1, ntok)) AS q
+            FROM base),
+kept AS (SELECT tp.doc_id, tp.q, tp.t[tp.q] AS tok
+         FROM tok_pos tp ANTI JOIN cov USING (doc_id, q)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_tokens,
+               string_agg(tok, ' ' ORDER BY q) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id AS id, CAST(b.ntok AS BIGINT) AS n_tokens,
+       CAST(coalesce(a.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+       CAST(b.ntok - coalesce(a.kept_tokens, 0) AS BIGINT)
+         AS removed_tokens,
+       coalesce(a.clean_text, '') AS clean_text
+FROM base b LEFT JOIN agg a USING (doc_id)
+ORDER BY id
+"""
+
+QUERIES["decontaminate_spans_docs"] = decontaminate_spans_docs
+ORACLE["decontaminate_spans_docs"] = DECONTAMINATE_SPANS_SQL
+
+
 def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
@@ -5371,7 +5440,9 @@ _WINDOW_PRIORITY = [
     # media_gif_frames, media_mixed_dims, webdataset_roundtrip_docs,
     # gpt2_token_rows, media_flac_stats, avro_roundtrip_docs,
     # columnar_roundtrip_docs, sample_k_per_lang_docs (rides the
-    # in-window top_k_per_group machinery).
+    # in-window top_k_per_group machinery), decontaminate_spans_docs
+    # (its shared _cut_spans_by_gramset tail is driver-exercised via
+    # duplicate_span_removed_docs).
     # (b) rotated OUT to fit the 50-slot window (all r2-driver-green,
     # code untouched since, and locally PASSed at sf0.01+sf0.1 this
     # round): events_hourly_streaming, props_schema_events,

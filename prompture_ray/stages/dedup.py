@@ -1663,51 +1663,15 @@ def _cut_covered(r: dict, iv_doc, iv_s, iv_e, n):
     return kept_per_doc, pc.binary_join(la, " ")
 
 
-def remove_duplicate_spans(ds, text_col: str = "text",
-                           id_col: str = "doc_id", n: int = 16,
-                           min_count: int = 2, normalize: bool = True,
-                           n_buckets: int = 32,
-                           broadcast_max: int = 20_000_000):
-    """Substring-dedup as a CLEANING operator (Lee et al. 2022,
-    "Deduplicating Training Data Makes Language Models Better" — beyond
-    the reference, whose dedup only drops whole docs:
-    prompture/dataset/dedup.py:127-169): every token covered by a token
-    n-gram that repeats >= ``min_count`` times corpus-wide is cut out;
-    the cleaned text is the single-space rejoin of the survivors (the
-    operator is defined on the whitespace tokenization — original
-    inter-token whitespace is not preserved). One row per doc with
-    nonempty text: ``(id, n_tokens, kept_tokens, removed_tokens,
-    clean_text)``; docs with < n tokens pass through unchanged.
-
-    Shape: identical pass 1 to ``duplicate_span_stats`` (gram partial
-    counts → ONE narrow shuffle of 8-byte hashes). Size-aware pass 2: up
-    to ``broadcast_max`` duplicated grams the sorted hash array is
-    broadcast via ``ray.put`` and cleaning is a pure map over the docs
-    (windows complete per batch, coverage union via a vectorized +1/-1
-    prefix sum — no second shuffle). Beyond that, position rows × dup
-    grams go through the hash-bucketed join, merged coverage intervals
-    are string-packed per doc inside bounded ``hash(id) % cells``
-    frames, and ONE more bucketed join ships each doc's text past its
-    own interval list — text moves through the shuffle exactly once."""
+def _cut_spans_by_gramset(ds, grams, dup, text_col, id_col, n,
+                          normalize, n_buckets, broadcast_max):
+    """Shared cleaning tail: cut every token of ``ds`` covered by a
+    token n-gram whose hash is in the ``dup`` gram Dataset. Size-aware
+    pass 2 of remove_duplicate_spans, factored out so decontamination
+    (grams from ANOTHER corpus) reuses it verbatim. ``grams`` must be
+    the with_pos=True gram rows of ``ds``."""
     import ray
-    from ray.data.aggregate import Sum
     from prompture_ray.stages.joins import bucketed_equi_join
-
-    grams = _token_ngram_rows(ds, text_col, id_col, n, normalize,
-                              with_pos=True)
-
-    def count_partials(t: pa.Table) -> pa.Table:
-        g, c = np.unique(t["gram"].to_numpy(zero_copy_only=False),
-                         return_counts=True)
-        return pa.table({"gram": pa.array(g, type=pa.int64()),
-                         "cnt": pa.array(c.astype(np.int64),
-                                         type=pa.int64())})
-
-    counts = grams.map_batches(count_partials, batch_format="pyarrow") \
-        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
-    dup = counts.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count))
-        .select(["gram"]), batch_format="pyarrow").materialize()
 
     def out_table(ids, lens, kept, clean) -> pa.Table:
         return pa.table({
@@ -1810,6 +1774,57 @@ def remove_duplicate_spans(ds, text_col: str = "text",
     return joined.map_batches(clean_rows, batch_format="pandas")
 
 
+def remove_duplicate_spans(ds, text_col: str = "text",
+                           id_col: str = "doc_id", n: int = 16,
+                           min_count: int = 2, normalize: bool = True,
+                           n_buckets: int = 32,
+                           broadcast_max: int = 20_000_000):
+    """Substring-dedup as a CLEANING operator (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — beyond
+    the reference, whose dedup only drops whole docs:
+    prompture/dataset/dedup.py:127-169): every token covered by a token
+    n-gram that repeats >= ``min_count`` times corpus-wide is cut out;
+    the cleaned text is the single-space rejoin of the survivors (the
+    operator is defined on the whitespace tokenization — original
+    inter-token whitespace is not preserved). One row per doc with
+    nonempty text: ``(id, n_tokens, kept_tokens, removed_tokens,
+    clean_text)``; docs with < n tokens pass through unchanged.
+
+    Shape: identical pass 1 to ``duplicate_span_stats`` (gram partial
+    counts → ONE narrow shuffle of 8-byte hashes). Size-aware pass 2: up
+    to ``broadcast_max`` duplicated grams the sorted hash array is
+    broadcast via ``ray.put`` and cleaning is a pure map over the docs
+    (windows complete per batch, coverage union via a vectorized +1/-1
+    prefix sum — no second shuffle). Beyond that, position rows × dup
+    grams go through the hash-bucketed join, merged coverage intervals
+    are string-packed per doc inside bounded ``hash(id) % cells``
+    frames, and ONE more bucketed join ships each doc's text past its
+    own interval list — text moves through the shuffle exactly once."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    grams = _token_ngram_rows(ds, text_col, id_col, n, normalize,
+                              with_pos=True)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        g, c = np.unique(t["gram"].to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"gram": pa.array(g, type=pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64),
+                                         type=pa.int64())})
+
+    counts = grams.map_batches(count_partials, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Sum("cnt", alias_name="cnt"))
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count))
+        .select(["gram"]), batch_format="pyarrow").materialize()
+
+    return _cut_spans_by_gramset(ds, grams, dup, text_col, id_col,
+                                 n, normalize, n_buckets,
+                                 broadcast_max)
+
+
 # ---------------------------------------------------------------------------
 # cross-corpus near-dup contamination (benchmark decontamination — the
 # FUZZY complement of ngram_contamination's exact 5-gram overlap; GPT-3
@@ -1852,3 +1867,41 @@ def cross_corpus_minhash_pairs(train_ds, eval_ds, text_col: str,
                                pa.int64()),
             "est_jaccard": t["est_jaccard"],
         }), batch_format="pyarrow")
+
+
+def remove_contaminated_spans(train_ds, eval_ds, text_col: str = "text",
+                              id_col: str = "doc_id", n: int = 8,
+                              normalize: bool = True, n_buckets: int = 32,
+                              broadcast_max: int = 20_000_000):
+    """Decontamination by REMOVAL (the PaLM/GPT-3 cleanup step, not
+    just the report): cut from every TRAIN doc each token covered by a
+    token n-gram that occurs ANYWHERE in the EVAL corpus; overlapping
+    windows merge (coverage union). Returns the remove_duplicate_spans
+    schema: (id, n_tokens, kept_tokens, removed_tokens, clean_text),
+    one row per nonempty train doc.
+
+    Shape: the eval gram set folds with per-batch np.unique partials
+    into ONE narrow grouped shuffle of 8-byte hashes (bounded by the
+    EVAL corpus — small next to train by definition); cleaning reuses
+    the substring-dedup tail verbatim (size-aware: broadcast sorted
+    hash array + pure map, or hash-bucketed joins at >broadcast_max
+    eval grams)."""
+    from ray.data.aggregate import Count
+
+    egrams = _token_ngram_rows(eval_ds, text_col, id_col, n, normalize,
+                               with_pos=False)
+
+    def distinct_partial(t: pa.Table) -> pa.Table:
+        g = np.unique(t["gram"].to_numpy(zero_copy_only=False))
+        return pa.table({"gram": pa.array(g, type=pa.int64())})
+
+    dup = egrams.map_batches(distinct_partial, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="c")) \
+        .map_batches(lambda t: t.select(["gram"]),
+                     batch_format="pyarrow").materialize()
+
+    tgrams = _token_ngram_rows(train_ds, text_col, id_col, n, normalize,
+                               with_pos=True)
+    return _cut_spans_by_gramset(train_ds, tgrams, dup, text_col,
+                                 id_col, n, normalize, n_buckets,
+                                 broadcast_max)

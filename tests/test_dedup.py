@@ -521,3 +521,32 @@ def test_pointer_jumping_components(ray_session):
     b = components_label_propagation(sds, max_rounds=10, jump=False) \
         .to_pandas().sort_values("id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_remove_contaminated_spans(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.dedup import remove_contaminated_spans
+    train = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c d e", "x y z", "b c b c"],
+    })).repartition(2)
+    ev = rd.from_pandas(pd.DataFrame({
+        "doc_id": [9], "text": ["q b c q"],
+    }))
+    out = remove_contaminated_spans(train, ev, "text", "doc_id", n=2,
+                                    normalize=False).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    got = dict(zip(out["id"], out["clean_text"]))
+    # eval 2-grams: {q b, b c, c q}; train doc 1 hits 'b c' at pos 1 ->
+    # tokens 1..2 cut; doc 3 is wall-to-wall hits -> empty
+    assert got[1] == "a d e"
+    assert got[2] == "x y z"
+    assert got[3] == ""
+    assert out.set_index("id").loc[3, "removed_tokens"] == 4
+    # bucketed tail equality (the shared _cut_spans_by_gramset path)
+    out2 = remove_contaminated_spans(train, ev, "text", "doc_id", n=2,
+                                     normalize=False, broadcast_max=0,
+                                     n_buckets=4).to_pandas() \
+        .sort_values("id", ignore_index=True)
+    pd.testing.assert_frame_equal(out, out2[out.columns.tolist()])
