@@ -66,3 +66,19 @@ def test_empty_after_removal(ray_session):
         .to_pandas().sort_values("doc_id", ignore_index=True)
     assert out["text"].tolist() == ["", "body", ""]
     assert out["n_kept"].tolist() == [0, 1, 0]
+
+
+def test_empty_and_single_line_docs(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.boilerplate import boilerplate_lines
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "source": ["H", "H", "H", "H"],
+        "text": ["", "nav", "nav", "solo body"],
+    })
+    out = boilerplate_lines(rd.from_pandas(df), min_docs=2,
+                            frac_num=1, frac_den=2).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    # '' occurs in 1 doc (kept); 'nav' in 2 of 4 -> 2*2 >= 4 removed
+    assert out["text"].tolist() == ["", "", "", "solo body"]
+    assert out["n_removed"].tolist() == [0, 1, 1, 0]

@@ -79,3 +79,17 @@ def test_fuzzy_empty_and_unmatched(ray_session):
     out = fuzzy_dict_match(rd.from_pandas(df), "token", "id",
                            ["table"]).to_pandas()
     assert len(out) == 0
+
+
+def test_lev_le1_unicode():
+    """The uint32 grid is UCS4 — non-ASCII codepoints compare exactly."""
+    from prompture_ray.stages.fuzzy import lev_le1
+    a = np.asarray(["héllo", "héllo", "naïve", "日本語", "日本語x"],
+                   dtype=object)
+    b = np.asarray(["hello", "héllo", "naive", "日本誤", "日本語"],
+                   dtype=object)
+    got = lev_le1(a, b).tolist()
+    assert got == [True, True, True, True, True]
+    c = np.asarray(["日本語", "héllo"], dtype=object)
+    d = np.asarray(["中国話", "world"], dtype=object)
+    assert lev_le1(c, d).tolist() == [False, False]
