@@ -186,7 +186,10 @@ def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
       a removal-heavy index should eventually rebuild (compaction).
 
     Updating a document = remove_ids + add_ds in one call. Returns the
-    refreshed meta."""
+    refreshed meta. ``remove_ids`` is a driver-side list by contract —
+    tombstone sets (benchmark scrubs, takedowns) are small; a
+    corpus-scale removal should rebuild the index over the filtered
+    corpus instead (one pass, same cost as the refresh would be)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
@@ -347,7 +350,8 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
 
 
 def text_index_phrase_search(index_dir: str, phrase: str, docs_ds,
-                             text_col: str = "text"):
+                             text_col: str = "text",
+                             broadcast_max: int = 20_000_000):
     """Exact-phrase search served BY the index without positional
     postings: the index prunes (boolean AND — only docs containing
     EVERY phrase term, read from the probed buckets alone), then a
@@ -406,6 +410,15 @@ def text_index_phrase_search(index_dir: str, phrase: str, docs_ds,
         or [np.empty(0, dtype=np.int64)]))
     if not len(cand):
         return rd.from_arrow(empty)
+    if len(cand) > broadcast_max:
+        # candidate count = docs containing EVERY phrase term, bounded
+        # by the rarest term's df — a phrase of only stopword-common
+        # terms can approach the corpus size, and then the broadcast
+        # array (not the verify scan) becomes the limit
+        raise RuntimeError(
+            f"phrase candidate set too large to broadcast "
+            f"({len(cand)} > {broadcast_max}); the phrase has no rare "
+            f"anchor term — add one, or raise broadcast_max")
     cand_ref = ray.put(cand)
 
     def verify(t: pa.Table) -> pa.Table:
