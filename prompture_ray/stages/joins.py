@@ -63,14 +63,6 @@ def _bucket_of(series: "pd.Series", n_buckets: int, ctx: str) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
-def _int_cols_of(schema) -> frozenset:
-    """Names of integer-typed columns in a Ray Schema. Pandas-backed
-    datasets report Python classes instead of Arrow types — those are
-    skipped (nothing to restore for them)."""
-    return frozenset(n for n, t in zip(schema.names, schema.types)
-                     if isinstance(t, pa.DataType) and pa.types.is_integer(t))
-
-
 def _empty_frame(schema, cols: list) -> pd.DataFrame:
     """Typed empty pandas frame for one side of a bucketed join — the
     per-bucket fallback when a group block carries only the OTHER side's
@@ -90,26 +82,35 @@ def _empty_frame(schema, cols: list) -> pd.DataFrame:
                          for c in cols})
 
 
-def _side_frame(g: pd.DataFrame, side: str, cols: list,
-                int_cols: frozenset, empty_tmpl: pd.DataFrame) -> pd.DataFrame:
-    """Rows of one side of a tagged union group, with that side's fixed
-    column list and integer dtypes restored. A group block missing this
-    side's columns has no rows of this side — return the typed empty."""
-    sub = g.loc[g["__side"] == side]
-    if any(c not in sub.columns for c in cols):
-        return empty_tmpl.copy()
-    return _restore_int_cols(sub[cols].copy(), int_cols)
+def _arrow_tag(side_val: int, k: str, cols: list, n_buckets: int, ctx: str):
+    """Project + bucket-tag one side of a bucketed join as ARROW blocks.
+    Ray's arrow schema unification null-extends a side's missing columns
+    KEEPING their types, so an int64 key/payload whose magnitude exceeds
+    2^53 (every hash64-derived column in this repo) survives bit-exact.
+    The earlier pandas tagged union widened such columns to float64
+    during null fill — the silent-corruption class found and fixed for
+    the equi-join in round 4; all three bucketed joins now share this
+    arrow form."""
+    def fn(t: pa.Table) -> pa.Table:
+        t = t.select(cols)
+        b = _bucket_of(t[k].to_pandas(), n_buckets, ctx)
+        t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
+        return t.append_column("__side", pa.array(
+            np.full(t.num_rows, side_val, dtype=np.int64)))
+    return fn
 
 
-def _restore_int_cols(df: pd.DataFrame, int_cols: frozenset) -> pd.DataFrame:
-    """Undo the int64→float64 widening that Ray's union-schema null fill
-    applies to a side's integer columns (NaN-free after side-split)."""
-    for name in int_cols:
-        if name in df.columns and df[name].dtype.kind == "f":
-            vals = df[name].to_numpy()
-            if len(vals) == 0 or not np.isnan(vals).any():
-                df[name] = df[name].astype(np.int64)
-    return df
+def _arrow_side_pdf(g: pa.Table, val: int, cols: list,
+                    empty: pd.DataFrame) -> pd.DataFrame:
+    """One side's rows of an arrow tagged-union group, as pandas. Rows of
+    this side carry no fill-nulls in their OWN columns, so integer types
+    convert exactly; a group block missing this side's columns has no
+    rows of this side — return the typed empty so every bucket's output
+    schema is identical."""
+    sub = g.filter(pc.equal(g["__side"], val))
+    if sub.num_rows == 0 or any(c not in sub.column_names for c in cols):
+        return empty.copy()
+    return sub.select(cols).to_pandas()
 
 
 # ---------------------------------------------------------------------------
@@ -212,41 +213,43 @@ def bucketed_asof_join(left_ds, right_ds, key: str, ts: str,
                        right_ts: str | None = None,
                        n_buckets: int = 32):
     """Both-sides-large as-of join: hash-bucket on the key, per-bucket
-    ``pd.merge_asof`` over sorted frames (one narrow shuffle)."""
+    ``pd.merge_asof`` over sorted frames (one narrow shuffle). The tagged
+    union travels as ARROW blocks (see ``_arrow_tag``) so int64 keys and
+    payloads above 2^53 survive bit-exact. Key dtypes must match across
+    sides (``merge_asof`` requires equal ``by`` dtypes)."""
     right_key = right_key or key
     right_ts = right_ts or ts
     ls, rs = left_ds.schema(), right_ds.schema()
     lc, rc = list(ls.names), list(rs.names)
-    l_ints, r_ints = _int_cols_of(ls), _int_cols_of(rs)
     l_empty, r_empty = _empty_frame(ls, lc), _empty_frame(rs, rc)
 
-    def tag(side, k, cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[cols].copy()
-            b["__bucket"] = _bucket_of(b[k], n_buckets, "bucketed_asof_join")
-            b["__side"] = side
-            return b
-        return fn
+    tagged = left_ds.map_batches(
+        _arrow_tag(0, key, lc, n_buckets, "bucketed_asof_join"),
+        batch_format="pyarrow").union(right_ds.map_batches(
+            _arrow_tag(1, right_key, rc, n_buckets, "bucketed_asof_join"),
+            batch_format="pyarrow"))
 
-    tagged = left_ds.map_batches(tag("L", key, lc),
-                                 batch_format="pandas").union(
-        right_ds.map_batches(tag("R", right_key, rc),
-                             batch_format="pandas"))
-
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = _side_frame(g, "L", lc, l_ints, l_empty)
-        right = _side_frame(g, "R", rc, r_ints, r_empty)
+    def per_bucket(g: pa.Table) -> pd.DataFrame:
+        left = _arrow_side_pdf(g, 0, lc, l_empty)
+        right = _arrow_side_pdf(g, 1, rc, r_empty)
         left = left.sort_values(ts, kind="mergesort")
         right = right.sort_values(right_ts, kind="mergesort")
         # unify timestamp resolutions (arrow→pandas may yield us vs ns)
         left[ts] = pd.to_datetime(left[ts]).astype("datetime64[us]")
         right[right_ts] = pd.to_datetime(right[right_ts]) \
             .astype("datetime64[us]")
+        # right int payloads → nullable Int64: merge_asof's left-outer
+        # shape fills unmatched rows with a null, and plain int64 would
+        # widen to float64 there (rounding payloads above 2^53 — the
+        # exact corruption class the arrow union fixes upstream)
+        for c in right.columns:
+            if c not in (right_key, right_ts) and right[c].dtype.kind in "iu":
+                right[c] = right[c].astype("Int64")
         return pd.merge_asof(left, right, left_on=ts, right_on=right_ts,
                              left_by=key, right_by=right_key)
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 ASOF_BROADCAST_MAX = 2_000_000
@@ -353,29 +356,22 @@ def bucketed_interval_join(left_ds, right_ds, key: str, ts: str,
                            n_buckets: int = 32):
     """Both-sides-large fixed-length interval join: hash-bucket both
     sides on the key (one narrow shuffle), then run the same contiguous-
-    run searchsorted expansion as the broadcast form per bucket."""
+    run searchsorted expansion as the broadcast form per bucket. The
+    tagged union travels as ARROW blocks (see ``_arrow_tag``) so int64
+    keys and payloads above 2^53 survive bit-exact."""
     length_us = int(pd.Timedelta(length).value // 1000)
     ls, rs = left_ds.schema(), right_ds.schema()
     lc = list(ls.names)
     rc = list(dict.fromkeys([right_key, right_start] + list(right_cols)))
-    l_ints = _int_cols_of(ls)
-    r_ints = _int_cols_of(rs) & frozenset(rc)
     l_empty = _empty_frame(ls, lc)
     r_empty = _empty_frame(rs, rc)
 
-    def tag(side, k, cols):
-        def fn(b: pd.DataFrame) -> pd.DataFrame:
-            b = b[cols].copy()
-            b["__bucket"] = _bucket_of(b[k], n_buckets,
-                                       "bucketed_interval_join")
-            b["__side"] = side
-            return b
-        return fn
-
-    tagged = left_ds.map_batches(tag("L", key, lc),
-                                 batch_format="pandas").union(
-        right_ds.map_batches(tag("R", right_key, rc),
-                             batch_format="pandas"))
+    tagged = left_ds.map_batches(
+        _arrow_tag(0, key, lc, n_buckets, "bucketed_interval_join"),
+        batch_format="pyarrow").union(right_ds.map_batches(
+            _arrow_tag(1, right_key, rc, n_buckets,
+                       "bucketed_interval_join"),
+            batch_format="pyarrow"))
 
     def _us(arr) -> np.ndarray:
         return pd.to_datetime(arr).astype("datetime64[us]") \
@@ -383,9 +379,9 @@ def bucketed_interval_join(left_ds, right_ds, key: str, ts: str,
 
     out_right_cols = [c for c in right_cols if c != right_key]
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = _side_frame(g, "L", lc, l_ints, l_empty)
-        right = _side_frame(g, "R", rc, r_ints, r_empty)
+    def per_bucket(g: pa.Table) -> pd.DataFrame:
+        left = _arrow_side_pdf(g, 0, lc, l_empty)
+        right = _arrow_side_pdf(g, 1, rc, r_empty)
         if left.empty or right.empty:
             out = left.iloc[0:0].copy()
             for c in out_right_cols:
@@ -426,7 +422,7 @@ def bucketed_interval_join(left_ds, right_ds, key: str, ts: str,
         return out.reset_index(drop=True)
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
-                                                 batch_format="pandas")
+                                                 batch_format="pyarrow")
 
 
 def interval_join(left_ds, right_ds, key: str, ts: str, right_key: str,
@@ -465,18 +461,9 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
     Broadcast beats this whenever one side fits in the object store —
     use ``broadcast_join`` there; this is the 100-TB-both-sides form.
 
-    The tagged union travels as ARROW blocks end to end: Ray's arrow
-    schema unification null-extends a side's missing columns KEEPING
-    their types, so an int64 key/payload whose magnitude exceeds 2^53
-    (every hash64-derived column in this repo: gram/comb/__dh/__ch)
-    survives bit-exact. The previous pandas union widened such columns
-    to float64 during null fill, silently rounding the low bits before
-    ``_restore_int_cols`` cast them back — equal keys still collided
-    identically (same deterministic rounding on both sides) but
-    distinct keys could false-match at ~n²/2^54 odds, and a hash
-    column re-derived downstream no longer matched its joined copy.
-    Each side converts to pandas only AFTER the side split, when its
-    own columns carry no fill-nulls.
+    The tagged union travels as ARROW blocks end to end (``_arrow_tag``
+    docstring has the int64>2^53 history); each side converts to pandas
+    only AFTER the side split, when its own columns carry no fill-nulls.
     """
     right_key = right_key or key
     # fixed per-side column lists: every bucket's output is reindexed to
@@ -488,33 +475,15 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
     l_empty = _empty_frame(ls, lc)
     r_empty = _empty_frame(rs, rc)
 
-    def tag(side_val, k, cols):
-        def fn(t: pa.Table) -> pa.Table:
-            t = t.select(cols)
-            b = _bucket_of(t[k].to_pandas(), n_buckets,
-                           "bucketed_equi_join")
-            t = t.append_column("__bucket", pa.array(b, type=pa.int64()))
-            return t.append_column("__side", pa.array(
-                np.full(t.num_rows, side_val, dtype=np.int64)))
-        return fn
-
-    tagged = left_ds.map_batches(tag(0, key, lc),
-                                 batch_format="pyarrow").union(
-        right_ds.map_batches(tag(1, right_key, rc),
-                             batch_format="pyarrow"))
-
-    def side_pdf(g: pa.Table, val: int, cols: list,
-                 empty: pd.DataFrame) -> pd.DataFrame:
-        sub = g.filter(pc.equal(g["__side"], val))
-        if sub.num_rows == 0 or any(c not in sub.column_names
-                                    for c in cols):
-            # typed empty keeps every bucket's output schema identical
-            return empty.copy()
-        return sub.select(cols).to_pandas()
+    tagged = left_ds.map_batches(
+        _arrow_tag(0, key, lc, n_buckets, "bucketed_equi_join"),
+        batch_format="pyarrow").union(right_ds.map_batches(
+            _arrow_tag(1, right_key, rc, n_buckets, "bucketed_equi_join"),
+            batch_format="pyarrow"))
 
     def per_bucket(g: pa.Table) -> pd.DataFrame:
-        left = side_pdf(g, 0, lc, l_empty)
-        right = side_pdf(g, 1, rc, r_empty)
+        left = _arrow_side_pdf(g, 0, lc, l_empty)
+        right = _arrow_side_pdf(g, 1, rc, r_empty)
         return pd.merge(left, right, left_on=key, right_on=right_key,
                         how=how)
 

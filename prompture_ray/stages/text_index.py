@@ -12,6 +12,13 @@ Build (one corpus tokenize, ever):
   (n_docs, avgdl), derived from the WRITTEN postings by narrow disk
   re-reads — the corpus text itself is never scanned twice
 
+Maintenance is generational (ADVICE r4): delta files carry an ``updG-``
+prefix (G = delta generation, base files are generation 0) and each
+tombstone records the generation it was issued at — a tombstone kills
+only postings from files of generation <= its own, so re-adding a
+removed doc_id UPDATES the document (the newer postings survive)
+instead of silently deleting it.
+
 Search: tokenize the query, read the probed buckets with a term filter,
 score Okapi BM25 vectorized per batch (same idf/score form as
 ``similarity.bm25_topk``), groupby-doc sum, top-k. Reference scoring
@@ -95,53 +102,158 @@ def _make_extract(text_col: str, id_col: str, n_buckets: int):
     return extract
 
 
-def _tombstone_ids(index_dir: str) -> np.ndarray:
-    """Sorted array of removed doc ids (empty if none)."""
+# ---------------------------------------------------------------------------
+# generational layout helpers
+# ---------------------------------------------------------------------------
+
+
+def _gen_of_path(p: str) -> int:
+    """Delta generation of a posting file: ``updG-*`` files are
+    generation G, everything else (base build / compacted) is 0."""
+    b = os.path.basename(p)
+    if b.startswith("upd"):
+        head = b[3:].split("-", 1)[0]
+        if head.isdigit():
+            return int(head)
+    return 0
+
+
+def _live_bucket_dirs(index_dir: str) -> dict:
+    """bucket number → directory path, preferring the primary
+    ``bucket=K`` name and falling back to the ``bucket=K.old``
+    rename-aside left by an interrupted compaction
+    (``compact_text_index`` keeps a complete bucket under one of the
+    two names at every intermediate state)."""
+    primary, old = {}, {}
+    for d in glob.glob(os.path.join(index_dir, "bucket=*")):
+        base = os.path.basename(d)[len("bucket="):]
+        if base.endswith(".compact"):
+            continue
+        tgt = primary
+        if base.endswith(".old"):
+            base, tgt = base[:-len(".old")], old
+        try:
+            tgt[int(base)] = d
+        except ValueError:
+            continue
+    merged = dict(old)
+    merged.update(primary)
+    return merged
+
+
+def _paths_for_buckets(index_dir: str, bucket_nums) -> list:
+    dirs = _live_bucket_dirs(index_dir)
+    paths = []
+    for b in bucket_nums:
+        d = dirs.get(int(b))
+        if d:
+            paths.extend(sorted(glob.glob(os.path.join(d, "*.parquet"))))
+    return paths
+
+
+def _max_gen(index_dir: str) -> int:
+    g = 0
+    for d in _live_bucket_dirs(index_dir).values():
+        for p in glob.glob(os.path.join(d, "*.parquet")):
+            g = max(g, _gen_of_path(p))
+    return g
+
+
+def _tombstones(index_dir: str) -> tuple:
+    """(sorted unique doc ids, max tombstone generation per id).
+    A tombstone issued at generation g kills postings from files of
+    generation <= g; postings added by a LATER delta survive — so
+    remove+re-add updates a document instead of deleting it. Pre-
+    generational tombstone files (no ``gen`` column) kill every
+    generation."""
     paths = sorted(glob.glob(
         os.path.join(index_dir, "tombstones", "*.parquet")))
     if not paths:
-        return np.empty(0, dtype=np.int64)
+        e = np.empty(0, dtype=np.int64)
+        return e, e
     import pyarrow.parquet as pq
-    ids = np.concatenate([
-        pq.read_table(p, columns=["doc_id"])["doc_id"]
-        .to_numpy(zero_copy_only=False).astype(np.int64) for p in paths])
-    return np.unique(ids)
+    ids_l, gen_l = [], []
+    for p in paths:
+        t = pq.read_table(p)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if "gen" in t.column_names:
+            gens = t["gen"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        else:
+            gens = np.full(len(ids), np.iinfo(np.int64).max)
+        ids_l.append(ids)
+        gen_l.append(gens)
+    ids = np.concatenate(ids_l)
+    gens = np.concatenate(gen_l)
+    order = np.argsort(ids, kind="stable")
+    ids, gens = ids[order], gens[order]
+    uniq, start = np.unique(ids, return_index=True)
+    maxg = np.maximum.reduceat(gens, start)
+    return uniq, maxg
+
+
+def _tombstone_ids(index_dir: str) -> np.ndarray:
+    """Sorted array of doc ids with ANY tombstone (empty if none)."""
+    return _tombstones(index_dir)[0]
+
+
+def _read_live(paths: list, columns, tomb: tuple):
+    """Read posting files grouped by delta generation, each group
+    dropping only the doc ids whose tombstone generation >= the file
+    generation (one small sorted dead-id array broadcast per group)."""
+    import ray
+    import ray.data as rd
+
+    tomb_ids, tomb_gens = tomb
+    groups: dict = {}
+    for p in paths:
+        groups.setdefault(_gen_of_path(p), []).append(p)
+    parts = []
+    for g, ps in sorted(groups.items()):
+        d = rd.read_parquet(ps, columns=columns)
+        dead = tomb_ids[tomb_gens >= g] if len(tomb_ids) else tomb_ids
+        if len(dead):
+            dead_ref = ray.put(dead)
+
+            def live(t: pa.Table, _ref=dead_ref) -> pa.Table:
+                ds_ = ray.get(_ref)
+                if t.num_rows == 0:
+                    return t
+                ids = t["doc_id"].to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                i = np.clip(np.searchsorted(ds_, ids), 0, len(ds_) - 1)
+                return t.filter(pa.array(ds_[i] != ids))
+
+            d = d.map_batches(live, batch_format="pyarrow")
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
 
 
 def _refresh_derived(index_dir: str, n_buckets: int, id_col: str) -> dict:
     """Recompute df table + meta from narrow DISK re-reads of the
     written postings (the corpus is never re-tokenized), excluding
-    tombstoned docs so BM25 statistics stay exact after removals."""
-    import ray
-    import ray.data as rd
+    generation-dead docs so BM25 statistics stay exact after removals
+    AND updates."""
     from ray.data.aggregate import Count
 
-    tomb = _tombstone_ids(index_dir)
-    tomb_ref = ray.put(tomb)
-
-    def live(t: pa.Table) -> pa.Table:
-        ts = ray.get(tomb_ref)
-        if not len(ts) or t.num_rows == 0:
-            return t
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        i = np.clip(np.searchsorted(ts, ids), 0, len(ts) - 1)
-        return t.filter(pa.array(ts[i] != ids))
-
-    doc_paths = sorted(glob.glob(
-        os.path.join(index_dir, "bucket=-1", "*.parquet")))
-    docs = rd.read_parquet(doc_paths, columns=["doc_id", "dl"]) \
-        .map_batches(live, batch_format="pyarrow").materialize()
+    tomb = _tombstones(index_dir)
+    dirs = _live_bucket_dirs(index_dir)
+    doc_paths = sorted(glob.glob(os.path.join(dirs.get(-1, "__none__"),
+                                              "*.parquet"))) \
+        if -1 in dirs else []
+    docs = _read_live(doc_paths, ["doc_id", "dl"], tomb).materialize()
     n_docs = docs.count()
     total_len = int(docs.sum("dl") or 0)
 
-    post_paths = [p for p in glob.glob(
-        os.path.join(index_dir, "bucket=*", "*.parquet"))
-        if "bucket=-1" not in p]
+    post_paths = _paths_for_buckets(index_dir,
+                                    [b for b in dirs if b != -1])
     df_dir = os.path.join(index_dir, "df")
     shutil.rmtree(df_dir, ignore_errors=True)
     if post_paths:
-        df_tbl = rd.read_parquet(post_paths, columns=["term", "doc_id"]) \
-            .map_batches(live, batch_format="pyarrow") \
+        df_tbl = _read_live(post_paths, ["term", "doc_id"], tomb) \
             .groupby("term").aggregate(Count(alias_name="df"))
         df_tbl.write_parquet(df_dir)
 
@@ -176,23 +288,46 @@ def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
 
     - ``add_ds``: new documents tokenize ONCE (same extract as build)
       and their postings are written as ADDITIONAL files moved into the
-      existing ``bucket=K`` partition dirs — the old corpus is never
+      existing ``bucket=K`` partition dirs under an ``updG-`` prefix
+      (G = this call's delta generation) — the old corpus is never
       re-read, and a search picks the delta up automatically because it
       globs the bucket dir.
-    - ``remove_ids``: appended to a ``tombstones/`` parquet; removed
-      docs are filtered out of search results AND out of the refreshed
-      df/n_docs/avgdl statistics, so scores equal a from-scratch build
-      over the live corpus. Postings stay on disk (cheap, append-only);
-      a removal-heavy index should eventually rebuild (compaction).
+    - ``remove_ids``: appended to a ``tombstones/`` parquet with the
+      PRE-delta generation; removed docs are filtered out of search
+      results AND out of the refreshed df/n_docs/avgdl statistics, so
+      scores equal a from-scratch build over the live corpus. Postings
+      stay on disk (cheap, append-only); a removal-heavy index should
+      eventually rebuild (compaction).
 
-    Updating a document = remove_ids + add_ds in one call. Returns the
-    refreshed meta. ``remove_ids`` is a driver-side list by contract —
-    tombstone sets (benchmark scrubs, takedowns) are small; a
-    corpus-scale removal should rebuild the index over the filtered
+    Updating a document = remove_ids + add_ds in ONE call: the
+    tombstone is generation-scoped to the pre-existing files, so the
+    new postings for the same doc_id survive and the doc carries the
+    NEW text (ADVICE r4 — the id-set tombstone silently deleted it).
+    Re-adding an id WITHOUT tombstoning its old copy duplicates the
+    document (two sentinel rows) — always pass it in ``remove_ids``.
+
+    Returns the refreshed meta. ``remove_ids`` is a driver-side list by
+    contract — tombstone sets (benchmark scrubs, takedowns) are small;
+    a corpus-scale removal should rebuild the index over the filtered
     corpus instead (one pass, same cost as the refresh would be)."""
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     n_buckets, id_col = int(meta["n_buckets"]), meta["id_col"]
+    prev_gen = _max_gen(index_dir)
+
+    # tombstones first: they are scoped to generations <= prev_gen, so
+    # a crash between the two steps never kills the (unwritten) delta
+    if remove_ids is not None and len(remove_ids):
+        tdir = os.path.join(index_dir, "tombstones")
+        os.makedirs(tdir, exist_ok=True)
+        import pyarrow.parquet as pq
+        ids = np.asarray(sorted(set(int(i) for i in remove_ids)),
+                         dtype=np.int64)
+        pq.write_table(
+            pa.table({"doc_id": pa.array(ids),
+                      "gen": pa.array(np.full(len(ids), prev_gen,
+                                              dtype=np.int64))}),
+            os.path.join(tdir, f"t{len(os.listdir(tdir))}.parquet"))
 
     if add_ds is not None:
         tmp = os.path.join(index_dir, "_delta_tmp")
@@ -200,8 +335,7 @@ def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
         add_ds.map_batches(_make_extract(text_col, id_col, n_buckets),
                            batch_format="pyarrow") \
             .write_parquet(tmp, partition_cols=["bucket"])
-        gen = len(glob.glob(os.path.join(index_dir, "bucket=-1",
-                                         "upd*"))) + 1
+        gen = prev_gen + 1
         for src in glob.glob(os.path.join(tmp, "bucket=*", "*.parquet")):
             bdir = os.path.join(index_dir, os.path.basename(
                 os.path.dirname(src)))
@@ -210,55 +344,52 @@ def update_text_index(index_dir: str, add_ds=None, text_col: str = "text",
                 bdir, f"upd{gen}-{os.path.basename(src)}"))
         shutil.rmtree(tmp, ignore_errors=True)
 
-    if remove_ids is not None and len(remove_ids):
-        tdir = os.path.join(index_dir, "tombstones")
-        os.makedirs(tdir, exist_ok=True)
-        import pyarrow.parquet as pq
-        ids = np.asarray(sorted(set(int(i) for i in remove_ids)),
-                         dtype=np.int64)
-        pq.write_table(pa.table({"doc_id": pa.array(ids)}),
-                       os.path.join(tdir, f"t{len(os.listdir(tdir))}.parquet"))
-
     return _refresh_derived(index_dir, n_buckets, id_col)
 
 
 def compact_text_index(index_dir: str) -> dict:
-    """Fold deltas and drop tombstoned postings: re-read every bucket
-    live-filtered and rewrite it as a fresh file set, then clear the
-    tombstone dir. Search results are unchanged (equality-tested); disk
-    and per-search read cost shrink to the live corpus. Atomic per
-    bucket: the new files land in a sibling dir that replaces the old
-    one with os.replace."""
-    import ray
+    """Fold deltas and drop generation-dead postings: re-read every
+    bucket live-filtered and rewrite it as a fresh file set (generation
+    0), then clear the tombstone dir. Search results are unchanged
+    (equality-tested); disk and per-search read cost shrink to the live
+    corpus. Crash-safe per bucket: the old dir is renamed aside
+    (``bucket=K.old``) BEFORE the new one is promoted, so every
+    intermediate state has a complete bucket under one of the two names
+    (readers fall back to ``.old``); interrupted compactions are
+    recovered at the start of the next run."""
     import ray.data as rd
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    tomb = _tombstone_ids(index_dir)
-    tomb_ref = ray.put(tomb)
 
-    def live(t: pa.Table) -> pa.Table:
-        ts = ray.get(tomb_ref)
-        if not len(ts) or t.num_rows == 0:
-            return t
-        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        i = np.clip(np.searchsorted(ts, ids), 0, len(ts) - 1)
-        return t.filter(pa.array(ts[i] != ids))
+    # recover any interrupted compaction: promote orphaned .old dirs
+    # whose primary is missing, drop stale .old/.compact leftovers
+    for d in glob.glob(os.path.join(index_dir, "bucket=*.compact")):
+        shutil.rmtree(d, ignore_errors=True)
+    for d in glob.glob(os.path.join(index_dir, "bucket=*.old")):
+        primary = d[:-len(".old")]
+        if os.path.isdir(primary):
+            shutil.rmtree(d, ignore_errors=True)
+        else:
+            os.replace(d, primary)
 
+    tomb = _tombstones(index_dir)
     for bdir in sorted(glob.glob(os.path.join(index_dir, "bucket=*"))):
         paths = sorted(glob.glob(os.path.join(bdir, "*.parquet")))
         if not paths:
             continue
         tmp = bdir + ".compact"
         shutil.rmtree(tmp, ignore_errors=True)
-        ds = rd.read_parquet(paths) \
-            .map_batches(live, batch_format="pyarrow").materialize()
+        ds = _read_live(paths, None, tomb).materialize()
         # coalesce: a handful of files per bucket, not one per input
         # block (5M posting rows ≈ 150 MB per output file)
         ds.repartition(max(1, -(-ds.count() // 5_000_000))) \
             .write_parquet(tmp)
-        shutil.rmtree(bdir)
+        old = bdir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.replace(bdir, old)
         os.replace(tmp, bdir)
+        shutil.rmtree(old, ignore_errors=True)
     shutil.rmtree(os.path.join(index_dir, "tombstones"),
                   ignore_errors=True)
     return _refresh_derived(index_dir, int(meta["n_buckets"]),
@@ -270,7 +401,6 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
     """BM25 top-k from the persisted index: reads ONLY the buckets the
     query terms hash into plus the tiny df rows for those terms."""
     import duckdb
-    import ray.data as rd
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
@@ -299,18 +429,15 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
     buckets = sorted({int(bkt) for bkt in
                       _term_bucket(np.asarray(uniq, dtype=object),
                                    meta["n_buckets"])})
-    paths = []
-    for bkt in buckets:
-        paths.extend(sorted(glob.glob(
-            os.path.join(index_dir, f"bucket={bkt}", "*.parquet"))))
+    paths = _paths_for_buckets(index_dir, buckets)
     if not paths:
         return empty
-    post = rd.read_parquet(paths, columns=["term", "doc_id", "tf", "dl"])
+    post = _read_live(paths, ["term", "doc_id", "tf", "dl"],
+                      _tombstones(index_dir))
 
     term_arr = pa.array(uniq, type=pa.string())
     # per-term weight = idf × query multiplicity (dup query terms score ×n)
     weights = np.array([idf[t] * terms.count(t) for t in uniq])
-    tomb = _tombstone_ids(index_dir)
 
     def score(t: pa.Table) -> pa.Table:
         col = t["term"]
@@ -318,11 +445,6 @@ def text_index_search(index_dir: str, query: str, k: int = 10,
             col = col.combine_chunks()
         codes = pc.index_in(col, value_set=term_arr)
         keep = pc.is_valid(codes)
-        if len(tomb):
-            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            j = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
-            keep = pc.and_(keep, pa.array(tomb[j] != ids))
         t = t.filter(keep)
         if t.num_rows == 0:
             return pa.table({"doc_id": pa.array([], type=pa.int64()),
@@ -361,9 +483,9 @@ def text_index_phrase_search(index_dir: str, phrase: str, docs_ds,
     position-free (¼ the size), and the verify scan is bounded by the
     rarest term's document frequency, not the corpus.
 
-    ``docs_ds`` must be the corpus the index was built from (the id
-    column named as at build time). Returns (id, n_occ) for docs with
-    >= 1 occurrence."""
+    ``docs_ds`` must be the LIVE corpus the index currently reflects
+    (updated docs carry their new text; the id column named as at build
+    time). Returns (id, n_occ) for docs with >= 1 occurrence."""
     import ray
     import ray.data as rd
     from ray.data.aggregate import Count
@@ -379,28 +501,20 @@ def text_index_phrase_search(index_dir: str, phrase: str, docs_ds,
     buckets = sorted({int(b) for b in
                       _term_bucket(np.asarray(uniq, dtype=object),
                                    meta["n_buckets"])})
-    paths = []
-    for bkt in buckets:
-        paths.extend(sorted(glob.glob(
-            os.path.join(index_dir, f"bucket={bkt}", "*.parquet"))))
+    paths = _paths_for_buckets(index_dir, buckets)
     empty = pa.table({id_col: pa.array([], type=pa.int64()),
                       "n_occ": pa.array([], type=pa.int64())})
     if not paths:
         return rd.from_arrow(empty)
 
     term_arr = pa.array(uniq, type=pa.string())
-    tomb = _tombstone_ids(index_dir)
 
     def hit_rows(t: pa.Table) -> pa.Table:
         keep = pc.is_valid(pc.index_in(t["term"], value_set=term_arr))
-        if len(tomb):
-            ids = t["doc_id"].to_numpy(zero_copy_only=False) \
-                .astype(np.int64)
-            j = np.clip(np.searchsorted(tomb, ids), 0, len(tomb) - 1)
-            keep = pc.and_(keep, pa.array(tomb[j] != ids))
         return t.filter(keep).select(["doc_id", "term"])
 
-    hits = rd.read_parquet(paths, columns=["term", "doc_id"]) \
+    hits = _read_live(paths, ["term", "doc_id"],
+                      _tombstones(index_dir)) \
         .map_batches(hit_rows, batch_format="pyarrow") \
         .groupby("doc_id").aggregate(Count(alias_name="nt"))
     cand = np.sort(np.concatenate(

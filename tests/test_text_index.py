@@ -59,10 +59,13 @@ def test_text_index_rebuild_guard(corpus, tmp_path):
 
 
 def test_incremental_update_equals_rebuild(corpus, tmp_path):
-    """build(evens) + update(add odds, remove %3==0) must give the SAME
+    """build(evens) + update(add odds, remove [0,3,6]) must give the SAME
     search results (scores included) as a from-scratch build over the
     live corpus — catches stale df/n_docs/avgdl, missing delta files,
-    and unfiltered tombstones."""
+    and unfiltered tombstones. Doc 3 is in BOTH remove_ids and add_ds:
+    generational tombstones (ADVICE r4) make that an UPDATE — its
+    same-call delta postings survive — so the live corpus excludes only
+    the removed-and-not-re-added ids {0, 6}."""
     import pyarrow.compute as pc
     from prompture_ray.stages.text_index import (
         build_text_index, update_text_index, text_index_search)
@@ -81,10 +84,11 @@ def test_incremental_update_equals_rebuild(corpus, tmp_path):
                                            batch_format="pyarrow"),
         remove_ids=removed)
 
+    gone = [0, 6]   # 3 was re-added in the same call → updated, live
     ref_dir = str(tmp_path / "ref")
     live = corpus.map_batches(
         lambda t: t.filter(pc.invert(pc.is_in(
-            t["doc_id"], value_set=pa.array(removed, type=pa.int64())))),
+            t["doc_id"], value_set=pa.array(gone, type=pa.int64())))),
         batch_format="pyarrow")
     ref_meta = build_text_index(live, "text", "doc_id", ref_dir,
                                 n_buckets=8)
@@ -95,9 +99,66 @@ def test_incremental_update_equals_rebuild(corpus, tmp_path):
         b = text_index_search(ref_dir, q, k=10)
         assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
         assert np.allclose(a["bm25"], b["bm25"], rtol=0, atol=0), q
-    # removed docs never surface
+    # removed-and-not-re-added docs never surface
     hits = text_index_search(inc_dir, "hash join stream", k=10)
-    assert not set(hits["doc_id"]) & set(removed)
+    assert not set(hits["doc_id"]) & set(gone)
+
+
+def test_update_replaces_document_text(corpus, tmp_path):
+    """ADVICE r4 repro: remove_ids + add_ds for the SAME doc_id in one
+    call must UPDATE the document — n_docs unchanged, the NEW text
+    searchable, the OLD text gone — not silently delete it. A LATER
+    remove-only call must then kill the updated copy too."""
+    import ray.data as rd
+    from prompture_ray.stages.text_index import (
+        build_text_index, update_text_index, text_index_search)
+
+    d = str(tmp_path / "upd")
+    build_text_index(corpus, "text", "doc_id", d, n_buckets=8)
+    new0 = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array(["zanzibar spice markets"])}))
+    meta = update_text_index(d, add_ds=new0, remove_ids=[0])
+    assert meta["n_docs"] == 7          # updated, not deleted
+    got = text_index_search(d, "zanzibar", k=5)
+    assert got["doc_id"].tolist() == [0]
+    old = text_index_search(d, "beats nested loop", k=5)
+    assert 0 not in set(old["doc_id"])  # old text no longer matches
+    # a tombstone issued AFTER the update kills the updated copy
+    meta2 = update_text_index(d, remove_ids=[0])
+    assert meta2["n_docs"] == 6
+    assert len(text_index_search(d, "zanzibar", k=5)) == 0
+
+
+def test_compaction_crash_recovery(corpus, tmp_path):
+    """compact_text_index renames each bucket aside (bucket=K.old)
+    before promoting the rewrite — a crash between the two steps leaves
+    a complete bucket under ONE of the two names. Searches must fall
+    back to the .old dir, and the next compaction must recover it."""
+    import os, glob, shutil
+    from prompture_ray.stages.text_index import (
+        build_text_index, compact_text_index, text_index_search)
+
+    d = str(tmp_path / "crash")
+    build_text_index(corpus, "text", "doc_id", d, n_buckets=8)
+    before = {q: text_index_search(d, q, k=10)
+              for q in ["hash join stream", "merge", "fox"]}
+    # simulate the crash window for every bucket: primary renamed aside,
+    # replacement not yet promoted (stale .compact leftovers included)
+    for bdir in glob.glob(os.path.join(d, "bucket=*")):
+        shutil.copytree(bdir, bdir + ".compact")
+        os.replace(bdir, bdir + ".old")
+    for q, b in before.items():
+        a = text_index_search(d, q, k=10)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        assert np.allclose(a["bm25"], b["bm25"], rtol=0, atol=0), q
+    compact_text_index(d)
+    assert not glob.glob(os.path.join(d, "bucket=*.old"))
+    assert not glob.glob(os.path.join(d, "bucket=*.compact"))
+    for q, b in before.items():
+        a = text_index_search(d, q, k=10)
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), q
+        assert np.allclose(a["bm25"], b["bm25"], rtol=0, atol=0), q
 
 
 def test_update_then_remove_only(corpus, tmp_path):
@@ -124,7 +185,10 @@ def test_compaction_preserves_results(corpus, tmp_path):
         batch_format="pyarrow"), "text", "doc_id", d, n_buckets=8)
     update_text_index(d, add_ds=corpus.map_batches(
         lambda t: t.filter(pc.greater_equal(t["doc_id"], 4)),
-        batch_format="pyarrow"), remove_ids=[1, 4])
+        batch_format="pyarrow"))
+    # remove in a SECOND call so the tombstone's generation covers the
+    # delta that added doc 4 (same-call remove+add would UPDATE it)
+    update_text_index(d, remove_ids=[1, 4])
     before = {q: text_index_search(d, q, k=10)
               for q in ["hash join stream", "merge", "fox"]}
     n_files_before = len(glob.glob(os.path.join(d, "bucket=*",

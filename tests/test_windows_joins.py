@@ -408,3 +408,52 @@ def test_running_aggregate_bucketed_equals_plain(ray_session):
         .to_pandas().sort_values("eid", ignore_index=True)
     assert plain["running_sum"].tolist() == \
         bucketed["running_sum"].tolist()
+
+
+def test_bucketed_asof_interval_hash_magnitude_int64(ray_session):
+    """r4 verdict #1: the pandas tagged union widened int64 columns above
+    2^53 to float64 during null fill, rounding low bits. Both joins now
+    travel as arrow-union blocks; keys AND payloads whose low bits would
+    not survive a float64 round-trip must come through bit-exact, and two
+    distinct keys that ROUND to the same float64 must not cross-match."""
+    import ray.data as rd
+    base = 1 << 61                      # float64 spacing here is 512
+    kA, kB = base + 1, base + 2         # distinct; both round to 2^61
+    assert kA != kB and float(kA) == float(kB)
+    ts0 = pd.Timestamp("2024-01-01")
+    left = rd.from_arrow(pa.table({
+        "k": pa.array([kA, kA, kB], type=pa.int64()),
+        "ts": pa.array([ts0 + pd.Timedelta(minutes=m) for m in (5, 15, 5)],
+                       type=pa.timestamp("us")),
+        "lpay": pa.array([base + 7, base + 9, base + 11], type=pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([kA, kB], type=pa.int64()),
+        "rts": pa.array([ts0, ts0 + pd.Timedelta(minutes=10)],
+                        type=pa.timestamp("us")),
+        "rpay": pa.array([base + 3, base + 5], type=pa.int64()),
+    }))
+    out = j.bucketed_asof_join(left, right, key="k", ts="ts",
+                               right_ts="rts", n_buckets=4).to_pandas() \
+        .sort_values(["ts", "lpay"], ignore_index=True)
+    assert out["lpay"].tolist() == [base + 7, base + 11, base + 9]
+    # kB's event at minute 5 precedes its only order (minute 10) → no match;
+    # kA's events both match kA's order ONLY (no float64 key collision)
+    assert out["rpay"].tolist()[0] == base + 3
+    assert pd.isna(out["rpay"].tolist()[1])
+    assert out["rpay"].tolist()[2] == base + 3
+    assert out["lpay"].dtype.kind == "i" and out["k"].dtype.kind == "i"
+
+    iv_right = rd.from_arrow(pa.table({
+        "rk": pa.array([kA, kB], type=pa.int64()),
+        "start": pa.array([ts0, ts0], type=pa.timestamp("us")),
+        "rpay": pa.array([base + 3, base + 5], type=pa.int64()),
+    }))
+    iout = j.bucketed_interval_join(
+        left, iv_right, key="k", ts="ts", right_key="rk",
+        right_start="start", length="30min", right_cols=["rpay"],
+        n_buckets=4).to_pandas().sort_values(["lpay"], ignore_index=True)
+    # every left row is inside its own key's interval; exact key match only
+    assert iout["lpay"].tolist() == [base + 7, base + 9, base + 11]
+    assert iout["rpay"].tolist() == [base + 3, base + 3, base + 5]
+    assert iout["lpay"].dtype.kind == "i" and iout["rpay"].dtype.kind == "i"
