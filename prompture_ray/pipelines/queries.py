@@ -1488,7 +1488,11 @@ def kg_two_hop_docs(sf_dir: str):
 
     seeds = ds.map_batches(seed_rows, batch_format="pyarrow") \
         .unique("doc_id")
-    out = k_hop_neighbors(rel, seeds, k=2, direction="out")
+    # broadcast_max=0 forces the fully distributed path (frontier and
+    # visited as Datasets, two hash shuffles per hop) — the 100-TB form;
+    # the broadcast escalation equivalence is unit-tested separately
+    out = k_hop_neighbors(rel, seeds, k=2, direction="out",
+                          broadcast_max=0)
     return pa.table({
         "entity_id": pa.array(out["entity_id"], type=pa.int64()),
         "hop": pa.array(out["hop"], type=pa.int64())})

@@ -208,33 +208,197 @@ def mentions_of(mentions_ds, entity_ids):
     return mentions_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def k_hop_neighbors(relations_ds, seed_ids, k: int = 2,
-                    direction: str = "out"):
-    """Multi-hop graph traversal: BFS frontier expansion over the
-    relations Dataset, ``k`` rounds. Returns a pandas frame
-    ``(entity_id, hop)`` — each reached node once, at its MINIMUM hop,
-    seeds excluded.
+def _part_of(ids: np.ndarray, n_parts: int) -> np.ndarray:
+    """Deterministic hash partition of an id array (int or string)."""
+    from prompture_ray.functions.sketches import hash64
+    return (hash64(ids) % np.uint64(n_parts)).astype(np.int64)
 
-    Shape: each hop is one distributed membership filter over the edge
-    table (broadcast frontier array) + a distinct on the far column; only
-    the frontier/visited id sets live on the driver — O(reached nodes),
-    the standard BFS bound, never O(edges). For traversals whose reached
-    set outgrows the driver, the label-propagation pattern
-    (stages/dedup.components_label_propagation) is the precedent for a
-    fully distributed variant."""
+
+def _ids_of(g, col: str, side: int) -> np.ndarray:
+    """Non-null values of one side's id column in a tagged-union group
+    block; a block can carry ONE side's columns only (its other columns
+    then simply don't exist — not just null-filled), so a missing column
+    means zero rows of that side."""
+    if col not in g.column_names:
+        return np.empty(0, dtype=np.int64)
+    sub = g.filter(pc.equal(g["__side"], side))
+    return sub[col].drop_null().to_numpy(zero_copy_only=False)
+
+
+def _member_mask(vals: np.ndarray, sset: np.ndarray) -> np.ndarray:
+    """vals ∈ sset (sset sorted-unique); searchsorted for numerics,
+    np.isin for object/string ids."""
+    if len(sset) == 0:
+        return np.zeros(len(vals), dtype=bool)
+    if sset.dtype.kind in "iuf" and vals.dtype.kind in "iuf":
+        i = np.clip(np.searchsorted(sset, vals), 0, len(sset) - 1)
+        return sset[i] == vals
+    return np.isin(vals, sset)
+
+
+def _semi_join_dst(relations_ds, frontier_ds, src: str, dst: str,
+                   n_parts: int, id_type: pa.DataType):
+    """Distinct ``dst`` values of edges whose ``src`` is in the frontier
+    Dataset — one hash shuffle on src, per-partition vectorized
+    membership, per-partition distinct (shrinks the output before the
+    dedup shuffle). Arrow tagged union: the frontier side's missing
+    columns are null-extended KEEPING types (the bucketed-join form)."""
+
+    def tag_edges(t: pa.Table) -> pa.Table:
+        t = t.select([src, dst])
+        p = _part_of(t[src].to_numpy(zero_copy_only=False), n_parts)
+        t = t.append_column("__part", pa.array(p, type=pa.int64()))
+        return t.append_column("__side", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    def tag_frontier(t: pa.Table) -> pa.Table:
+        t = t.select(["entity_id"]).rename_columns([src])
+        p = _part_of(t[src].to_numpy(zero_copy_only=False), n_parts)
+        t = t.append_column("__part", pa.array(p, type=pa.int64()))
+        return t.append_column("__side", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+
+    tagged = relations_ds.map_batches(
+        tag_edges, batch_format="pyarrow").union(
+        frontier_ds.map_batches(tag_frontier, batch_format="pyarrow"))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        empty = pa.table({"entity_id": pa.array([], type=id_type)})
+        front = np.unique(_ids_of(g, src, 0))
+        if dst not in g.column_names or len(front) == 0:
+            return empty
+        e = g.filter(pc.equal(g["__side"], 1))
+        if e.num_rows == 0:
+            return empty
+        u = e[src].to_numpy(zero_copy_only=False)
+        v = e[dst].to_numpy(zero_copy_only=False)
+        return pa.table({"entity_id": pa.array(
+            np.unique(v[_member_mask(u, front)]), type=id_type)})
+
+    return tagged.groupby("__part").map_groups(
+        per_part, batch_format="pyarrow")
+
+
+def _distinct_minus(cand_ds, visited_ds, n_parts: int,
+                    id_type: pa.DataType):
+    """Globally distinct candidate ids NOT present in the visited
+    Dataset — one hash shuffle on id, per-partition vectorized set
+    difference. Both inputs carry a single ``entity_id`` column."""
+
+    def tag(side_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.select(["entity_id"])
+            p = _part_of(t["entity_id"].to_numpy(zero_copy_only=False),
+                         n_parts)
+            t = t.append_column("__part", pa.array(p, type=pa.int64()))
+            return t.append_column("__side", pa.array(
+                np.full(t.num_rows, side_val, dtype=np.int64)))
+        return fn
+
+    tagged = cand_ds.map_batches(tag(1), batch_format="pyarrow").union(
+        visited_ds.map_batches(tag(0), batch_format="pyarrow"))
+
+    def per_part(g: pa.Table) -> pa.Table:
+        cand = np.unique(_ids_of(g, "entity_id", 1))
+        seen = np.unique(_ids_of(g, "entity_id", 0))
+        return pa.table({"entity_id": pa.array(
+            cand[~_member_mask(cand, seen)], type=id_type)})
+
+    return tagged.groupby("__part").map_groups(
+        per_part, batch_format="pyarrow")
+
+
+def k_hop_neighbors(relations_ds, seed_ids, k: int = 2,
+                    direction: str = "out",
+                    broadcast_max: int = 2_000_000, n_parts: int = 64,
+                    as_dataset: bool = False):
+    """Multi-hop graph traversal: BFS frontier expansion over the
+    relations Dataset, ``k`` rounds. Each reached node is reported once,
+    at its MINIMUM hop, seeds excluded. Returns a pandas frame
+    ``(entity_id, hop)`` — or the (entity_id, hop) Dataset when
+    ``as_dataset=True`` (the form to use when the reached set itself is
+    large).
+
+    Two execution shapes, size-aware (reference walks,
+    kg/core.py:183-235, are driver-side; this adds the scale path):
+
+    - **broadcast** (frontier/visited fit the driver): each hop is one
+      distributed membership filter over the edge table (broadcast
+      frontier array) + a distinct on the far column — O(reached nodes)
+      driver memory, never O(edges).
+    - **distributed** (``broadcast_max=0``, or the visited set outgrows
+      ``broadcast_max`` mid-traversal — the driver escalates and hands
+      its state to Datasets): each hop is two hash shuffles — a
+      semi-join of edges × frontier on the source column, then a
+      distinct + anti-join against the visited Dataset — the
+      label-propagation shape (stages/dedup.components_label_propagation);
+      nothing id-set-shaped ever lives on the driver. Driver memory is
+      bounded by ``broadcast_max`` ids plus one hop's overshoot.
+    """
     import pandas as pd
+    import ray.data as rd
     if direction not in ("out", "in"):
         raise ValueError("k_hop_neighbors: direction must be 'out' or 'in'")
+    src = "subject_id" if direction == "out" else "object_id"
     dst = "object_id" if direction == "out" else "subject_id"
-    visited = set(seed_ids)
-    frontier = set(seed_ids)
+
+    seeds = sorted(set(seed_ids))
+    visited = set(seeds)
+    frontier = set(seeds)
     rows = []
-    for hop in range(1, k + 1):
-        if not frontier:
-            break
+    hop = 1
+    hop_datasets = []
+    frontier_ds = visited_ds = None
+
+    while hop <= k and frontier and len(visited) <= broadcast_max:
         edges = neighbors_of(relations_ds, frontier, direction=direction)
         nxt = set(edges.unique(dst)) - visited
         rows.extend((i, hop) for i in sorted(nxt))
         visited |= nxt
         frontier = nxt
-    return pd.DataFrame(rows, columns=["entity_id", "hop"])
+        hop += 1
+
+    if hop <= k and frontier:
+        # escalate: hand the driver's state to Datasets and continue
+        # with the two-shuffle hop rounds
+        id_type = pa.array(sorted(frontier)).type
+
+        def _ds_of(ids):
+            return rd.from_arrow(pa.table({"entity_id": pa.array(
+                sorted(ids), type=id_type)})).materialize()
+        frontier_ds = _ds_of(frontier)
+        visited_ds = _ds_of(visited)
+        while hop <= k:
+            cand = _semi_join_dst(relations_ds, frontier_ds, src, dst,
+                                  n_parts, id_type)
+            nxt_ds = _distinct_minus(cand, visited_ds, n_parts,
+                                     id_type).materialize()
+            if nxt_ds.count() == 0:
+                break
+            h = hop
+
+            def add_hop(t: pa.Table, _h=h) -> pa.Table:
+                return t.append_column("hop", pa.array(
+                    np.full(t.num_rows, _h, dtype=np.int64)))
+
+            hop_datasets.append(nxt_ds.map_batches(
+                add_hop, batch_format="pyarrow").materialize())
+            visited_ds = visited_ds.union(nxt_ds).materialize()
+            frontier_ds = nxt_ds
+            hop += 1
+
+    head = pd.DataFrame(rows, columns=["entity_id", "hop"])
+    if not hop_datasets:
+        if as_dataset:
+            return rd.from_pandas(head) if len(head) else rd.from_arrow(
+                pa.table({"entity_id": pa.array([], type=pa.int64()),
+                          "hop": pa.array([], type=pa.int64())}))
+        return head
+    tail = hop_datasets[0]
+    for d in hop_datasets[1:]:
+        tail = tail.union(d)
+    if as_dataset:
+        return tail if head.empty else rd.from_pandas(head).union(tail)
+    out = tail.to_pandas() if head.empty else pd.concat(
+        [head, tail.to_pandas()], ignore_index=True)
+    return out.sort_values(["hop", "entity_id"], ignore_index=True)

@@ -125,3 +125,59 @@ def test_mentions_of(ray_session):
     from prompture_ray.stages.entity_store import mentions_of
     out = mentions_of(m, [1]).to_pandas().sort_values("doc_id")
     assert out["doc_id"].tolist() == [10, 30]
+
+
+def test_k_hop_distributed_equals_driver(ray_session):
+    """r4 verdict #3: the distributed path (frontier/visited as Datasets,
+    two hash shuffles per hop) must equal the driver-set path on a random
+    graph, both when forced (broadcast_max=0) and when the traversal
+    ESCALATES mid-flight because visited outgrows an artificial driver
+    cap. String ids exercise the np.isin membership branch."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.entity_store import k_hop_neighbors
+
+    rng = np.random.RandomState(7)
+    n, m = 400, 1600
+    u = rng.randint(0, n, size=m)
+    v = rng.randint(0, n, size=m)
+    rel = rd.from_arrow(pa.table({
+        "subject_id": pa.array(u, type=pa.int64()),
+        "predicate": pa.array(["x"] * m),
+        "object_id": pa.array(v, type=pa.int64())}))
+    seeds = [0, 17, 101]
+
+    ref = k_hop_neighbors(rel, seeds, k=3, direction="out")
+    want = dict(zip(ref["entity_id"], ref["hop"]))
+    assert len(want) > 50          # traversal actually reaches far
+
+    forced = k_hop_neighbors(rel, seeds, k=3, direction="out",
+                             broadcast_max=0, n_parts=8)
+    assert dict(zip(forced["entity_id"], forced["hop"])) == want
+
+    # cap of 10 ids: hop 1 runs on the driver, then visited outgrows the
+    # cap and hops 2-3 run distributed — same answer
+    esc = k_hop_neighbors(rel, seeds, k=3, direction="out",
+                          broadcast_max=10, n_parts=8)
+    assert dict(zip(esc["entity_id"], esc["hop"])) == want
+
+    # inbound direction, as_dataset output form
+    ref_in = k_hop_neighbors(rel, seeds, k=2, direction="in")
+    got_in = k_hop_neighbors(rel, seeds, k=2, direction="in",
+                             broadcast_max=0, n_parts=8,
+                             as_dataset=True).to_pandas()
+    assert dict(zip(got_in["entity_id"], got_in["hop"])) == \
+        dict(zip(ref_in["entity_id"], ref_in["hop"]))
+
+    # string ids (entity slugs) through the distributed path
+    srel = rd.from_arrow(pa.table({
+        "subject_id": pa.array(["a", "b", "c", "a"]),
+        "predicate": pa.array(["x"] * 4),
+        "object_id": pa.array(["b", "c", "d", "c"])}))
+    sref = k_hop_neighbors(srel, ["a"], k=2, direction="out")
+    sgot = k_hop_neighbors(srel, ["a"], k=2, direction="out",
+                           broadcast_max=0, n_parts=4)
+    assert dict(zip(sgot["entity_id"], sgot["hop"])) == \
+        dict(zip(sref["entity_id"], sref["hop"])) == \
+        {"b": 1, "c": 1, "d": 2}
