@@ -124,44 +124,66 @@ def analytic_window_bucketed(ds, key_col: str, ts_col: str, tie_col: str,
 
     # phase 2: per-cell patch rows from BOUNDARY rows only (first / last /
     # trailing W-1 rows of each cell — ≤ W+1 rows per cell reach this
-    # group, so a key's group here is tiny even for an unbounded history)
+    # group, so a key's footprint here is tiny even for an unbounded
+    # history). Keys are folded into hash partitions and ALL keys of a
+    # partition are patched in ONE vectorized pandas pass (never a frame
+    # per key — the round-4 tiny-cells rule; ADVICE r4 flagged the
+    # groupby(key).map_groups form this replaces).
     def boundary(b: pd.DataFrame) -> pd.DataFrame:
         lrn, n = b["__lrn"].to_numpy(), b["__n"].to_numpy()
         keep = (lrn == 1) | (lrn == n) | (lrn > n - (W - 1))
-        return b.loc[keep, [key_col, "__bucket", "__kb", "__lrn", "__n",
-                            value_col]]
+        out = b.loc[keep, [key_col, "__bucket", "__kb", "__lrn", "__n",
+                           value_col]].copy()
+        kpb = hash64(np.asarray(out[key_col].to_numpy(), dtype=object)) \
+            % np.uint64(n_parts)
+        out["__kpb"] = kpb.astype(np.int64)
+        return out
 
-    def patches(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["__bucket", "__lrn"], kind="mergesort")
-        rows = []
-        carry: list[int] = []          # last W-1 values preceding cell
-        cumn = 0
-        cells = list(g.groupby("__bucket", sort=True))
-        for _, cell in cells:
-            lrn = cell["__lrn"].to_numpy()
-            vals = cell[value_col].to_numpy().astype(np.int64)
-            n = int(cell["__n"].iloc[0])
-            kb = cell["__kb"].iloc[0]
-            first_v = float(vals[lrn == 1][0])
-            pt = [0] * (W - 1 - len(carry)) + list(carry)   # left pad
-            rows.append({"__kb": kb, "__rnoff": cumn,
-                         "__prevlast": float(carry[-1]) if carry
-                         else np.nan,
-                         "__plen": len(carry), "__nextfirst": np.nan,
-                         "__first": first_v,
-                         **{c: int(v) for c, v in zip(ptail_cols, pt)}})
-            # extend carry with this cell's trailing values (cell rows
-            # here are the boundary subset; trailing W-1 are present)
-            tail_mask = lrn > n - (W - 1)
-            tail = list(vals[tail_mask][np.argsort(lrn[tail_mask])])
-            carry = (carry + tail)[-(W - 1):]
-            cumn += n
-        out = pd.DataFrame(rows)
-        out["__nextfirst"] = out["__first"].shift(-1)
-        return out.drop(columns=["__first"])
+    def patches_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__bucket", "__lrn"],
+                          kind="mergesort")
+        lrn = g["__lrn"].to_numpy().astype(np.int64)
+        n = g["__n"].to_numpy().astype(np.int64)
+        vals = g[value_col].to_numpy().astype(np.int64)
+        # one row per cell, aligned by construction: exactly one lrn==1
+        # and one lrn==n row per cell, in the same (key, bucket) order
+        f_mask, l_mask = lrn == 1, lrn == n
+        cells = pd.DataFrame({
+            key_col: g[key_col].to_numpy()[f_mask],
+            "__kb": g["__kb"].to_numpy()[f_mask],
+            "__n": n[f_mask],
+            "__first": vals[f_mask].astype(np.float64),
+            "__last": vals[l_mask].astype(np.float64)})
+        grp = cells.groupby(key_col, sort=False)
+        cum = grp["__n"].cumsum().to_numpy()
+        cells["__rnoff"] = (cum - cells["__n"].to_numpy()) \
+            .astype(np.int64)
+        cells["__prevlast"] = grp["__last"].shift(1).to_numpy()
+        cells["__nextfirst"] = grp["__first"].shift(-1).to_numpy()
+        plen = np.minimum(cells["__rnoff"].to_numpy(), W - 1) \
+            .astype(np.int64)
+        cells["__plen"] = plen
+        # ptail columns from the global "tail stream": the trailing
+        # min(n, W-1) rows of every cell, in (key, bucket, lrn) order.
+        # The last W-1 stream entries before a cell ARE the last W-1
+        # values of the key's full prefix (each prefix value lives in
+        # its own cell's trailing W-1). Cell c's stream prefix ends at
+        # global index e = cumsum(tail_n) - tail_n; __pj = stream
+        # [e - W + j], valid only when j >= W - plen — the mask also
+        # keeps the index inside this key's own stream run.
+        tv = vals[lrn > n - (W - 1)]
+        tn = np.minimum(cells["__n"].to_numpy(), W - 1)
+        e = np.cumsum(tn) - tn
+        for j, cname in enumerate(ptail_cols, start=1):
+            idx = np.clip(e - W + j, 0, max(len(tv) - 1, 0))
+            ok = j >= (W - plen)
+            cells[cname] = np.where(
+                ok, tv[idx] if len(tv) else 0, 0).astype(np.int64)
+        return cells.drop(columns=[key_col, "__n", "__first", "__last"])
 
     patch_ds = part.map_batches(boundary, batch_format="pandas") \
-        .groupby(key_col).map_groups(patches, batch_format="pandas") \
+        .groupby("__kpb").map_groups(patches_part,
+                                     batch_format="pandas") \
         .materialize()
 
     part_cols = [c for c in part.schema().names if c != "__bucket"]
