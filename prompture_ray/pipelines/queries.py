@@ -646,9 +646,30 @@ ORDER BY e.event_id, signup_event_id
 
 
 # ---- rows-only operators (no SQL equivalent; driver records row counts) --
+#
+# Each rows-only query here is the REAL-CORPUS variant of an operator
+# whose exact semantics are oracle-checked by a PLANTED twin (same code
+# path, deterministic inputs with a closed-form SQL answer):
+#   minhash_dedup_docs      ↔ minhash_planted_docs, ngram_jaccard_pairs
+#   simhash_docs            ↔ simhash_planted_pairs
+#   fingerprint_docs        ↔ fingerprint_planted_pairs
+#   langid_docs             ↔ langid_planted_docs
+#   sketch_profile          ↔ distinct_users (exact HLL cross-check);
+#                             approximate BY DESIGN (HLL/KLL/CMS bounds
+#                             are pytest-pinned in tests/test_sketches)
+#   media_features /        ↔ media_png_dims, media_frame_stats,
+#   media_audio_frames        media_transform_docs, media_wav_stats, …
+#                             (real-codec twins; these two exercise the
+#                             fake-decode actor-pool PLUMBING for
+#                             env-blocked codecs)
+# The real-corpus outputs depend on free text (hash values, scores) that
+# has no SQL closed form — the driver records row counts; the operator
+# semantics are NOT unverified.
 
 def minhash_dedup_docs(sf_dir: str):
-    """MinHash-LSH near-dup dedup over documents → kept doc_ids."""
+    """MinHash-LSH near-dup dedup over documents → kept doc_ids.
+    Rows-only: the oracle-checked planted twin is minhash_planted_docs
+    (kept-set closed form) + ngram_jaccard_pairs (verify kernel)."""
     from prompture_ray.stages.dedup import dedup_minhash
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     kept, _stats = dedup_minhash(ds, "text", "doc_id", threshold=0.8)
@@ -657,7 +678,8 @@ def minhash_dedup_docs(sf_dir: str):
 
 def simhash_docs(sf_dir: str):
     """64-bit SimHash per document (as int64). The chunk==0 projection is
-    filtered IN RAY (only 1/4 of the band rows cross to the driver)."""
+    filtered IN RAY (only 1/4 of the band rows cross to the driver).
+    Rows-only: oracle-checked planted twin = simhash_planted_pairs."""
     from prompture_ray.stages.dedup import SimHashStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
@@ -672,12 +694,17 @@ def simhash_docs(sf_dir: str):
 
 
 def fingerprint_docs_q(sf_dir: str):
+    """Rolling-hash winnowing fingerprints per document. Rows-only:
+    oracle-checked planted twin = fingerprint_planted_pairs."""
     from prompture_ray.stages.textstats import fingerprint_docs
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return fingerprint_docs(ds, "text", "doc_id")
 
 
 def langid_docs(sf_dir: str):
+    """n-gram language ID over the real corpus. Rows-only:
+    oracle-checked planted twin = langid_planted_docs (per-script
+    planted texts with a closed-form expected label)."""
     from prompture_ray.stages.textstats import LangIdStage
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(LangIdStage("text"), batch_format="pyarrow",
@@ -727,7 +754,10 @@ FROM embeddings WHERE vec_id % 10 = 0
 
 def sketch_profile(sf_dir: str):
     """Approximate profile: HLL cardinalities + KLL quantiles as rows
-    (mergeable-sketch tree reduction; estimates, so rows-only)."""
+    (mergeable-sketch tree reduction; estimates, so rows-only BY
+    DESIGN). Exactness cross-checks live elsewhere: distinct_users
+    oracle-checks the HLL path against exact COUNT(DISTINCT), and
+    tests/test_sketches pins error bounds + merge associativity."""
     from prompture_ray.specs import Suite
     from prompture_ray.stages.stats import StatsAccumulator
     suite = Suite.from_dict({"meta": {}, "checks": [
@@ -765,7 +795,9 @@ def sketch_profile(sf_dir: str):
 
 def media_features(sf_dir: str):
     """Multimodal plumbing: deterministic fake decode over a synthetic
-    media table (image dims + feature vectors; real decoders stubbed)."""
+    media table (image dims + feature vectors; real decoders stubbed).
+    Rows-only: the REAL-codec oracle-checked twins are media_png_dims /
+    media_bmp_dims / media_jpeg_stats / media_transform_docs."""
     import ray.data as rd
     from prompture_ray.stages.multimodal import (
         synth_media_table, ImageDecodeStage)
@@ -3500,7 +3532,9 @@ def media_audio_frames(sf_dir: str):
     """Multimodal audio + video plumbing through the driver contract:
     AudioFeatureStage over audio rows, FrameSampleStage over video rows
     (flat_map shape), joined into one per-media summary. Rows-only
-    (deterministic fake decode)."""
+    (deterministic fake decode for env-blocked codecs); the REAL-codec
+    oracle-checked twins are media_wav_stats / media_flac_stats /
+    media_frame_stats."""
     import ray.data as rd
     from ray.data.aggregate import Count
     from prompture_ray.stages.multimodal import (
