@@ -349,33 +349,44 @@ class MinHasher:
     """Vectorized MinHash over token/shingle hash sets.
 
     ``signatures(list_of_hash_arrays)`` → (n_docs, n_perm) uint64 matrix.
-    Permutations are (a*x + b) mod p with seed-pinned a, b.
-    """
+    Permutations are the multiply-shift family ``(a|1)·x + b mod 2^64``
+    with seed-pinned a, b — wrapped 64-bit arithmetic only, no modular
+    reduction in the hot loop (the earlier ``mod 2^61-1`` form paid two
+    integer mods per (shingle × perm); min-over-wrapped-values is an
+    equally valid MinHash and kept-sets over exact duplicates are
+    invariant to the family)."""
 
     def __init__(self, n_perm: int = 128, seed: int = 7):
         rng = np.random.RandomState(seed)
         self.n_perm = n_perm
-        self.a = rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
-        self.b = rng.randint(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+        self.a = (rng.randint(1, _MERSENNE, size=n_perm, dtype=np.int64)
+                  .astype(np.uint64) | np.uint64(1))
+        self.b = rng.randint(0, _MERSENNE, size=n_perm,
+                             dtype=np.int64).astype(np.uint64)
+        self._buf = None                     # persistent permute buffer
 
     def sig(self, hashes: np.ndarray) -> np.ndarray:
         if hashes.size == 0:
             return np.full(self.n_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
-        x = hashes.astype(np.uint64) % np.uint64(_MERSENNE)
-        # (n_perm, n_hashes) — use object only if overflow; uint64 wraps, fine for MinHash determinism
-        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
+        x = hashes.astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            vals = self.a[:, None] * x[None, :] + self.b[:, None]
         return vals.min(axis=1)
+
+    _CHUNK = 1 << 16                         # ≤ 64 MB of permuted values
 
     def signatures(self, hash_arrays: list) -> np.ndarray:
         """Batched ``sig``: list of per-doc hash arrays → (n_docs,
         n_perm) uint64 matrix, BIT-IDENTICAL to calling ``sig`` per doc.
-        One permute pass + segmented min (np.minimum.reduceat) per
-        bounded chunk instead of a Python call per doc; empty docs get
-        the all-max sentinel."""
+        One permute pass into a PERSISTENT buffer (no 64 MB fresh
+        allocation per chunk) + segmented min (np.minimum.reduceat);
+        empty docs get the all-max sentinel."""
         n_docs = len(hash_arrays)
         out = np.full((n_docs, self.n_perm), np.iinfo(np.uint64).max,
                       dtype=np.uint64)
-        CHUNK = 1 << 16                      # ≤ 64 MB of permuted values
+        CHUNK = self._CHUNK
+        if self._buf is None:
+            self._buf = np.empty((self.n_perm, CHUNK), dtype=np.uint64)
         di = 0
         while di < n_docs:
             dj = di
@@ -387,9 +398,15 @@ class MinHasher:
             nonempty = [d for d in range(di, dj) if hash_arrays[d].size]
             if nonempty:
                 cat = np.concatenate([hash_arrays[d] for d in nonempty])
-                x = cat.astype(np.uint64) % np.uint64(_MERSENNE)
-                vals = (self.a[:, None] * x[None, :]
-                        + self.b[:, None]) % np.uint64(_MERSENNE)
+                x = cat.astype(np.uint64, copy=False)
+                n = x.size
+                if n <= CHUNK:
+                    vals = self._buf[:, :n]
+                else:                        # single doc above CHUNK
+                    vals = np.empty((self.n_perm, n), dtype=np.uint64)
+                with np.errstate(over="ignore"):
+                    np.multiply(self.a[:, None], x[None, :], out=vals)
+                    vals += self.b[:, None]
                 offs = np.cumsum([0] + [hash_arrays[d].size
                                         for d in nonempty[:-1]])
                 mins = np.minimum.reduceat(vals, offs, axis=1)

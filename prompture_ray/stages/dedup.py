@@ -186,18 +186,76 @@ def dedup_exact_stats(ds, col: str, normalize: bool = True):
 # ---------------------------------------------------------------------------
 # shingling / signatures (vectorized per batch)
 # ---------------------------------------------------------------------------
+_SHINGLE_P = np.uint64(1099511628211)   # FNV-64 prime rolling multiplier
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (same constants as sketches._mix) — spreads
+    the rolling-polynomial output across all 64 bits before the MinHash
+    permutations take it mod 2^61-1."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(z, dtype=np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def char_shingle_hashes_batch(texts, k: int = DEFAULT_SHINGLE_K) -> list:
+    """Char-k-shingle SET hashes for a whole batch of texts, vectorized
+    (reference dedup.py:104-115 semantics: normalized text, set
+    semantics; empty/None → empty; len<k → one hash of the whole text).
+
+    One UTF-32 encode of the concatenated batch → uint64 codepoint
+    array → k-step rolling polynomial (·_SHINGLE_P, wrap-around 64-bit)
+    + splitmix64 finalize → per-doc ``np.unique``. Replaces the per-doc
+    Python set-of-slices + per-object siphash (~10× the CPU on long web
+    pages). The hash FAMILY is deterministic but different from
+    ``hash64``'s siphash: MinHash kept-sets over exact duplicates are
+    invariant to the family, and both the banding stage and the
+    candidate signature recompute go through this one function, so
+    signatures always agree."""
+    n_docs = len(texts)
+    out = [np.empty(0, dtype=np.uint64)] * n_docs
+    idx = [i for i in range(n_docs)
+           if texts[i] and len(texts[i]) >= k]
+    # rare short texts: one whole-text "window" under the same family
+    for i in range(n_docs):
+        txt = texts[i]
+        if txt and len(txt) < k:
+            cp = np.frombuffer(txt.encode("utf-32-le"),
+                               dtype=np.uint32).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                g = cp[0]
+                for j in range(1, cp.size):
+                    g = g * _SHINGLE_P + cp[j]
+            out[i] = _mix64(np.asarray([g], dtype=np.uint64))
+    if not idx:
+        return out
+    joined = "".join(texts[i] for i in idx)
+    cp = np.frombuffer(joined.encode("utf-32-le"),
+                       dtype=np.uint32).astype(np.uint64)
+    lens = np.asarray([len(texts[i]) for i in idx], dtype=np.int64)
+    m = cp.size - k + 1
+    with np.errstate(over="ignore"):
+        g = cp[:m].copy()
+        for j in range(1, k):
+            g = g * _SHINGLE_P + cp[j:m + j]
+    g = _mix64(g)
+    # windows crossing a doc boundary are invalid; per-doc window counts
+    # are lens-k+1 over the valid (sorted-by-doc) windows
+    cnt = lens - k + 1
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    offs = starts[:len(idx)]
+    for d, i in enumerate(idx):
+        seg = g[offs[d]:offs[d] + cnt[d]]
+        out[i] = np.unique(seg)
+    return out
+
+
 def char_shingle_hashes(text: str, k: int = DEFAULT_SHINGLE_K) -> np.ndarray:
-    """Hashes of the char-k-shingle set (reference dedup.py:104-115:
-    normalized text, set semantics)."""
-    if text is None:
-        return np.empty(0, dtype=np.uint64)
-    if len(text) < k:
-        shingles = [text] if text else []
-    else:
-        shingles = list({text[i:i + k] for i in range(len(text) - k + 1)})
-    if not shingles:
-        return np.empty(0, dtype=np.uint64)
-    return hash64(np.asarray(shingles, dtype=object))
+    """Per-doc twin of ``char_shingle_hashes_batch`` (single source of
+    truth for the shingle-hash family)."""
+    return char_shingle_hashes_batch([text], k)[0]
 
 
 def word_ngram_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -249,7 +307,7 @@ class MinHashStage:
         if self.normalize:
             arr = normalize_strings(arr)
         texts = arr.to_pylist()
-        sh = [char_shingle_hashes(txt, self.shingle_k) for txt in texts]
+        sh = char_shingle_hashes_batch(texts, self.shingle_k)
         keep = np.asarray([s.size > 0 for s in sh], dtype=bool)
         if not keep.any():
             return pa.table({
@@ -461,13 +519,13 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
         if isinstance(txts, pa.ChunkedArray):
             txts = txts.combine_chunks()
         txts = normalize_strings(txts)
-        out_id, out_sig = [], []
-        for i, txt in zip(sub[id_col].to_pylist(), txts.to_pylist()):
-            sig = stage._signature(txt)
-            if sig is not None:
-                out_id.append(i)
-                out_sig.append(sig.astype(np.int64).tobytes())
-        return pa.table({"id": pa.array(out_id),
+        sh = char_shingle_hashes_batch(txts.to_pylist(), stage.shingle_k)
+        keep = [i for i, s in enumerate(sh) if s.size > 0]
+        sigs = stage.mh.signatures([sh[i] for i in keep])
+        ids = sub[id_col].take(pa.array(keep, type=pa.int64()))
+        out_sig = [sigs[r].astype(np.int64).tobytes()
+                   for r in range(len(keep))]
+        return pa.table({"id": ids,
                          "sig": pa.array(out_sig, type=pa.binary())})
 
     sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
