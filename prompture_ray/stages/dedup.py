@@ -432,7 +432,8 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
                             threshold: float = DEFAULT_JACCARD,
                             max_bucket: int = 200,
                             stats_out: dict | None = None,
-                            pair_filter=None):
+                            pair_filter=None,
+                            score_broadcast_max: int = 1_000_000):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     Stage 1 — shingle→minhash→band keys in map_batches (NO signatures in
@@ -441,14 +442,16 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
     oversized/dropped-members counter surfaced in ``stats_out``).
     Stage 2 — signatures are recomputed for the candidate ids only
     (broadcast id-array filter over the corpus, ~8 B/candidate) into a
-    (id, sig) Dataset, then pairs × sig rows are scored via TWO
-    hash-bucketed equi-joins (stages/joins.bucketed_equi_join) and a
-    vectorized agreement kernel — est_jaccard = fraction of agreeing
-    minhashes, filtered ≥ threshold. Identical pair set and estimates
-    to shipping signatures through the band shuffle, at ~1/60th the
-    shuffled bytes, and NO driver-held pair set or signature map: the
-    only driver/broadcast state is the flat candidate-id array and the
-    multi-bucket key array, both O(candidates)·8 bytes.
+    (id, sig) Dataset, then pairs are scored with a size-aware dispatch
+    (see ``_score_pairs_bucketed``): ≤ ``score_broadcast_max``
+    candidate sigs → ONE ray.put of the sorted-id sig matrix
+    (1 KB/candidate) + per-batch searchsorted agreement (no join, no
+    per-pair sig payload in any shuffle); above the cap → two
+    hash-bucketed equi-joins with n_buckets auto-sized from the pair
+    count. est_jaccard = fraction of agreeing minhashes, filtered
+    ≥ threshold. Identical pair set and estimates to shipping
+    signatures through the band shuffle, at a fraction of the shuffled
+    bytes; driver/broadcast state is O(candidates).
     """
     import ray
 
@@ -529,7 +532,8 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
                          "sig": pa.array(out_sig, type=pa.binary())})
 
     sig_ds = ds.map_batches(sig_rows, batch_format="pyarrow")
-    return _score_pairs_bucketed(cand, sig_ds, n_perm, threshold)
+    return _score_pairs_bucketed(cand, sig_ds, n_perm, threshold,
+                                 broadcast_max=score_broadcast_max)
 
 
 def _candidate_id_array(cand) -> np.ndarray:
@@ -553,20 +557,77 @@ def _candidate_id_array(cand) -> np.ndarray:
 
 
 def _score_pairs_bucketed(cand, sig_ds, n_perm: int, threshold: float,
-                          n_buckets: int = 16):
-    """Distributed pair scoring: two hash-bucketed equi-joins attach
-    sig_a / sig_b to each candidate pair, then a vectorized agreement
-    kernel computes est_jaccard. No driver-held signature map — the
-    VERDICT-r3 scale fix (pairs × sig rows join on id).
+                          n_buckets: int | None = None,
+                          broadcast_max: int = 1_000_000):
+    """Distributed pair scoring — size-aware dispatch (the round-4
+    tiny-side rule, applied to the candidate signature table):
 
-    ``sig_ds`` (candidate rows only — sparse) and the first join are
-    materialized: the joins probe ``.schema()`` on their inputs, and an
-    unmaterialized input would re-run the full corpus signature scan
-    once per probe plus once per execution (measured 3× the scan cost).
-    """
-    from prompture_ray.stages.joins import bucketed_equi_join
+    * ``n_sigs <= broadcast_max`` (the overwhelmingly common case —
+      near-dup candidates are sparse): the candidate (id, sig) rows are
+      gathered into ONE sorted id array + sig matrix and ``ray.put``
+      once (plasma, zero-copy for every worker); each pair batch looks
+      both sides up via searchsorted and computes the agreement kernel
+      in place. NO join, NO per-pair sig payload in any shuffle — at
+      1 KB/signature, shipping sigs per PAIR row (the old always-join
+      form) multiplied hub-document signatures by their pair count and
+      built multi-GB join buckets on template-heavy web corpora.
+    * above the cap: two hash-bucketed equi-joins as before, with
+      ``n_buckets`` auto-sized from the materialized pair count
+      (~100k pair rows ≈ 200 MB with sig payloads per bucket frame)
+      instead of the old fixed 16.
+
+    ``sig_ds`` is materialized either way (the joins probe
+    ``.schema()``; an unmaterialized input re-runs the corpus signature
+    scan once per probe — measured 3× the scan cost)."""
+    import ray
 
     sig_ds = sig_ds.materialize()
+    n_sigs = sig_ds.count()
+
+    if n_sigs <= broadcast_max:
+        ids_l, sig_l = [], []
+        for t in sig_ds.iter_batches(batch_format="pyarrow",
+                                     batch_size=None):
+            ids_l.append(t["id"].to_numpy(zero_copy_only=False))
+            sig_l.append(np.frombuffer(
+                b"".join(t["sig"].to_pylist()),
+                dtype=np.int64).reshape(-1, n_perm))
+        ids = np.concatenate(ids_l) if ids_l else np.empty(0, np.int64)
+        sigs = np.vstack(sig_l) if sig_l else np.empty((0, n_perm),
+                                                       np.int64)
+        order = np.argsort(ids, kind="mergesort")
+        ids, sigs = ids[order], sigs[order]
+        ids_ref, sigs_ref = ray.put(ids), ray.put(sigs)
+
+        def score_bc(t: pa.Table) -> pa.Table:
+            I = ray.get(ids_ref)
+            S = ray.get(sigs_ref)
+            a = t["id_a"].to_numpy(zero_copy_only=False)
+            b = t["id_b"].to_numpy(zero_copy_only=False)
+            pa_pos = np.searchsorted(I, a)
+            pb_pos = np.searchsorted(I, b)
+            np.clip(pa_pos, 0, max(len(I) - 1, 0), out=pa_pos)
+            np.clip(pb_pos, 0, max(len(I) - 1, 0), out=pb_pos)
+            # inner-join semantics: drop pairs whose side has no sig
+            # (empty-shingle docs never got a signature row)
+            ok = (I[pa_pos] == a) & (I[pb_pos] == b) if len(I) \
+                else np.zeros(len(a), dtype=bool)
+            est = np.zeros(len(a), dtype=np.float64)
+            if ok.any():
+                est[ok] = (S[pa_pos[ok]] == S[pb_pos[ok]]).mean(axis=1)
+            out = pa.table({"id_a": t["id_a"], "id_b": t["id_b"],
+                            "est_jaccard": pa.array(
+                                est, type=pa.float64())})
+            return out.filter(pa.array(
+                ok & (est >= threshold)))
+
+        return cand.map_batches(score_bc, batch_format="pyarrow")
+
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    if n_buckets is None:
+        n_pairs = cand.count()
+        n_buckets = int(max(16, min(4096, np.ceil(n_pairs / 100_000))))
     sig_a = sig_ds.map_batches(
         lambda t: pa.table({"id_a": t["id"], "sig_a": t["sig"]}),
         batch_format="pyarrow")

@@ -224,6 +224,23 @@ def test_dedup_minhash_distributed_equals_driver(ds, ray_session):
     assert st_x["strategy"] == "distributed"
 
 
+def test_minhash_score_broadcast_equals_join_path(ds, ray_session):
+    """The size-aware stage-2 scoring dispatch: the broadcast sig-matrix
+    path (default) and the bucketed-join fallback (forced via
+    score_broadcast_max=0) must produce the identical verified pair
+    set and est_jaccard values."""
+    bc = dd.minhash_candidate_pairs(
+        ds, "text", "doc_id", threshold=0.6).to_pandas()
+    jn = dd.minhash_candidate_pairs(
+        ds, "text", "doc_id", threshold=0.6,
+        score_broadcast_max=0).to_pandas()
+    key = lambda df: sorted(
+        (min(a, b), max(a, b), round(e, 12))
+        for a, b, e in zip(df["id_a"], df["id_b"], df["est_jaccard"]))
+    assert key(bc) == key(jn)
+    assert len(bc) > 0
+
+
 def test_apply_dedup_dispatch(ds, ray_session):
     """Unified DedupConfig dispatch returns (kept, stats) per strategy
     and rejects unknown strategies (reference config-enum shape)."""
