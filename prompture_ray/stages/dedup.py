@@ -1042,8 +1042,14 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10,
     (LSH near-dup components are near-cliques → 2-3 rounds typical).
 
     Returns a Dataset (id, component) for every node in ``pairs_ds``.
-    Node ids must stay below 2^53 in magnitude: the nullable ``peer``
-    column crosses a pandas frame (float64) once per round.
+    Node ids are int64-EXACT at any magnitude: the tagged label/edge
+    union travels as Arrow blocks and each side is split by validity
+    BEFORE any pandas conversion (the bucketed_equi_join arrow-union
+    pattern), so the nullable ``peer``/``label`` columns never take
+    the pandas float64 null-fill that would round ids above 2^53 —
+    hash64(url)-style node ids are safe (this exact corruption was
+    observed with the earlier pandas form: a 900k-node run crashed
+    with label-table KeyErrors once rounded peer ids diverged).
 
     ``jump=True`` adds POINTER JUMPING after each propagation round:
     label ← label(label) via one self-join of the label table (labels
@@ -1102,22 +1108,35 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10,
 
     # message passing without a join primitive: union label rows
     # (peer = null) with edge rows (label = null) inside hash(id)
-    # partitions, then ONE vectorized pandas pass per partition sends
-    # every node's label to all its peers + itself (never a frame per
-    # node — a node's edges and label row share its partition).
+    # partitions, then ONE vectorized pass per partition sends every
+    # node's label to all its peers + itself (never a frame per node —
+    # a node's edges and label row share its partition). The partition
+    # table stays ARROW and each side is filtered by validity before
+    # touching numpy/pandas, so nullable int64 columns are never
+    # float64-widened (ids above 2^53 stay exact).
     tagged_edges = edges.map_batches(pb_tagged("edge"),
                                      batch_format="pyarrow").materialize()
 
-    def send_part(g: pd.DataFrame) -> pd.DataFrame:
-        lab = g.loc[g["label"].notna(), ["id", "label"]] \
-            .groupby("id")["label"].min()
-        eg = g.loc[g["peer"].notna(), ["id", "peer"]]
-        out_id = np.concatenate([eg["peer"].to_numpy().astype(np.int64),
-                                 lab.index.to_numpy().astype(np.int64)])
-        out_lab = np.concatenate([lab.loc[eg["id"]].to_numpy()
-                                  .astype(np.int64),
-                                  lab.to_numpy().astype(np.int64)])
-        return pd.DataFrame({"id": out_id, "label": out_lab})
+    def send_part(t: pa.Table) -> pa.Table:
+        empty = pa.table({"id": pa.array([], pa.int64()),
+                          "label": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return empty
+        lt = t.filter(pc.is_valid(t["label"]))
+        et = t.filter(pc.is_valid(t["peer"]))
+        if lt.num_rows == 0:
+            return empty
+        lab_ids = lt["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lab_vals = lt["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lab = pd.Series(lab_vals, index=lab_ids).groupby(level=0).min()
+        eg_id = et["id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eg_peer = et["peer"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        out_id = np.concatenate([eg_peer, lab.index.to_numpy()])
+        out_lab = np.concatenate([lab.loc[eg_id].to_numpy(),
+                                  lab.to_numpy()])
+        return pa.table({"id": pa.array(out_id), "label": pa.array(out_lab)})
 
     def jump_once(lab):
         from prompture_ray.stages.joins import bucketed_equi_join
@@ -1141,7 +1160,7 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10,
         tagged_labels = labels.map_batches(pb_tagged("label"),
                                            batch_format="pyarrow")
         msgs = tagged_labels.union(tagged_edges).groupby("__pb") \
-            .map_groups(send_part, batch_format="pandas")
+            .map_groups(send_part, batch_format="pyarrow")
         labels = msgs.groupby("id").aggregate(
             Min("label", alias_name="label")).materialize()
         if jump is True or (jump == "auto" and rnd >= auto_jump_after):

@@ -212,6 +212,32 @@ def test_label_propagation_matches_union_find(ray_session):
     assert got[4] == 1 and got[12] == 10 and got[21] == 20 and got[33] == 30
 
 
+def test_label_propagation_hash_magnitude_ids(ray_session):
+    """Node ids above 2^53 must stay int64-exact through the message
+    rounds (regression: the pandas-frame form float64-widened the
+    nullable peer/label columns, rounding hash-magnitude ids — a 900k
+    hash64(url)-keyed run crashed on label-table KeyErrors)."""
+    import ray.data as rd
+    from prompture_ray.stages.dedup import (
+        components_label_propagation, _components)
+    rng = np.random.default_rng(7)
+    # ids in [2^62, 2^63): adjacent values differ below float64's
+    # resolution at this magnitude, so any widening corrupts them
+    base = rng.integers(2**62, 2**63 - 16, 40, dtype=np.int64)
+    ids = np.unique(np.concatenate([base, base + 1, base + 3]))
+    assert len(ids) >= 100
+    # chain triples (x, x+1, x+3) per base + a few cross links
+    pairs = pd.DataFrame({
+        "id_a": np.concatenate([base, base + 1, base[:5]]),
+        "id_b": np.concatenate([base + 1, base + 3, base[5:10] + 3]),
+    })
+    dist = components_label_propagation(rd.from_pandas(pairs)).to_pandas()
+    got = dict(zip(dist["id"].astype(np.int64),
+                   dist["component"].astype(np.int64)))
+    want = {int(k): int(v) for k, v in _components(pairs).items()}
+    assert got == want
+
+
 def test_dedup_minhash_distributed_equals_driver(ds, ray_session):
     from prompture_ray.stages import dedup as dd2
     kept_d, st_d = dd2.dedup_minhash(ds, "text", "doc_id", threshold=0.6,
