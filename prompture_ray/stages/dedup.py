@@ -691,6 +691,12 @@ def _dedup_from_pairs(ds, pairs_ds, id_col: str, max_pairs: int,
     connected components → drop all but the canonical min id of each
     component. Returns (kept Dataset, stats dict)."""
     import ray
+    # the verified pair set is consumed several times below (auto count,
+    # the components' edge explode, the stats count) — materialize ONCE
+    # so the expensive scoring lineage never re-executes (observed at
+    # 900k docs: a 280 s signature-scoring pass re-ran as a bare
+    # recount because pairs_ds was still lazy)
+    pairs_ds = pairs_ds.materialize()
     if components == "auto":
         n_pairs = pairs_ds.count()
         components = "driver" if n_pairs <= max_pairs else "distributed"
@@ -1079,12 +1085,56 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10,
         return pa.table({"id": pa.concat_arrays([a, b]),
                          "peer": pa.concat_arrays([b, a])})
 
-    edges = pairs_ds.map_batches(explode, batch_format="pyarrow")                     .materialize()
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow") \
+        .materialize()
 
-    labels = edges.groupby("id").aggregate(Min("peer", alias_name="m"))         .map_batches(lambda t: pa.table({
+    # Bound block counts ONCE for the whole iteration. Ray's sort-based
+    # groupby emits roughly one output block per input block, and each
+    # round unions the label table with the edge table — so an edge
+    # Dataset arriving in hundreds of tiny blocks (typical when pairs
+    # come out of a per-bucket map_groups) makes the label table's
+    # block count GROW by the edge block count every round, and the
+    # per-round sort cost climbs superlinearly (observed at 900k docs:
+    # rounds of 21→46→59→297→319→1385 s on a CONSTANT 18k-row label
+    # table). Consolidating to ~500k rows/block (floor 64 blocks) keeps
+    # every round's shuffle flat.
+    n_edge_rows = edges.count()
+    target_blocks = int(max(64, np.ceil(n_edge_rows / 500_000)))
+    if edges.num_blocks() > 2 * target_blocks:
+        edges = edges.repartition(target_blocks).materialize()
+
+    def bound_blocks(lab):
+        if lab.num_blocks() > 2 * target_blocks:
+            lab = lab.repartition(target_blocks).materialize()
+        return lab
+
+    labels = bound_blocks(
+        edges.groupby("id").aggregate(Min("peer", alias_name="m"))
+        .map_batches(lambda t: pa.table({
             "id": t["id"],
             "label": pc.min_element_wise(t["id"], t["m"]),
-        }), batch_format="pyarrow").materialize()
+        }), batch_format="pyarrow").materialize())
+
+    from ray.data.aggregate import Sum
+
+    def label_checksum(lab) -> int:
+        """Exact Σlabel as a Python int via hi/lo 32-bit split sums.
+        Labels are monotonically non-increasing per node, so Σlabel is
+        a convergence certificate — but a direct int64 Sum OVERFLOWS
+        with hash-magnitude node ids (observed: 18k ids near 2^62).
+        Arithmetic-shift hi keeps the sign; Σhi/Σlo stay inside int64
+        below 2^31 nodes, and Σlabel = (Σhi << 32) + Σlo exactly."""
+
+        def split(t: pa.Table) -> pa.Table:
+            v = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table({"hi": pa.array(v >> 32),
+                             "lo": pa.array(v & 0xFFFFFFFF)})
+
+        agg = lab.map_batches(split, batch_format="pyarrow") \
+            .aggregate(Sum("hi"), Sum("lo"))
+        if not agg or agg.get("sum(hi)") is None:
+            return 0
+        return (int(agg["sum(hi)"]) << 32) + int(agg["sum(lo)"])
 
     from prompture_ray.functions.sketches import hash64
     N_PARTS = 64
@@ -1155,17 +1205,17 @@ def components_label_propagation(pairs_ds, max_rounds: int = 10,
 
         return j.map_batches(take, batch_format="pandas").materialize()
 
-    prev = labels.sum("label")
+    prev = label_checksum(labels)
     for rnd in range(max_rounds):
         tagged_labels = labels.map_batches(pb_tagged("label"),
                                            batch_format="pyarrow")
         msgs = tagged_labels.union(tagged_edges).groupby("__pb") \
             .map_groups(send_part, batch_format="pyarrow")
-        labels = msgs.groupby("id").aggregate(
-            Min("label", alias_name="label")).materialize()
+        labels = bound_blocks(msgs.groupby("id").aggregate(
+            Min("label", alias_name="label")).materialize())
         if jump is True or (jump == "auto" and rnd >= auto_jump_after):
-            labels = jump_once(labels)
-        cur = labels.sum("label")
+            labels = bound_blocks(jump_once(labels))
+        cur = label_checksum(labels)
         if cur == prev:
             break
         prev = cur

@@ -238,6 +238,34 @@ def test_label_propagation_hash_magnitude_ids(ray_session):
     assert got == want
 
 
+def test_label_propagation_many_tiny_edge_blocks(ray_session):
+    """Regression for the two 900k-rehearsal pathologies: (a) edges
+    arriving in hundreds of tiny blocks used to GROW the label table's
+    block count every round (union + sort per round went 21→1385 s on a
+    constant 18k-row table) — the fix consolidates both tables to a
+    bounded block count, so this graph must finish in seconds, which the
+    test-session timeout enforces; (b) Σlabel as a raw int64 Sum
+    overflows with thousands of hash-magnitude ids — the hi/lo split
+    checksum must still certify convergence to the exact union-find
+    answer."""
+    import ray.data as rd
+    from prompture_ray.stages.dedup import (
+        components_label_propagation, _components)
+    rng = np.random.default_rng(11)
+    base = np.unique(rng.integers(2**62, 2**63 - 4, 4000, dtype=np.int64))
+    # 2-cliques + 50 chains of length 3 (forces >1 round)
+    pairs = pd.DataFrame({
+        "id_a": np.concatenate([base, base[:50] + 1]),
+        "id_b": np.concatenate([base + 1, base[:50] + 2])})
+    ds = rd.from_pandas(pairs).repartition(150).materialize()
+    assert ds.num_blocks() == 150
+    dist = components_label_propagation(ds).to_pandas()
+    got = dict(zip(dist["id"].astype(np.int64),
+                   dist["component"].astype(np.int64)))
+    want = {int(k): int(v) for k, v in _components(pairs).items()}
+    assert got == want
+
+
 def test_dedup_minhash_distributed_equals_driver(ds, ray_session):
     from prompture_ray.stages import dedup as dd2
     kept_d, st_d = dd2.dedup_minhash(ds, "text", "doc_id", threshold=0.6,
