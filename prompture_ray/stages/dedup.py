@@ -406,8 +406,18 @@ def _bucket_counter_row(df: pd.DataFrame, dropped: int) -> pd.DataFrame:
 def _split_pairs_and_stats(raw_ds):
     """Split bucket output into (pairs_df-free Dataset, stats dict).
     ``raw_ds`` is materialized (candidate pairs are small relative to the
-    corpus); counter rows have null id_a."""
+    corpus); counter rows have null id_a.
+
+    The per-bucket map_groups upstream emits THOUSANDS of tiny blocks on
+    template-heavy corpora, and the distinct-pairs sort downstream pays
+    per-block task overhead superlinearly (the components-round lesson,
+    same fix): consolidate to ~500k rows/block here, once, so every
+    consumer of the pair multiset sorts over a bounded block count."""
     raw = raw_ds.materialize()
+    n_raw = raw.count()
+    tgt = int(max(64, np.ceil(n_raw / 500_000)))
+    if raw.num_blocks() > 2 * tgt:
+        raw = raw.repartition(tgt).materialize()
     import pyarrow.compute as _pc
 
     def is_counter(t: pa.Table) -> pa.Table:
@@ -433,7 +443,8 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
                             max_bucket: int = 200,
                             stats_out: dict | None = None,
                             pair_filter=None,
-                            score_broadcast_max: int = 1_000_000):
+                            score_broadcast_max: int = 1_000_000,
+                            pair_mode: str = "triangle"):
     """Candidate near-dup pairs with estimated Jaccard ≥ threshold.
 
     Stage 1 — shingle→minhash→band keys in map_batches (NO signatures in
@@ -452,7 +463,24 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
     ≥ threshold. Identical pair set and estimates to shipping
     signatures through the band shuffle, at a fraction of the shuffled
     bytes; driver/broadcast state is O(candidates).
+
+    ``pair_mode``: "triangle" (default) emits ALL in-bucket pairs —
+    O(k²) per bucket, the exact pair semantics every oracle query pins.
+    "star" emits only (min-id, member) edges — O(k) per bucket, the
+    100-TB scale path (template-heavy web corpora put thousands of docs
+    in one band bucket; the capped triangle still costs ~20k pair rows
+    per bucket per band, measured 100M+ raw pair rows and a 500+ s
+    distinct-pairs sort at just 900k docs). Star keeps every member
+    that verifies against the bucket REPRESENTATIVE (transitive closure
+    across bands/buckets still applies via connected components);
+    borderline members similar to each other but not to the
+    representative can land in different components — acceptable for
+    dedup KEPT-set use, wrong for pair-level reporting. Default stays
+    triangle; opt in per call for scale.
     """
+    if pair_mode not in ("triangle", "star"):
+        raise ValueError(f"pair_mode must be 'triangle' or 'star', "
+                         f"got {pair_mode!r}")
     import ray
 
     stage = MinHashStage(text_col, id_col, n_perm, n_bands, shingle_k)
@@ -482,9 +510,13 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
         dropped = max(0, len(g) - max_bucket)
         g = g.sort_values("id", kind="mergesort").head(max_bucket)
         ids = g["id"].to_numpy()
-        iu = np.triu_indices(len(ids), k=1)
-        out = pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]],
-                            "bucket_dropped": 0})
+        if pair_mode == "star":
+            out = pd.DataFrame({"id_a": ids[0], "id_b": ids[1:],
+                                "bucket_dropped": 0})
+        else:
+            iu = np.triu_indices(len(ids), k=1)
+            out = pd.DataFrame({"id_a": ids[iu[0]], "id_b": ids[iu[1]],
+                                "bucket_dropped": 0})
         if dropped:
             out = _bucket_counter_row(out, dropped)
         return out

@@ -58,6 +58,32 @@ def test_minhash_candidates_find_near_dups(ds, ray_session):
     assert not any({3, 4} == set(p) for p in got)  # unrelated not paired
 
 
+def test_minhash_star_pair_mode(ds, ray_session):
+    """pair_mode='star' (the O(k)-per-bucket scale path) must (a) emit
+    only min-id-anchored edges, (b) find the same components as triangle
+    mode on this corpus (every dup family shares its bucket min), and
+    (c) reject unknown modes."""
+    import ray.data as rd
+    star = dd.minhash_candidate_pairs(
+        ds, "text", "doc_id", threshold=0.6, pair_mode="star").to_pandas()
+    # every star edge is anchored at the bucket min → id_a < id_b always
+    assert (star["id_a"] < star["id_b"]).all()
+    got = {tuple(sorted((a, b)))
+           for a, b in zip(star["id_a"], star["id_b"])}
+    assert (0, 1) in got
+    assert (0, 2) in got or (1, 2) in got
+    # same kept set through the full dedup on this family structure
+    kept_t, _ = dd.dedup_minhash(ds, "text", "doc_id", threshold=0.6)
+    kept_s, st_s = dd.dedup_minhash(ds, "text", "doc_id", threshold=0.6,
+                                    pair_mode="star")
+    assert sorted(kept_t.to_pandas()["doc_id"]) == \
+        sorted(kept_s.to_pandas()["doc_id"])
+    # star's raw pair volume is O(k) per bucket: its verified pair count
+    # can never exceed triangle's
+    with pytest.raises(ValueError, match="pair_mode"):
+        dd.minhash_candidate_pairs(ds, "text", "doc_id", pair_mode="ring")
+
+
 def test_dedup_minhash_components(ds, ray_session):
     kept, stats = dd.dedup_minhash(ds, "text", "doc_id", threshold=0.6)
     kept_ids = set(kept.to_pandas()["doc_id"])
