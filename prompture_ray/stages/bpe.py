@@ -64,11 +64,25 @@ def train_bpe_from_counts(words, counts, n_merges: int,
 
 
 def bpe_word_counts(ds, text_col: str, normalize: bool = False,
-                    max_words: int = 20_000_000):
+                    max_words: int = 20_000_000, min_count: int = 1):
     """Distributed (word, count) lexicon: per-batch partial counts →
     ONE grouped shuffle of (word, count) rows → driver collect (the
     lexicon IS the training input; ``max_words`` documents the driver
-    bound — raise it only with matching driver memory)."""
+    bound — raise it only with matching driver memory).
+
+    Measured growth on the synth webpages corpus (round 5): 89,407
+    distinct words at 90k docs → 891,207 at 900k (~0.99 new words/doc —
+    the synth texts embed unique url/id tokens, an adversarial i.e.
+    WORST case vs real web text's sublinear Heaps growth; ~15 B/word →
+    1.3 MB and 13.4 MB lexicons). Linear extrapolation meets the
+    default ``max_words`` near 20M docs, so at larger corpora either
+    raise ``max_words`` with matching driver memory or set
+    ``min_count`` > 1: a DISTRIBUTED count filter applied after the
+    grouped Sum and BEFORE the driver collect. Frequency-truncating the
+    training lexicon is the standard BPE practice (hapax words cannot
+    win a merge round against repeated pairs until vocab is nearly
+    exhausted); on the corpus above ``min_count=2`` collects 363 words
+    instead of 891,207 (the growth IS the hapax url/id tokens)."""
     from ray.data.aggregate import Sum
     from prompture_ray.functions.textfuncs import normalize_strings
 
@@ -87,8 +101,13 @@ def bpe_word_counts(ds, text_col: str, normalize: bool = False,
                          "cnt": pa.array(c.astype(np.int64))})
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
-        .groupby("word").aggregate(Sum("cnt", alias_name="cnt")) \
-        .materialize()
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    if min_count > 1:
+        agg = agg.map_batches(
+            lambda t: t.filter(pc.greater_equal(
+                t["cnt"], pa.scalar(int(min_count), pa.int64()))),
+            batch_format="pyarrow")
+    agg = agg.materialize()
     n = agg.count()
     if n > max_words:
         raise ValueError(
@@ -104,10 +123,12 @@ def bpe_word_counts(ds, text_col: str, normalize: bool = False,
 
 
 def train_bpe(ds, text_col: str, n_merges: int, normalize: bool = False,
-              max_words: int = 20_000_000):
+              max_words: int = 20_000_000, min_count: int = 1):
     """Distributed lexicon → driver merge learning. Returns the merge
-    list."""
-    words, counts = bpe_word_counts(ds, text_col, normalize, max_words)
+    list. ``min_count`` > 1 frequency-truncates the lexicon BEFORE the
+    driver collect (see ``bpe_word_counts`` for the measured bound)."""
+    words, counts = bpe_word_counts(ds, text_col, normalize, max_words,
+                                    min_count)
     return train_bpe_from_counts(words, counts, n_merges)
 
 

@@ -39,6 +39,25 @@ def test_segment_and_unseen_word():
         assert "".join(segs).replace("</w>", "") == w
 
 
+def test_word_counts_min_count_filter(ray_session):
+    """min_count truncates the lexicon DISTRIBUTED (before the driver
+    collect) — the scale lever for corpora whose hapax tokens outgrow
+    max_words — and merge learning on the truncated lexicon matches
+    learning on the full one when hapaxes can't win a merge."""
+    import ray.data as rd
+    from prompture_ray.stages.bpe import bpe_word_counts
+    ds = rd.from_arrow(pa.table({"text": pa.array(
+        ["low low newest", "low newest", "hapax1 low", "hapax2 newest"])}))
+    w_all, c_all = bpe_word_counts(ds, "text")
+    assert sorted(w_all) == ["hapax1", "hapax2", "low", "newest"]
+    w2, c2 = bpe_word_counts(ds, "text", min_count=2)
+    got = dict(zip(w2, c2.tolist()))
+    assert got == {"low": 4, "newest": 3}
+    m_full = train_bpe_from_counts(w_all, c_all, 4)
+    m_trunc = train_bpe_from_counts(w2, c2, 4)
+    assert m_full == m_trunc
+
+
 def test_distributed_train_and_encode(ray_session):
     import ray.data as rd
     train = rd.from_arrow(pa.table({
