@@ -341,30 +341,6 @@ def _combine_bucket_keys(a: np.ndarray, b: np.ndarray) -> np.ndarray:
             + b.astype(np.int64))
 
 
-def _keep_multi_fn(col_a: str, col_b: str, multi_ref):
-    """Vectorized prune of singleton buckets: keep rows whose
-    (col_a, col_b) bucket appears in the broadcast multi-bucket key
-    array (np.isin over combined int64 keys — no per-row Python)."""
-
-    def keep_multi(t: pa.Table) -> pa.Table:
-        import ray
-        keys = ray.get(multi_ref)
-        if keys.size == 0:
-            return t.slice(0, 0)
-        a = t[col_a].to_numpy(zero_copy_only=False)
-        b = t[col_b].to_numpy(zero_copy_only=False)
-        mask = np.isin(_combine_bucket_keys(a, b), keys)
-        return t.filter(pa.array(mask))
-
-    return keep_multi
-
-
-def _multi_bucket_keys(bc: pd.DataFrame, col_a: str, col_b: str):
-    return np.sort(_combine_bucket_keys(
-        bc[col_a].to_numpy().astype(np.int64),
-        bc[col_b].to_numpy().astype(np.int64)))
-
-
 def _id_filter_fn(arr: pa.Array, need_ref):
     """Vectorized membership mask of an id column against a broadcast
     id array (sorted numpy for numeric ids, Arrow is_in otherwise)."""
@@ -379,6 +355,62 @@ def _id_filter_fn(arr: pa.Array, need_ref):
         return pa.array((need[idx] == v) if len(need)
                         else np.zeros(len(v), dtype=bool))
     return pc.is_in(arr, value_set=pa.array(list(need)))
+
+
+def _bucketed_group_pairs(sigs, key_cols, group_fn, empty: pd.DataFrame,
+                          rows_per_part: int = 500_000):
+    """ONE hash-partition shuffle for the bucket→pairs step, replacing
+    the old three-pass shape (count aggregate over every band row +
+    driver ray.put of the multi-bucket key array + a pruned second
+    sort) AND the frame-per-bucket map_groups (the round-4 tiny-cells
+    anti-pattern — a pandas frame per LSH bucket, including millions of
+    singletons on the embedding path).
+
+    Rows are partitioned by hash(bucket key) % P (P sized to
+    ~``rows_per_part`` rows per partition, floor 64 — every bucket lands
+    wholly in one partition); each partition then runs a single
+    vectorized pass: one lexsort, run-boundary detection on the TRUE key
+    columns (the combined int64 is only the partition hash, so key
+    collisions cannot merge buckets), and ``group_fn`` — unchanged from
+    the per-bucket form, so per-group semantics (member id-sort,
+    max_bucket cap, counter rows) are preserved by construction — called
+    only for runs of size ≥ 2.
+
+    Removes the O(multi-buckets) driver broadcast entirely: nothing
+    about the corpus's bucket structure ever lands on the driver."""
+    from prompture_ray.functions.sketches import hash64
+
+    sigs = sigs.materialize()
+    n_rows = sigs.count()
+    n_parts = int(max(64, np.ceil(n_rows / rows_per_part)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        cols = [t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                for c in key_cols]
+        keys = cols[0] if len(cols) == 1 else \
+            _combine_bucket_keys(cols[0], cols[1])
+        pb = (hash64(keys) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb))
+
+    def part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([*key_cols, "id"], kind="mergesort",
+                          ignore_index=True)
+        ks = [g[c].to_numpy() for c in key_cols]
+        diff = np.zeros(len(g) - 1, dtype=bool)
+        for k in ks:
+            diff |= k[1:] != k[:-1]
+        starts = np.flatnonzero(np.r_[True, diff])
+        ends = np.r_[starts[1:], len(g)]
+        outs = [group_fn(g.iloc[s:e])
+                for s, e in zip(starts, ends) if e - s >= 2]
+        if not outs:
+            return empty
+        return pd.concat(outs, ignore_index=True)
+
+    return sigs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(part, batch_format="pandas")
 
 
 def _distinct_pairs(pairs_ds, extra_agg=None):
@@ -485,23 +517,7 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
 
     stage = MinHashStage(text_col, id_col, n_perm, n_bands, shingle_k)
     sigs = ds.map_batches(stage, batch_format="pyarrow",
-                          batch_size=2048).materialize()
-
-    # prune SINGLETON buckets before the per-group pass: ~99% of band
-    # buckets hold one doc, and map_groups pays a pandas frame per
-    # group — one vectorized count + a broadcast multi-bucket key array
-    # keeps the per-group cost proportional to actual near-duplicates.
-    # The key array is driver-bound by the candidate-pair count (every
-    # multi bucket yields ≥1 candidate), 8 bytes per bucket.
-    from ray.data.aggregate import Count
-    bc = sigs.groupby(["band", "band_key"]) \
-        .aggregate(Count(alias_name="n")) \
-        .map_batches(lambda t: t.filter(
-            pc.greater(t["n"], pa.scalar(1, pa.int64()))),
-            batch_format="pyarrow").to_pandas()
-    multi_ref = ray.put(_multi_bucket_keys(bc, "band", "band_key"))
-    sigs = sigs.map_batches(_keep_multi_fn("band", "band_key", multi_ref),
-                            batch_format="pyarrow")
+                          batch_size=2048)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "bucket_dropped": []})
@@ -521,8 +537,9 @@ def minhash_candidate_pairs(ds, text_col: str, id_col: str,
             out = _bucket_counter_row(out, dropped)
         return out
 
-    raw = sigs.groupby(["band", "band_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    raw = _bucketed_group_pairs(
+        sigs, ["band", "band_key"], bucket_pairs,
+        empty=pd.DataFrame({"id_a": [], "id_b": [], "bucket_dropped": []}))
     pairs, stats = _split_pairs_and_stats(raw)
     if stats_out is not None:
         stats_out.update(stats)
@@ -856,21 +873,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     """Pairs within Hamming ≤ max_hamming via chunk bucketing. A bucket
     over ``max_bucket`` emits an oversized/dropped counter into
     ``stats_out`` — truncation is never silent."""
-    import ray
     sigs = ds.map_batches(SimHashStage(text_col, id_col),
-                          batch_format="pyarrow",
-                          batch_size=2048).materialize()
-    # same singleton-bucket pruning as minhash_candidate_pairs: only
-    # multi-member chunk buckets can yield pairs
-    from ray.data.aggregate import Count
-    bc = sigs.groupby(["chunk", "chunk_key"]) \
-        .aggregate(Count(alias_name="n")) \
-        .map_batches(lambda t: t.filter(
-            pc.greater(t["n"], pa.scalar(1, pa.int64()))),
-            batch_format="pyarrow").to_pandas()
-    multi_ref = ray.put(_multi_bucket_keys(bc, "chunk", "chunk_key"))
-    sigs = sigs.map_batches(_keep_multi_fn("chunk", "chunk_key", multi_ref),
-                            batch_format="pyarrow")
+                          batch_format="pyarrow", batch_size=2048)
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame({"id_a": [], "id_b": [], "hamming": [],
@@ -896,8 +900,10 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
             out = _bucket_counter_row(out, dropped)
         return out
 
-    raw = sigs.groupby(["chunk", "chunk_key"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    raw = _bucketed_group_pairs(
+        sigs, ["chunk", "chunk_key"], bucket_pairs,
+        empty=pd.DataFrame({"id_a": [], "id_b": [], "hamming": [],
+                            "bucket_dropped": []}))
     pairs, stats = _split_pairs_and_stats(raw)
     if stats_out is not None:
         stats_out.update(stats)
@@ -1003,8 +1009,10 @@ def embedding_neardup_pairs(ds, vec_col: str, id_col: str,
             out = _bucket_counter_row(out, dropped)
         return out
 
-    raw = sigs.groupby("bucket").map_groups(bucket_pairs,
-                                            batch_format="pandas")
+    raw = _bucketed_group_pairs(
+        sigs, ["bucket"], bucket_pairs,
+        empty=pd.DataFrame({"id_a": [], "id_b": [], "cosine": [],
+                            "bucket_dropped": []}))
     pairs, stats = _split_pairs_and_stats(raw)
     if stats_out is not None:
         stats_out.update(stats)
