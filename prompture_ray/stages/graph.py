@@ -69,6 +69,19 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
         .materialize()
     base = (1.0 - damping) / n
 
+    # Each round's rank table comes out of a bucketed join whose output
+    # block count follows its INPUT block count (nodes + sums blocks,
+    # where sums itself carries edge blocks) — without a bound the rank
+    # table's block count GROWS linearly per round and the join/sort
+    # cost per round climbs superlinearly on constant rows (the
+    # components-round lesson, dedup.py). Bound it per round.
+    target_blocks = int(max(64, np.ceil(n / 500_000)))
+
+    def bound_blocks(ds_):
+        if ds_.num_blocks() > 2 * target_blocks:
+            ds_ = ds_.repartition(target_blocks).materialize()
+        return ds_
+
     for _ in range(k):
         contrib_in = bucketed_equi_join(
             e, ranks, key="src", right_key="node",
@@ -92,8 +105,9 @@ def pagerank(edges, src_col: str = "src", dst_col: str = "dst",
                 "node": b["node"].to_numpy().astype(np.int64),
                 "rank": base + damping * s})
 
-        ranks = joined.map_batches(update, batch_format="pandas") \
-            .materialize()
+        ranks = bound_blocks(
+            joined.map_batches(update, batch_format="pandas")
+            .materialize())
     return ranks
 
 
