@@ -22,8 +22,11 @@ session (CLAUDE.md machine-noise protocol).
 """
 import glob
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import pyarrow as pa
