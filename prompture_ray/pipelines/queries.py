@@ -5479,6 +5479,223 @@ def _window_append(name: str):
     _WINDOW_PRIORITY.append(name)
 
 
+# --------------------------------------------------------------------------
+# round-5 third-session operators (registered here so _window_append can
+# pin them inside the driver's 50-slot head)
+# --------------------------------------------------------------------------
+
+
+def tfidf_topk_docs(sf_dir: str):
+    """TF-IDF keyword extraction: top-3 characteristic terms per doc by
+    tf/df (stages/tfidf.py — one narrow df shuffle of term hashes,
+    size-aware broadcast lookup, per-doc top-k inside the batch; text
+    never shuffles). Score is ONE double division of exact small ints
+    on both sides — bit-identical, no rounding (the percent_rank
+    precedent); ties break by term asc (UTF-8 byte order == code-point
+    order on both sides)."""
+    from prompture_ray.stages.tfidf import tfidf_topk_terms
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_topk_terms(ds, "text", "doc_id", k=3)
+
+
+TFIDF_TOPK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tfs AS (SELECT doc_id, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(DISTINCT doc_id) AS df
+        FROM toks GROUP BY term),
+scored AS (
+  SELECT tfs.doc_id AS id, tfs.term,
+         CAST(tfs.tf AS BIGINT) AS tf, CAST(dfs.df AS BIGINT) AS df,
+         CAST(tfs.tf AS DOUBLE) / dfs.df AS score,
+         row_number() OVER (
+             PARTITION BY tfs.doc_id
+             ORDER BY CAST(tfs.tf AS DOUBLE) / dfs.df DESC, tfs.term
+         ) AS rank
+  FROM tfs JOIN dfs USING (term))
+SELECT id, CAST(rank AS BIGINT) AS rank, term, tf, df, score
+FROM scored WHERE rank <= 3
+"""
+
+QUERIES["tfidf_topk_docs"] = tfidf_topk_docs
+ORACLE["tfidf_topk_docs"] = TFIDF_TOPK_SQL
+_window_append("tfidf_topk_docs")
+
+
+def dedup_index_docs(sf_dir: str):
+    """Persisted exact-dedup hash index lifecycle
+    (stages/dedup_index.py — the incremental corpus-ingestion story:
+    build over the full corpus, flag wave 1 derived from the corpus's
+    own rows, update the index with the kept wave, flag wave 2 against
+    the deltas, compact, flag wave 2 again). GENUINE oracle: SQL
+    recomputes every flag as text-set membership (engine membership is
+    64-bit-hash equality — agrees unless a hash collision occurs).
+    Wave rows derive deterministically from doc_id%10==0 source rows:
+    wave 1 keeps the original text when doc_id%20==0 (a dup) else
+    appends ' v2' (fresh); wave 2 appends ' v3' when doc_id%20==0
+    (fresh) else ' v2' (a dup of the wave-1 kept set)."""
+    import shutil
+    import tempfile
+    from prompture_ray.stages.dedup_index import (
+        build_dedup_index, compact_dedup_index, dedup_against_index,
+        update_dedup_index)
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    tmp = tempfile.mkdtemp(prefix="dedup_idx_q_", dir="/tmp")
+    try:
+        idx = f"{tmp}/idx"
+        build_dedup_index(docs, "text", idx, n_buckets=16)
+
+        def wave(t: pa.Table, offset: int, dup_suffix: str,
+                 plant_suffix: str) -> pa.Table:
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            m = ids % 10 == 0
+            ids = ids[m]
+            txt = np.asarray(
+                pc.fill_null(t["text"], "").to_pylist(),
+                dtype=object)[m]
+            planted = np.where(ids % 20 == 0, txt + plant_suffix,
+                               txt + dup_suffix)
+            return pa.table({
+                "doc_id": pa.array(ids + offset, type=pa.int64()),
+                "text": pa.array(planted.tolist(), type=pa.string())})
+
+        w1 = docs.map_batches(
+            lambda t: wave(t, 1_000_000, " v2", ""),
+            batch_format="pyarrow")
+        f1 = dedup_against_index(w1, idx, flag_col="is_new") \
+            .to_pandas()
+        kept1 = f1[f1["is_new"]]
+        import ray.data as rd
+        update_dedup_index(idx, rd.from_pandas(
+            kept1[["doc_id", "text"]].reset_index(drop=True)))
+
+        w2 = docs.map_batches(
+            lambda t: wave(t, 2_000_000, " v2", " v3"),
+            batch_format="pyarrow")
+        f2 = dedup_against_index(w2, idx, flag_col="is_new") \
+            .to_pandas()
+        compact_dedup_index(idx)
+        f3 = dedup_against_index(w2, idx, flag_col="is_new") \
+            .to_pandas()
+
+        rows = []
+        for wv, f in ((1, f1), (2, f2), (3, f3)):
+            rows.append(pa.table({
+                "wave": pa.array(np.full(len(f), wv, dtype=np.int64)),
+                "doc_id": pa.array(f["doc_id"].to_numpy(),
+                                   type=pa.int64()),
+                "is_new": pa.array(f["is_new"].to_numpy(),
+                                   type=pa.bool_())}))
+        return pa.concat_tables(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+DEDUP_INDEX_SQL = """
+WITH base AS (SELECT coalesce(text, '') AS t FROM documents),
+src AS (SELECT doc_id AS sid, coalesce(text, '') AS t
+        FROM documents WHERE doc_id % 10 = 0),
+w1 AS (SELECT sid, sid + 1000000 AS wid,
+              CASE WHEN sid % 20 = 0 THEN t ELSE t || ' v2' END AS t
+       FROM src),
+f1 AS (SELECT wid, t, t NOT IN (SELECT t FROM base) AS is_new FROM w1),
+idx2 AS (SELECT t FROM base
+         UNION SELECT t FROM f1 WHERE is_new),
+w2 AS (SELECT sid, sid + 2000000 AS wid,
+              CASE WHEN sid % 20 = 0 THEN t || ' v3'
+                   ELSE t || ' v2' END AS t
+       FROM src),
+f2 AS (SELECT wid, t NOT IN (SELECT t FROM idx2) AS is_new FROM w2)
+SELECT CAST(1 AS BIGINT) AS wave, wid AS doc_id, is_new FROM f1
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS wave, wid AS doc_id, is_new FROM f2
+UNION ALL
+SELECT CAST(3 AS BIGINT) AS wave, wid AS doc_id, is_new FROM f2
+"""
+
+QUERIES["dedup_index_docs"] = dedup_index_docs
+ORACLE["dedup_index_docs"] = DEDUP_INDEX_SQL
+_window_append("dedup_index_docs")
+
+
+def embedding_contamination_vecs(sf_dir: str):
+    """Cross-corpus embedding contamination over int8-quantized codes
+    (stages/quantize.py quantized_contamination_pairs — eval codes
+    broadcast once, train streams through one int64 matmul per batch,
+    nothing shuffles). Eval set derives from the corpus itself
+    (vec_id%100==0 rows re-idd +10000), so each eval row is guaranteed
+    to hit its source at quantized cosine 1. GENUINE oracle: SQL
+    re-derives the codes with the bit-identical quantization
+    expression tree and applies the same pure-integer threshold rule
+    dot>0 AND dot²·100 ≥ 81·‖a‖²·‖b‖² — no floats after quantization,
+    no rounding anywhere."""
+    from prompture_ray.stages.quantize import (
+        quantized_contamination_pairs)
+    vecs = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def ev(t: pa.Table) -> pa.Table:
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        m = ids % 100 == 0
+        tt = t.filter(pa.array(m))
+        return pa.table({
+            "vec_id": pa.array(ids[m] + 10_000, type=pa.int64()),
+            "embedding": tt["embedding"]})
+
+    eval_ds = vecs.map_batches(ev, batch_format="pyarrow")
+    pairs = quantized_contamination_pairs(
+        vecs, eval_ds, "embedding", "vec_id", tau_num=9, tau_den=10)
+    df = pairs.to_pandas().sort_values(["eval_id", "train_id"],
+                                       ignore_index=True)
+    return pa.table({
+        "train_id": pa.array(df["train_id"].to_numpy(),
+                             type=pa.int64()),
+        "eval_id": pa.array(df["eval_id"].to_numpy(), type=pa.int64()),
+        "dot": pa.array(df["dot"].to_numpy(), type=pa.int64()),
+        "na": pa.array(df["na"].to_numpy(), type=pa.int64()),
+        "nb": pa.array(df["nb"].to_numpy(), type=pa.int64())})
+
+
+# the quantization CTE mirrors the engine's association exactly
+# (QUANTIZE_EMBED_SQL); everything after it is exact integers
+EMB_CONTAM_SQL = """
+WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+                  unnest(generate_series(1, len(embedding))) AS i
+           FROM embeddings),
+s AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS scale
+      FROM e GROUP BY vec_id),
+q AS (SELECT e.vec_id, e.i,
+             CASE WHEN s.scale = 0 THEN 0
+                  ELSE CAST(floor(CAST(e.x AS DOUBLE) / s.scale * 127.0
+                                  + 0.5) AS BIGINT) END AS qv
+      FROM e JOIN s USING (vec_id)),
+n AS (SELECT vec_id, CAST(sum(qv * qv) AS BIGINT) AS nn
+      FROM q GROUP BY vec_id),
+ev AS (SELECT vec_id AS src, vec_id + 10000 AS eval_id
+       FROM embeddings WHERE vec_id % 100 = 0),
+dots AS (SELECT t.vec_id AS train_id, ev.eval_id,
+                CAST(sum(t.qv * s2.qv) AS BIGINT) AS dot
+         FROM q t
+         CROSS JOIN ev
+         JOIN q s2 ON s2.vec_id = ev.src AND s2.i = t.i
+         GROUP BY t.vec_id, ev.eval_id)
+SELECT d.train_id, d.eval_id, d.dot, na.nn AS na, nb.nn AS nb
+FROM dots d
+JOIN n na ON na.vec_id = d.train_id
+JOIN n nb ON nb.vec_id = d.eval_id - 10000
+WHERE d.dot > 0 AND d.dot * d.dot * 100 >= 81 * na.nn * nb.nn
+ORDER BY eval_id, train_id
+"""
+
+QUERIES["embedding_contamination_vecs"] = embedding_contamination_vecs
+ORACLE["embedding_contamination_vecs"] = EMB_CONTAM_SQL
+_window_append("embedding_contamination_vecs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -109,3 +109,76 @@ def quantization_stats(ds, emb_col: str, id_col: str):
             "q_l1": pa.array(q_l1)})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quantized_contamination_pairs(train_ds, eval_ds, emb_col: str,
+                                  id_col: str, tau_num: int = 9,
+                                  tau_den: int = 10):
+    """Cross-corpus embedding contamination over int8 codes — find
+    (train, eval) pairs whose QUANTIZED cosine ≥ tau_num/tau_den
+    (beyond reference; the semantic twin of cross_corpus_minhash_pairs
+    for the embedding-based decontamination recipe, cf. SemDeDup).
+
+    Exactness contract: codes are the bit-identical int8 quantization
+    (module header), so dot products and squared norms are exact
+    int64s, and the threshold test is pure integer cross-
+    multiplication — ``dot > 0 AND dot²·tau_den² ≥ tau_num²·‖a‖²·‖b‖²``
+    — no floating point anywhere after quantization. Overflow-safe for
+    dims ≤ ~10^4 (127²·d ≤ 1.6e8, squared ×100 ≤ 2.6e18·(d/10^4)²).
+
+    Scale shape: the EVAL side is a benchmark suite — small by nature
+    (the large-large case is cross_corpus_minhash_pairs) — so its code
+    matrix is materialized once and broadcast via ``ray.put``; the
+    train corpus streams through one map_batches (an int64 matmul per
+    batch), nothing shuffles. Returns (train_id, eval_id, dot, na, nb)
+    rows, exact ints.
+    """
+    import ray
+
+    def codes(t: pa.Table) -> tuple:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        flat, offs = _flat_list(t[emb_col])
+        q, _ = _quantize_flat(flat, offs)
+        lens = np.diff(offs)
+        if len(np.unique(lens)) > 1:
+            raise ValueError("contamination: ragged embedding dims")
+        d = int(lens[0]) if len(lens) else 0
+        return ids, q.astype(np.int64).reshape(-1, d)
+
+    ev = eval_ds.materialize()
+    parts = [codes(t) for t in ev.iter_batches(batch_format="pyarrow")]
+    e_ids = np.concatenate([p[0] for p in parts]) if parts \
+        else np.empty(0, np.int64)
+    e_mat = np.concatenate([p[1] for p in parts]) if parts \
+        else np.empty((0, 0), np.int64)
+    e_nb = (e_mat * e_mat).sum(axis=1)
+    ref = ray.put((e_ids, e_mat, e_nb))
+    num2 = int(tau_num) * int(tau_num)
+    den2 = int(tau_den) * int(tau_den)
+
+    def score(t: pa.Table) -> pa.Table:
+        eids, emat, enb = ray.get(ref)
+        ids, qm = codes(t)
+        empty = pa.table({
+            "train_id": pa.array([], type=pa.int64()),
+            "eval_id": pa.array([], type=pa.int64()),
+            "dot": pa.array([], type=pa.int64()),
+            "na": pa.array([], type=pa.int64()),
+            "nb": pa.array([], type=pa.int64())})
+        if not len(ids) or not len(eids):
+            return empty
+        dot = qm @ emat.T
+        na = (qm * qm).sum(axis=1)
+        hit = (dot > 0) & (dot * dot * den2
+                           >= num2 * na[:, None] * enb[None, :])
+        ti, ei = np.nonzero(hit)
+        if not len(ti):
+            return empty
+        return pa.table({
+            "train_id": pa.array(ids[ti], type=pa.int64()),
+            "eval_id": pa.array(eids[ei], type=pa.int64()),
+            "dot": pa.array(dot[ti, ei], type=pa.int64()),
+            "na": pa.array(na[ti], type=pa.int64()),
+            "nb": pa.array(enb[ei], type=pa.int64())})
+
+    return train_ds.map_batches(score, batch_format="pyarrow")

@@ -1,0 +1,179 @@
+"""TF-IDF keyword extraction — top-k characteristic terms per document
+(beyond the reference, which retrieves with BM25 only: this is the
+corpus-statistics inverse, "which terms describe this doc", the
+standard signal for topic labeling / domain mixing of training data;
+cf. reference prompture/rag/retrievers.py BM25 statistics shape).
+
+Exactness contract (the oracle basis): the ranking score is tf/df —
+ONE correctly-rounded double division of exact small integers on both
+sides, so engine and SQL doubles are bit-identical with no rounding.
+(Classic tf·log(N/df) needs libm `log`, whose 1-ulp noise can flip
+ranking ties between numpy and DuckDB; tf/df is the same monotone
+family for fixed tf and keeps the oracle exact.) Ties break by term
+ascending — deterministic on both sides.
+
+Scale shape (one narrow shuffle total):
+- pass 1: per-batch distinct (doc, term) posting rows reduced to
+  hash64(term) → grouped Count = document frequency. Only 8-byte
+  hashes shuffle; Heaps' law keeps the lexicon small.
+- size-aware df broadcast (`ray.put` sorted (hash, df) arrays, the
+  corpus_frequency_score pattern) — per batch, pass 2 recomputes
+  (doc, term, tf) locally with the dictionary-encode kernel (a doc's
+  tokens never leave its batch), looks df up via searchsorted, and
+  selects the per-doc top-k with one vectorized lexsort. Document
+  text and term strings are never shuffled.
+Beyond ``broadcast_max`` lexicon entries the df lookup goes through
+the hash-bucketed equi-join (the 100-TB path), equality-tested via
+``broadcast_max=0`` in tests/test_tfidf.py.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prompture_ray.functions.sketches import hash64
+
+
+def _postings(t: pa.Table, text_col: str, id_col: str):
+    """Per-batch (row_idx, term-string, tf) over lowercased whitespace
+    tokens — the text_index dictionary-encode kernel (only the batch
+    VOCAB materializes as Python strings, the stream stays int32)."""
+    from prompture_ray.functions import limit_arrow_threads
+    limit_arrow_threads(1)
+    col = t[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    lists = pc.utf8_split_whitespace(
+        pc.utf8_trim_whitespace(pc.utf8_lower(pc.fill_null(col, ""))))
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    row_len = pc.list_value_length(lists).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    ids = t[id_col].to_numpy(zero_copy_only=False)
+    dict_arr = lists.flatten().dictionary_encode()
+    codes = dict_arr.indices.to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    vocab = np.asarray(dict_arr.dictionary.to_pylist(), dtype=object)
+    parent = np.repeat(np.arange(len(ids)), row_len)
+    keep = np.ones(len(codes), dtype=bool)
+    empty_hit = np.flatnonzero(vocab == "")
+    if empty_hit.size:
+        keep = codes != int(empty_hit[0])
+    nv = max(len(vocab), 1)
+    combo = parent[keep] * nv + codes[keep]
+    uc, counts = np.unique(combo, return_counts=True)
+    return ids, uc // nv, vocab[uc % nv], counts.astype(np.int64)
+
+
+def tfidf_topk_terms(ds, text_col: str = "text", id_col: str = "doc_id",
+                     k: int = 3, n_buckets: int = 32,
+                     broadcast_max: int = 20_000_000):
+    """Top-``k`` terms per doc by tf/df (desc), term (asc).
+
+    Returns rows ``(id, rank 1..k, term, tf, df, score)`` — docs with
+    fewer than ``k`` distinct terms emit fewer rows; empty docs none.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Count
+
+    def df_rows(t: pa.Table) -> pa.Table:
+        _, _, terms, _ = _postings(t, text_col, id_col)
+        return pa.table({"gram": pa.array(hash64(terms).astype(np.int64)
+                                          if len(terms) else
+                                          np.empty(0, np.int64),
+                                          type=pa.int64())})
+
+    lexicon = ds.map_batches(df_rows, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="df")) \
+        .materialize()
+
+    def topk_local(ids, rows, terms, tf, dfv) -> pa.Table:
+        score = tf / dfv                       # one exact division
+        # per-row (doc) top-k: sort by (row asc, score desc, term asc)
+        order = np.lexsort((terms, -score, rows))
+        rows_s = rows[order]
+        first = np.flatnonzero(np.r_[True, rows_s[1:] != rows_s[:-1]])
+        rank = np.arange(len(rows_s)) - np.repeat(
+            first, np.diff(np.r_[first, len(rows_s)]))
+        sel = order[rank < k]
+        sel_rank = rank[rank < k]
+        return pa.table({
+            "id": pa.array(ids[rows[sel]], type=pa.int64()),
+            "rank": pa.array(sel_rank + 1, type=pa.int64()),
+            "term": pa.array(terms[sel].tolist(), type=pa.string()),
+            "tf": pa.array(tf[sel], type=pa.int64()),
+            "df": pa.array(dfv[sel], type=pa.int64()),
+            "score": pa.array(score[sel], type=pa.float64()),
+        })
+
+    n_lex = lexicon.count()
+    if n_lex <= broadcast_max:
+        parts = [(t["gram"].to_numpy(zero_copy_only=False),
+                  t["df"].to_numpy(zero_copy_only=False))
+                 for t in lexicon.iter_batches(batch_format="pyarrow")]
+        g_all = np.concatenate([p[0] for p in parts]) if parts \
+            else np.empty(0, dtype=np.int64)
+        d_all = np.concatenate([p[1] for p in parts]) if parts \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(g_all)
+        ref = ray.put((g_all[order], d_all[order].astype(np.int64)))
+
+        def score_batch(t: pa.Table) -> pa.Table:
+            gs, dfs = ray.get(ref)
+            ids, rows, terms, tf = _postings(t, text_col, id_col)
+            if not len(rows):
+                return topk_local(ids, rows, terms, tf,
+                                  np.empty(0, np.int64))
+            h = hash64(terms).astype(np.int64)
+            dfv = dfs[np.searchsorted(gs, h)]
+            return topk_local(ids, rows, terms, tf, dfv)
+
+        return ds.map_batches(score_batch, batch_format="pyarrow")
+
+    # 100-TB path: distinct (doc, term) rows × lexicon via the
+    # hash-bucketed equi-join, then the same vectorized per-doc top-k
+    # inside bounded hash(id) partitions (each doc's candidate rows
+    # land wholly in one partition).
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def posting_rows(t: pa.Table) -> pa.Table:
+        ids, rows, terms, tf = _postings(t, text_col, id_col)
+        h = hash64(terms).astype(np.int64) if len(terms) \
+            else np.empty(0, np.int64)
+        return pa.table({
+            "id": pa.array(ids[rows], type=pa.int64()),
+            "gram": pa.array(h, type=pa.int64()),
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "tf": pa.array(tf, type=pa.int64())})
+
+    posts = ds.map_batches(posting_rows, batch_format="pyarrow")
+    joined = bucketed_equi_join(posts, lexicon, key="gram",
+                                n_buckets=n_buckets)
+
+    def part_topk(g: pd.DataFrame) -> pd.DataFrame:
+        ids_u, rows = np.unique(
+            g["id"].to_numpy().astype(np.int64), return_inverse=True)
+        t = topk_local(ids_u, rows,
+                       np.asarray(g["term"].to_numpy(), dtype=object),
+                       g["tf"].to_numpy().astype(np.int64),
+                       g["df"].to_numpy().astype(np.int64))
+        return t.to_pandas()
+
+    def tag(t: pa.Table) -> pa.Table:
+        part = (t["id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+                % np.uint64(64)).astype(np.int32)
+        return t.append_column("_part", pa.array(part))
+
+    out = joined.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_part").map_groups(part_topk, batch_format="pandas")
+    empty = pa.table({"id": pa.array([], type=pa.int64()),
+                      "rank": pa.array([], type=pa.int64()),
+                      "term": pa.array([], type=pa.string()),
+                      "tf": pa.array([], type=pa.int64()),
+                      "df": pa.array([], type=pa.int64()),
+                      "score": pa.array([], type=pa.float64())})
+    return out.map_batches(
+        lambda t: t.select(empty.column_names) if t.num_rows
+        else empty, batch_format="pyarrow")
