@@ -5696,6 +5696,109 @@ ORACLE["embedding_contamination_vecs"] = EMB_CONTAM_SQL
 _window_append("embedding_contamination_vecs")
 
 
+def minhash_index_docs(sf_dir: str):
+    """Persisted MinHash-LSH near-dup index lifecycle
+    (stages/minhash_index.py — build over a planted corpus, flag wave 1
+    (exact copies TRUE / fresh FALSE), update with the kept wave, flag
+    wave 2 (copies of the DELTA docs must now flag — proves delta
+    pickup)). Planted oracle, the minhash_planted_docs scheme: sha-hex
+    texts make cross-doc shingle Jaccard ~1e-4 (agreement far below
+    the 0.8 threshold, candidate collisions rejected by the exact
+    verify) while exact copies share signatures bit-for-bit
+    (guaranteed candidate, agreement 1.0) — so the flags are
+    closed-form in doc_id and SQL never touches hashing."""
+    import hashlib
+    import shutil
+    import tempfile
+    from prompture_ray.stages.minhash_index import (
+        build_minhash_index, minhash_index_flags, update_minhash_index)
+
+    ids_ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _mi_txt(i: int, salt: str) -> str:
+        return "".join(
+            hashlib.sha256(f"{salt}:{i}:{j}".encode()).hexdigest()
+            for j in range(3))
+
+    def corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([_mi_txt(i, "mi") for i in ids],
+                             type=pa.string())})
+
+    def wave(t: pa.Table, offset: int, dup_salt: str,
+             fresh_salt: str) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist() if i % 10 in (0, 5)]
+        texts = [_mi_txt(i, dup_salt) if i % 10 == 0
+                 else _mi_txt(i, fresh_salt) for i in ids]
+        return pa.table({
+            "doc_id": pa.array([i + offset for i in ids],
+                               type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+
+    tmp = tempfile.mkdtemp(prefix="mh_idx_q_", dir="/tmp")
+    try:
+        idx = f"{tmp}/idx"
+        build_minhash_index(
+            ids_ds.map_batches(corpus, batch_format="pyarrow"),
+            "text", "doc_id", idx, n_buckets=16)
+
+        w1 = ids_ds.map_batches(
+            lambda t: wave(t, 1_000_000, "mi", "w1"),
+            batch_format="pyarrow")
+        f1 = minhash_index_flags(w1, idx).to_pandas()
+        kept1 = f1[~f1["is_dup"]]
+        import ray.data as rd
+        update_minhash_index(idx, rd.from_pandas(
+            kept1[["doc_id", "text"]].reset_index(drop=True)))
+
+        # wave 2: %10==5 rows repeat wave 1's FRESH text (now indexed
+        # via the delta -> TRUE); %10==0 rows get a new fresh salt
+        def wave2(t: pa.Table) -> pa.Table:
+            ids = [i for i in t["doc_id"].to_pylist()
+                   if i % 10 in (0, 5)]
+            texts = [_mi_txt(i, "w2") if i % 10 == 0
+                     else _mi_txt(i, "w1") for i in ids]
+            return pa.table({
+                "doc_id": pa.array([i + 2_000_000 for i in ids],
+                                   type=pa.int64()),
+                "text": pa.array(texts, type=pa.string())})
+
+        f2 = minhash_index_flags(
+            ids_ds.map_batches(wave2, batch_format="pyarrow"),
+            idx).to_pandas()
+
+        rows = []
+        for wv, f in ((1, f1), (2, f2)):
+            rows.append(pa.table({
+                "wave": pa.array(np.full(len(f), wv, dtype=np.int64)),
+                "doc_id": pa.array(f["doc_id"].to_numpy(),
+                                   type=pa.int64()),
+                "is_dup": pa.array(f["is_dup"].to_numpy(),
+                                   type=pa.bool_())}))
+        return pa.concat_tables(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+MINHASH_INDEX_SQL = """
+WITH src AS (SELECT doc_id AS sid FROM documents
+             WHERE doc_id % 10 IN (0, 5))
+SELECT CAST(1 AS BIGINT) AS wave, sid + 1000000 AS doc_id,
+       sid % 10 = 0 AS is_dup
+FROM src
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS wave, sid + 2000000 AS doc_id,
+       sid % 10 = 5 AS is_dup
+FROM src
+"""
+
+QUERIES["minhash_index_docs"] = minhash_index_docs
+ORACLE["minhash_index_docs"] = MINHASH_INDEX_SQL
+_window_append("minhash_index_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
