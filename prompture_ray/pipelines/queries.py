@@ -5799,6 +5799,115 @@ ORACLE["minhash_index_docs"] = MINHASH_INDEX_SQL
 _window_append("minhash_index_docs")
 
 
+def ingest_pipeline_docs(sf_dir: str):
+    """Composed incremental-ingestion pipeline (pipelines/ingest.py):
+    two waves through exact-index filter → minhash-index near-dup
+    filter → delta-update of both indexes. Planted classes by
+    doc_id%10 (sha-hex texts, the minhash_planted scheme): wave 1 —
+    0 = exact corpus copy, 3 = corpus text + ' xyz' (char-shingle
+    Jaccard ≈ 0.99, seed-pinned DETERMINISTIC agreement far above the
+    0.8 threshold), 5 = fresh; wave 2 re-tests against the DELTAS —
+    5 = exact copy of the wave-1 kept doc, 0 = near-dup of the wave-1
+    kept doc at sid+5, 3 = fresh. Verdicts AND best-match ids are
+    closed-form in doc_id."""
+    import hashlib
+    import shutil
+    import tempfile
+    from prompture_ray.pipelines.ingest import ingest_wave
+    from prompture_ray.stages.dedup_index import build_dedup_index
+    from prompture_ray.stages.minhash_index import build_minhash_index
+
+    ids_ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _ig_txt(i: int, salt: str) -> str:
+        return "".join(
+            hashlib.sha256(f"ig:{salt}:{i}:{j}".encode()).hexdigest()
+            for j in range(6))
+
+    def corpus(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "text": pa.array([_ig_txt(i, "c") for i in ids],
+                             type=pa.string())})
+
+    def wave1(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist()
+               if i % 10 in (0, 3, 5)]
+        texts = [_ig_txt(i, "c") if i % 10 == 0
+                 else _ig_txt(i, "c") + " xyz" if i % 10 == 3
+                 else _ig_txt(i, "w1") for i in ids]
+        return pa.table({
+            "doc_id": pa.array([i + 1_000_000 for i in ids],
+                               type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+
+    def wave2(t: pa.Table) -> pa.Table:
+        ids = [i for i in t["doc_id"].to_pylist()
+               if i % 10 in (0, 3, 5)]
+        texts = [_ig_txt(i + 5, "w1") + " xyz" if i % 10 == 0
+                 else _ig_txt(i, "w2") if i % 10 == 3
+                 else _ig_txt(i, "w1") for i in ids]
+        return pa.table({
+            "doc_id": pa.array([i + 2_000_000 for i in ids],
+                               type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+
+    tmp = tempfile.mkdtemp(prefix="ingest_q_", dir="/tmp")
+    try:
+        didx, mhidx = f"{tmp}/didx", f"{tmp}/mhidx"
+        cds = ids_ds.map_batches(corpus, batch_format="pyarrow")
+        build_dedup_index(cds, "text", didx, n_buckets=16)
+        build_minhash_index(cds, "text", "doc_id", mhidx, n_buckets=16)
+
+        _, v1 = ingest_wave(
+            ids_ds.map_batches(wave1, batch_format="pyarrow"),
+            didx, mhidx)
+        f1 = v1.to_pandas()
+        _, v2 = ingest_wave(
+            ids_ds.map_batches(wave2, batch_format="pyarrow"),
+            didx, mhidx)
+        f2 = v2.to_pandas()
+
+        rows = []
+        for wv, f in ((1, f1), (2, f2)):
+            rows.append(pa.table({
+                "wave": pa.array(np.full(len(f), wv, dtype=np.int64)),
+                "doc_id": pa.array(f["doc_id"].to_numpy(),
+                                   type=pa.int64()),
+                "verdict": pa.array(f["verdict"].tolist(),
+                                    type=pa.string()),
+                "match_id": pa.array(f["match_id"].to_numpy(),
+                                     type=pa.int64())}))
+        return pa.concat_tables(rows)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+INGEST_PIPELINE_SQL = """
+WITH src AS (SELECT doc_id AS sid FROM documents
+             WHERE doc_id % 10 IN (0, 3, 5))
+SELECT CAST(1 AS BIGINT) AS wave, sid + 1000000 AS doc_id,
+       CASE WHEN sid % 10 = 0 THEN 'exact_dup'
+            WHEN sid % 10 = 3 THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN sid % 10 = 3 THEN sid ELSE -1 END AS match_id
+FROM src
+UNION ALL
+SELECT CAST(2 AS BIGINT) AS wave, sid + 2000000 AS doc_id,
+       CASE WHEN sid % 10 = 5 THEN 'exact_dup'
+            WHEN sid % 10 = 0 THEN 'near_dup'
+            ELSE 'kept' END AS verdict,
+       CASE WHEN sid % 10 = 0 THEN sid + 5 + 1000000
+            ELSE -1 END AS match_id
+FROM src
+"""
+
+QUERIES["ingest_pipeline_docs"] = ingest_pipeline_docs
+ORACLE["ingest_pipeline_docs"] = INGEST_PIPELINE_SQL
+_window_append("ingest_pipeline_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
