@@ -145,19 +145,30 @@ def _bucket_hash_refs(index_dir: str, n_buckets: int) -> list:
 
 
 def dedup_against_index(ds, index_dir: str, col: str | None = None,
-                        flag_col: str | None = None):
+                        flag_col: str | None = None,
+                        broadcast_max: int = 1_000_000_000):
     """Filter rows whose content hash is present in the index (keep
     the complement). With ``flag_col`` set, keep ALL rows and append a
     boolean "is new" column instead (audit mode, dedup_exact parity).
 
-    Zero data shuffle: membership is a per-batch searchsorted against
-    broadcast per-bucket sorted hash arrays (see module docstring for
-    the beyond-object-store alternative)."""
+    Size-aware dispatch: up to ``broadcast_max`` indexed hashes (8 GB
+    of object store at the default — an ~10^9-doc corpus) the lookup
+    is ZERO-shuffle, a per-batch searchsorted against broadcast
+    per-bucket sorted hash arrays. Beyond that, the wave is
+    hash-partitioned by index bucket (ONE wave shuffle) and each
+    partition task reads ONLY its bucket's parquet files from the
+    index — nothing index-sized ever leaves disk except the touched
+    buckets, so the path holds for indexes of any size. The two paths
+    are equality-tested via ``broadcast_max=0`` in
+    tests/test_dedup_index.py."""
     import ray
 
     meta = read_meta(index_dir)
     n_buckets = int(meta["n_buckets"])
     col = col or meta["col"]
+    if int(meta.get("n_hashes", 0)) > broadcast_max:
+        return _dedup_partitioned(ds, index_dir, col, flag_col,
+                                  n_buckets)
     refs = _bucket_hash_refs(index_dir, n_buckets)
 
     def filter_batch(t: pa.Table) -> pa.Table:
@@ -180,6 +191,47 @@ def dedup_against_index(ds, index_dir: str, col: str | None = None,
         return t.filter(pa.array(~seen))
 
     return ds.map_batches(filter_batch, batch_format="pyarrow")
+
+
+def _dedup_partitioned(ds, index_dir: str, col: str,
+                       flag_col: str | None, n_buckets: int):
+    """100-TB path: one wave shuffle by index bucket; each partition
+    task reads only its bucket's hash files from disk."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    def tag(t: pa.Table) -> pa.Table:
+        h = _content_hashes(t, col)
+        t = t.append_column("_h", pa.array(h, type=pa.int64()))
+        return t.append_column(
+            "_b", pa.array(_bucket_of(h, n_buckets).astype(np.int64)))
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return g.drop_columns(["_h", "_b"])
+        k = int(g.column("_b")[0].as_py())
+        paths = _bucket_files(index_dir, k)
+        if paths:
+            hk = np.unique(np.concatenate(
+                [pq.read_table(p, columns=["content_hash"])
+                 .column("content_hash").to_numpy(zero_copy_only=False)
+                 for p in paths]))
+        else:
+            hk = np.empty(0, dtype=np.int64)
+        h = g.column("_h").to_numpy(zero_copy_only=False)
+        if len(hk):
+            pos = np.searchsorted(hk, h)
+            pos[pos == len(hk)] = 0
+            seen = hk[pos] == h
+        else:
+            seen = np.zeros(len(h), dtype=bool)
+        g = g.drop_columns(["_h", "_b"])
+        if flag_col is not None:
+            return g.append_column(flag_col, pa.array(~seen))
+        return g.filter(pa.array(~seen))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("_b").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def update_dedup_index(index_dir: str, add_ds,

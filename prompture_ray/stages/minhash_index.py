@@ -383,3 +383,37 @@ def minhash_index_flags(ds, index_dir: str, threshold: float = 0.8,
         return out.append_column("truncated", pa.array(trunc))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def compact_minhash_index(index_dir: str) -> dict:
+    """Fold delta files into one file per bucket (sigs and bands).
+    Rows are already distinct by the update contract (ids must be
+    new), so compaction is a pure concat-rewrite. Crash-safe via the
+    rename-aside pattern: the old dir is moved aside BEFORE the new
+    one is promoted, so every intermediate state has a complete bucket
+    on disk under either name."""
+    import pyarrow.parquet as pq
+
+    meta = read_meta(index_dir)
+    n_buckets = int(meta["n_buckets"])
+    for sub in ("sigs", "bands"):
+        root = os.path.join(index_dir, sub)
+        for k in range(n_buckets):
+            paths = _bucket_files(root, k)
+            if len(paths) <= 1:
+                continue
+            bdir = os.path.join(root, f"bucket={k}")
+            allt = pa.concat_tables([pq.read_table(p) for p in paths],
+                                    promote_options="default")
+            tmp = bdir + ".compact"
+            shutil.rmtree(tmp, ignore_errors=True)
+            os.makedirs(tmp)
+            pq.write_table(allt, os.path.join(tmp, "part-0.parquet"))
+            old = bdir + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(bdir, old)
+            os.replace(tmp, bdir)
+            shutil.rmtree(old)
+    meta["n_docs"] = _count_docs(index_dir, n_buckets)
+    _write_meta(index_dir, meta)
+    return meta

@@ -78,3 +78,23 @@ def test_null_and_empty_text(ray_session, tmp_path):
     kept = dedup_against_index(w, idx).to_pandas()
     # null coalesces to "" → both empty-ish rows are dups of base ""
     assert list(kept["doc_id"]) == [12]
+
+
+def test_partitioned_path_equals_broadcast(ray_session, tmp_path):
+    idx = str(tmp_path / "didx4")
+    build_dedup_index(_ds(range(20), BASE), "text", idx, n_buckets=8)
+    w = _ds([100, 101, 102, 103],
+            [BASE[0], "fresh a", BASE[11], "fresh b"])
+    a = dedup_against_index(w, idx).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    b = dedup_against_index(w, idx, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert a.equals(b)
+    assert list(a["doc_id"]) == [101, 103]
+    # flag mode too
+    af = dedup_against_index(w, idx, flag_col="is_new").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    bf = dedup_against_index(w, idx, flag_col="is_new",
+                             broadcast_max=0).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert af.equals(bf)

@@ -110,3 +110,28 @@ def test_build_no_overwrite(ray_session, tmp_path):
                         n_perm=64, n_bands=8, n_buckets=2)
     with pytest.raises(FileExistsError):
         build_minhash_index(_ds([0], [_txt(0)]), "text", "doc_id", idx)
+
+
+def test_compact_preserves_flags(ray_session, tmp_path):
+    from prompture_ray.stages.minhash_index import compact_minhash_index
+    import glob as _glob
+    idx = str(tmp_path / "mhidx4")
+    build_minhash_index(_ds([0, 1], [_txt(0), _txt(1)]), "text",
+                        "doc_id", idx, n_perm=64, n_bands=8,
+                        n_buckets=2)
+    update_minhash_index(idx, _ds([10], [_txt(10)]))
+    update_minhash_index(idx, _ds([11], [_txt(11)]))
+    before = minhash_index_flags(
+        _ds([20, 21, 22], [_txt(10), _txt(11), _txt(99, "z")]),
+        idx).to_pandas()[["doc_id", "is_dup", "match_id"]]
+    meta = compact_minhash_index(idx)
+    assert meta["n_docs"] == 4
+    # every populated bucket folded to one file
+    for root in ("sigs", "bands"):
+        for bdir in _glob.glob(f"{idx}/{root}/bucket=*"):
+            assert len(_glob.glob(f"{bdir}/*.parquet")) == 1
+    after = minhash_index_flags(
+        _ds([20, 21, 22], [_txt(10), _txt(11), _txt(99, "z")]),
+        idx).to_pandas()[["doc_id", "is_dup", "match_id"]]
+    assert before.equals(after)
+    assert list(before["is_dup"]) == [True, True, False]
