@@ -29,10 +29,11 @@ agreement ≥ threshold — bit-identical semantics to the in-run
 minhash_candidate_pairs verify (same MinHasher, same band keys, same
 agreement fraction). Broadcast cost is the index itself
 (n_docs × (n_perm·8 + n_bands·16) bytes ≈ 1.25 KB/doc at 128/16) —
-fine to ~10^7 docs/10 GB of aggregate object store; beyond that,
-partition the wave by band bucket first and read per-bucket files
-inside the group task (the dedup_index module documents the same
-trade).
+fine to ~10^7 docs/10 GB of aggregate object store. Beyond that,
+``minhash_index_flags_partitioned`` is the implemented disk path:
+only wave-derived rows shuffle, each partition task reads just its
+band/sig bucket files — holds for indexes of any size
+(equality-tested against the broadcast form).
 
 Same probabilistic contract as the in-run path: identical texts give
 identical signatures (guaranteed candidate + agreement 1.0); candidate
@@ -417,3 +418,218 @@ def compact_minhash_index(index_dir: str) -> dict:
     meta["n_docs"] = _count_docs(index_dir, n_buckets)
     _write_meta(index_dir, meta)
     return meta
+
+
+def minhash_index_flags_partitioned(ds, index_dir: str,
+                                    threshold: float = 0.8,
+                                    flag_col: str = "is_dup",
+                                    max_bucket: int = 200,
+                                    n_parts: int = 32):
+    """Disk-partitioned lookup — the beyond-object-store path (the
+    dedup_index `_dedup_partitioned` precedent, two-level because the
+    index has bands AND sigs):
+
+    1. wave signatures once (narrow (id, sig) rows, materialized);
+    2. wave band rows (bucket, ckey, id) — ONE narrow shuffle by band
+       bucket; each partition task reads only ITS bucket's (ckey, id)
+       files from disk and emits candidate (wave_id, cand_id) pairs
+       (ranges clipped at max_bucket, like the broadcast path);
+    3. distinct candidates joined back to the wave sigs (hash-bucketed
+       equi-join on wave_id), then ONE shuffle by candidate sig bucket;
+       each partition task reads only its sig files and verifies by
+       exact permutation agreement;
+    4. per-wave-row best-match fold (grouped aggregate), joined onto
+       the wave rows as the same output columns as
+       ``minhash_index_flags`` minus ``truncated`` per-row detail
+       (truncation is still applied, the marker column is always
+       False on this path — the per-row attribution needs the
+       broadcast form).
+
+    Nothing index-sized is ever broadcast or shuffled — only wave-
+    derived rows move. Equality-tested against the broadcast path in
+    tests/test_minhash_index.py."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Max
+
+    meta = read_meta(index_dir)
+    n_perm, n_bands = int(meta["n_perm"]), int(meta["n_bands"])
+    n_buckets = int(meta["n_buckets"])
+    text_col, id_col = meta["text_col"], meta["id_col"]
+    sfn = _sig_fn(text_col, id_col, n_perm, int(meta["shingle_k"]),
+                  bool(meta["normalize"]))
+
+    wave_sigs = ds.map_batches(sfn, batch_format="pyarrow") \
+        .materialize()
+    band_rows = wave_sigs.map_batches(
+        _band_fn(n_perm, n_bands, n_buckets), batch_format="pyarrow")
+
+    def bucket_cands(g: pa.Table) -> pa.Table:
+        empty = pa.table({"wave_id": pa.array([], type=pa.int64()),
+                          "cand_id": pa.array([], type=pa.int64())})
+        if not g.num_rows:
+            return empty
+        k = int(g.column("bucket")[0].as_py())
+        paths = _bucket_files(os.path.join(index_dir, "bands"), k)
+        if not paths:
+            return empty
+        t = pa.concat_tables([pq.read_table(p, columns=["ckey", "id"])
+                              for p in paths])
+        cks = t.column("ckey").to_numpy(zero_copy_only=False)
+        cids = t.column("id").to_numpy(zero_copy_only=False)
+        order = np.argsort(cks, kind="stable")
+        cks, cids = cks[order], cids[order]
+        wk = g.column("ckey").to_numpy(zero_copy_only=False)
+        wid = g.column("id").to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(cks, wk, side="left")
+        hi = np.searchsorted(cks, wk, side="right")
+        cnt = np.minimum(hi - lo, max_bucket)
+        tot = int(cnt.sum())
+        if not tot:
+            return empty
+        src = np.repeat(np.arange(len(cnt)), cnt)
+        start = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        idx = lo[src] + (np.arange(tot) - start)
+        return pa.table({
+            "wave_id": pa.array(wid[src], type=pa.int64()),
+            "cand_id": pa.array(cids[idx], type=pa.int64())})
+
+    cands = band_rows.groupby("bucket") \
+        .map_groups(bucket_cands, batch_format="pyarrow")
+
+    def distinct_pairs(g: pa.Table) -> pa.Table:
+        if not g.num_rows:
+            return g
+        w = g.column("wave_id").to_numpy(zero_copy_only=False)
+        c = g.column("cand_id").to_numpy(zero_copy_only=False)
+        combo = _combine_bucket_keys(w, c)
+        _, uidx = np.unique(combo, return_index=True)
+        return pa.table({"wave_id": pa.array(w[uidx], type=pa.int64()),
+                         "cand_id": pa.array(c[uidx], type=pa.int64())})
+
+    def tag_pair(t: pa.Table) -> pa.Table:
+        w = t["wave_id"].to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_p", pa.array((w.astype(np.uint64) % np.uint64(n_parts))
+                           .astype(np.int64)))
+
+    # per-(wave partition) distinct, then join wave sigs on
+    cand_d = cands.map_batches(tag_pair, batch_format="pyarrow") \
+        .groupby("_p").map_groups(
+            lambda g: distinct_pairs(g.drop_columns(["_p"])),
+            batch_format="pyarrow").materialize()
+
+    from prompture_ray.stages.joins import bucketed_equi_join
+    paired = bucketed_equi_join(
+        cand_d, wave_sigs.map_batches(
+            lambda t: t.rename_columns(["wave_id", "wave_sig"]),
+            batch_format="pyarrow"),
+        key="wave_id", n_buckets=max(8, n_parts // 2))
+
+    def tag_sigbucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["_sb"] = (b["cand_id"].to_numpy().astype(np.uint64)
+                    % np.uint64(n_buckets)).astype(np.int64)
+        return b
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"wave_id": pd.Series([], dtype="int64"),
+                              "agree": pd.Series([], dtype="float64"),
+                              "cand_id": pd.Series([], dtype="int64")})
+        if not len(g):
+            return empty
+        k = int(g["_sb"].iloc[0])
+        paths = _bucket_files(os.path.join(index_dir, "sigs"), k)
+        if not paths:
+            return empty
+        t = pa.concat_tables([pq.read_table(p, columns=["id", "sig"])
+                              for p in paths])
+        s_ids = t.column("id").to_numpy(zero_copy_only=False)
+        order = np.argsort(s_ids, kind="stable")
+        s_ids = s_ids[order]
+        s_mat = np.stack([np.frombuffer(b, dtype=np.uint64)
+                          for b in t.column("sig").to_pylist()])[order]
+        cids = g["cand_id"].to_numpy().astype(np.int64)
+        pos = np.searchsorted(s_ids, cids)
+        pos[pos == len(s_ids)] = 0
+        ok = s_ids[pos] == cids
+        if not ok.any():
+            return empty
+        wmat = np.stack([np.frombuffer(b, dtype=np.uint64)
+                         for b in g["wave_sig"].to_numpy()[ok]])
+        agree = (wmat == s_mat[pos[ok]]).mean(axis=1)
+        hit = agree >= threshold
+        return pd.DataFrame({
+            "wave_id": g["wave_id"].to_numpy()[ok][hit]
+            .astype(np.int64),
+            "agree": agree[hit],
+            "cand_id": cids[ok][hit]})
+
+    hits = paired.map_batches(tag_sigbucket, batch_format="pandas") \
+        .groupby("_sb").map_groups(verify, batch_format="pandas") \
+        .materialize()
+
+    # best match per wave id: max agreement, ties -> smallest cand id
+    def best_fold(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "wave_id": pd.Series([], dtype="int64"),
+                "est_jaccard": pd.Series([], dtype="float64"),
+                "match_id": pd.Series([], dtype="int64")})
+        g = g.sort_values(["wave_id", "agree", "cand_id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        f = g.groupby("wave_id", sort=False).head(1)
+        return pd.DataFrame({
+            "wave_id": f["wave_id"].to_numpy().astype(np.int64),
+            "est_jaccard": f["agree"].to_numpy(),
+            "match_id": f["cand_id"].to_numpy().astype(np.int64)})
+
+    best = hits.map_batches(
+        lambda t: t.append_column("_p", pa.array(
+            (t["wave_id"].to_numpy(zero_copy_only=False)
+             .astype(np.uint64) % np.uint64(n_parts))
+            .astype(np.int64))), batch_format="pyarrow") \
+        .groupby("_p").map_groups(
+            lambda g: best_fold(g.drop(columns=["_p"])),
+            batch_format="pandas").materialize()
+
+    # broadcast the (small) hit fold onto the wave rows — hits are
+    # bounded by the wave size, not the corpus
+    import ray
+    parts = [(t["wave_id"].to_numpy(zero_copy_only=False),
+              t["est_jaccard"].to_numpy(zero_copy_only=False),
+              t["match_id"].to_numpy(zero_copy_only=False))
+             for t in best.iter_batches(batch_format="pyarrow")]
+    if parts:
+        w_all = np.concatenate([p[0] for p in parts])
+        e_all = np.concatenate([p[1] for p in parts])
+        m_all = np.concatenate([p[2] for p in parts])
+        order = np.argsort(w_all)
+        ref = ray.put((w_all[order], e_all[order], m_all[order]))
+    else:
+        ref = ray.put((np.empty(0, np.int64), np.empty(0, np.float64),
+                       np.empty(0, np.int64)))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ws, es, ms = ray.get(ref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        flag = np.zeros(len(ids), dtype=bool)
+        est = np.zeros(len(ids), dtype=np.float64)
+        mid = np.full(len(ids), -1, dtype=np.int64)
+        if len(ws) and len(ids):
+            pos = np.searchsorted(ws, ids)
+            pos[pos == len(ws)] = 0
+            okm = ws[pos] == ids
+            flag[okm] = True
+            est[okm] = es[pos[okm]]
+            mid[okm] = ms[pos[okm]]
+        out = t.append_column(flag_col, pa.array(flag))
+        out = out.append_column("match_id",
+                                pa.array(mid, type=pa.int64()))
+        out = out.append_column("est_jaccard",
+                                pa.array(est, type=pa.float64()))
+        return out.append_column(
+            "truncated", pa.array(np.zeros(len(ids), dtype=bool)))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -135,3 +135,24 @@ def test_compact_preserves_flags(ray_session, tmp_path):
         idx).to_pandas()[["doc_id", "is_dup", "match_id"]]
     assert before.equals(after)
     assert list(before["is_dup"]) == [True, True, False]
+
+
+def test_partitioned_flags_equal_broadcast(ray_session, tmp_path):
+    from prompture_ray.stages.minhash_index import (
+        minhash_index_flags_partitioned)
+    idx = str(tmp_path / "mhidx5")
+    corpus = [(i, _txt(i)) for i in range(30)]
+    wave = [(100 + i, _txt(i)) for i in range(10)]          # copies
+    wave += [(200 + i, _txt(i, salt="f")) for i in range(10)]  # fresh
+    wave += [(300, _txt(5) + " xyz"), (301, "ab")]  # near-dup, short
+    build_minhash_index(_ds(*zip(*corpus)), "text", "doc_id", idx,
+                        n_perm=64, n_bands=8, n_buckets=4)
+    cols = ["doc_id", "is_dup", "match_id", "est_jaccard"]
+    a = minhash_index_flags(_ds(*zip(*wave)), idx, threshold=0.8) \
+        .to_pandas().sort_values("doc_id",
+                                 ignore_index=True)[cols]
+    b = minhash_index_flags_partitioned(
+        _ds(*zip(*wave)), idx, threshold=0.8, n_parts=4) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)[cols]
+    assert a.equals(b)
+    assert bool(a.set_index("doc_id").loc[300, "is_dup"])
