@@ -55,10 +55,14 @@ def main() -> int:
             "run `python bench.py` once to build the corpus cache")
 
     def prep(t: pa.Table) -> pa.Table:
-        return pa.table({"doc_id": t["page_id"], "text": t["html"]})
+        from prompture_ray.functions.sketches import hash64
+        urls = np.asarray(t["url"].to_pylist(), dtype=object)
+        ids = hash64(urls).astype(np.int64)      # hash-magnitude ids
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "text": t["text"]})
 
     def read_corpus():
-        return rd.read_parquet(frags, columns=["page_id", "html"],
+        return rd.read_parquet(frags, columns=["url", "text"],
                                override_num_blocks=len(frags)) \
             .map_batches(prep, batch_format="pyarrow")
 
