@@ -5908,6 +5908,76 @@ ORACLE["ingest_pipeline_docs"] = INGEST_PIPELINE_SQL
 _window_append("ingest_pipeline_docs")
 
 
+# --------------------------------------------------------------------------
+# round-5 fourth-session operators
+# --------------------------------------------------------------------------
+
+
+def c4_filter_docs(sf_dir: str):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2; stages/c4.py): keep
+    lines ending in terminal punctuation with >=5 words and no
+    'javascript'; keep pages with >=3 kept lines and neither '{' nor
+    'lorem ipsum' in the raw text. Planted line-structured texts derive
+    from doc_id so every rule is exercised as the SOLE dropper of some
+    line (punct-only / words-only / javascript-only) and both page
+    rules fire on disjoint doc classes; the SQL reconstructs kept text
+    and flags arithmetically (k = doc_id % 4 kept extras)."""
+    from prompture_ray.stages.c4 import c4_line_filter
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        ds_ = pc.cast(did, pa.string())
+        join = pc.binary_join_element_wise
+
+        def mod(k):
+            return pc.subtract(did, pc.multiply(pc.divide(did, k), k))
+
+        l1 = join("news line one for doc ", ds_, " looks good.", "")
+        l2 = join("short line for doc ", ds_, " here", "")
+        l2b = join("tiny doc ", ds_, ".", "")
+        l3 = join("please enable javascript to view doc ", ds_, ".", "")
+        txt = join(l1, l2, l2b, l3, "\n")
+        k = mod(4)
+        for i in range(3):
+            ei = join(f"extra sentence {i} for doc ", ds_,
+                      " adds length here.", "")
+            txt = pc.if_else(pc.greater(k, i), join(txt, ei, "\n"), txt)
+        txt = pc.if_else(pc.equal(mod(7), 0),
+                         join(txt, "bad brace { appears here", "\n"), txt)
+        txt = pc.if_else(pc.equal(mod(5), 3),
+                         join(txt, join("lorem ipsum filler for doc ",
+                                        ds_, ""), "\n"), txt)
+        return pa.table({"doc_id": did, "text": txt})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return c4_line_filter(planted, "text", "doc_id",
+                          min_words=5, min_lines=3)
+
+
+C4_FILTER_SQL = """
+WITH base AS (SELECT doc_id AS d, doc_id % 4 AS k FROM documents)
+SELECT d AS doc_id,
+       'news line one for doc ' || d || ' looks good.'
+       || CASE WHEN k >= 1 THEN chr(10) ||
+            'extra sentence 0 for doc ' || d || ' adds length here.'
+          ELSE '' END
+       || CASE WHEN k >= 2 THEN chr(10) ||
+            'extra sentence 1 for doc ' || d || ' adds length here.'
+          ELSE '' END
+       || CASE WHEN k >= 3 THEN chr(10) ||
+            'extra sentence 2 for doc ' || d || ' adds length here.'
+          ELSE '' END AS text,
+       CAST(1 + k AS BIGINT) AS n_lines_kept,
+       (1 + k >= 3 AND d % 7 <> 0 AND d % 5 <> 3) AS page_kept
+FROM base
+"""
+
+QUERIES["c4_filter_docs"] = c4_filter_docs
+ORACLE["c4_filter_docs"] = C4_FILTER_SQL
+_window_append("c4_filter_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
