@@ -5978,6 +5978,67 @@ ORACLE["c4_filter_docs"] = C4_FILTER_SQL
 _window_append("c4_filter_docs")
 
 
+def dedup_best_docs(sf_dir: str):
+    """Quality-aware near-dup survivor selection (dedup_minhash
+    score_col=, stages/dedup.py _best_drop_ids): within each duplicate
+    component keep the max-score member (ties → min id) instead of the
+    min id. Planted corpus = the minhash_planted_docs construction
+    (exact sha-hex copies at doc_id+10000 for doc_id%10==0 — clusters
+    are exactly those pairs) with score = (doc_id * 37) % 101; the
+    survivor of {d, d+10000} is closed-form in SQL. 370000 % 101 = 37
+    ≠ 0, so scores within a pair never tie (the tie leg is
+    pytest-pinned in test_dedup_best_survivor)."""
+    import hashlib
+    from prompture_ray.stages.dedup import dedup_minhash
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        out_ids, texts = [], []
+        for i in ids:
+            txt = "".join(
+                hashlib.sha256(f"db:{i}:{j}".encode()).hexdigest()
+                for j in range(3))
+            out_ids.append(i)
+            texts.append(txt)
+            if i % 10 == 0:
+                out_ids.append(i + 10000)
+                texts.append(txt)
+        arr = pa.array(out_ids, type=pa.int64())
+        score = pc.subtract(
+            pc.multiply(arr, 37),
+            pc.multiply(pc.divide(pc.multiply(arr, 37), 101), 101))
+        return pa.table({"doc_id": arr,
+                         "text": pa.array(texts, type=pa.string()),
+                         "score": score})
+
+    kept, _stats = dedup_minhash(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "text", "doc_id", threshold=0.8, score_col="score")
+    return kept.select_columns(["doc_id"])
+
+
+DEDUP_BEST_SQL = """
+WITH pairs AS (
+  SELECT doc_id AS a, doc_id + 10000 AS b
+  FROM documents WHERE doc_id % 10 = 0),
+losers AS (
+  SELECT CASE WHEN (a * 37) % 101 >= (b * 37) % 101 THEN b ELSE a END
+         AS doc_id
+  FROM pairs),
+all_ids AS (
+  SELECT doc_id FROM documents
+  UNION ALL
+  SELECT doc_id + 10000 FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id FROM all_ids
+WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+QUERIES["dedup_best_docs"] = dedup_best_docs
+ORACLE["dedup_best_docs"] = DEDUP_BEST_SQL
+_window_append("dedup_best_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -734,11 +734,43 @@ def _components(pairs: pd.DataFrame) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def _best_drop_ids(ds, comp_df: "pd.DataFrame", id_col: str,
+                   score_col: str) -> np.ndarray:
+    """Quality-aware survivor selection (RefinedWeb/FineWeb-style "keep
+    the best copy", beyond the reference's first-wins): component member
+    ids MINUS the max-``score_col`` member of each component (ties →
+    min id). Member (id, score) rows are fetched with one broadcast
+    membership-filtered projection over ``ds`` — driver memory is
+    O(component members), the same bound as the label table itself
+    (components already collect to the driver in both modes)."""
+    import ray
+    member = comp_df["id"].to_numpy()
+    int_ids = member.dtype.kind in "iu"
+    member_arr = (np.sort(member.astype(np.int64)) if int_ids
+                  else np.asarray(member, dtype=object))
+    ref = ray.put(member_arr)
+
+    def fetch(t: pa.Table) -> pa.Table:
+        mask = _id_filter_fn(t[id_col], ref)
+        return t.filter(mask).select([id_col, score_col])
+
+    sc = ds.map_batches(fetch, batch_format="pyarrow").to_pandas()
+    m = sc.merge(comp_df.rename(columns={"id": id_col}), on=id_col)
+    m = m.sort_values(["component", score_col, id_col],
+                      ascending=[True, False, True], kind="mergesort")
+    surv = m.groupby("component", sort=False).head(1)[id_col].to_numpy()
+    if int_ids:
+        return np.setdiff1d(member_arr, surv.astype(np.int64))
+    return np.asarray(sorted(set(member_arr) - set(surv), key=str),
+                      dtype=object)
+
+
 def _dedup_from_pairs(ds, pairs_ds, id_col: str, max_pairs: int,
-                      components: str):
+                      components: str, score_col: str | None = None):
     """Shared tail of every near-dup strategy: verified pair Dataset →
-    connected components → drop all but the canonical min id of each
-    component. Returns (kept Dataset, stats dict)."""
+    connected components → drop all but one survivor per component (the
+    canonical min id, or the best ``score_col`` member when given).
+    Returns (kept Dataset, stats dict)."""
     import ray
     # the verified pair set is consumed several times below (auto count,
     # the components' edge explode, the stats count) — materialize ONCE
@@ -751,12 +783,15 @@ def _dedup_from_pairs(ds, pairs_ds, id_col: str, max_pairs: int,
         components = "driver" if n_pairs <= max_pairs else "distributed"
     if components == "distributed":
         comp_df = components_label_propagation(pairs_ds).to_pandas()
-        ids_np = comp_df["id"].to_numpy().astype(np.int64)
-        comp_np = comp_df["component"].to_numpy().astype(np.int64)
-        drop = ids_np[ids_np != comp_np]
+        if score_col is not None:
+            drop = _best_drop_ids(ds, comp_df, id_col, score_col)
+        else:
+            ids_np = comp_df["id"].to_numpy().astype(np.int64)
+            comp_np = comp_df["component"].to_numpy().astype(np.int64)
+            drop = np.sort(ids_np[ids_np != comp_np])
         n_pairs_stat = int(pairs_ds.count())
         n_components = int(comp_df["component"].nunique())
-        drop_ref = ray.put(np.sort(drop))
+        drop_ref = ray.put(drop)
 
         def keep_d(t: pa.Table) -> pa.Table:
             mask = _id_filter_fn(t[id_col], drop_ref)
@@ -764,19 +799,27 @@ def _dedup_from_pairs(ds, pairs_ds, id_col: str, max_pairs: int,
 
         kept = ds.map_batches(keep_d, batch_format="pyarrow")
         return kept, {"pairs": n_pairs_stat, "removed": len(drop),
-                      "components": n_components, "strategy": "distributed"}
+                      "components": n_components,
+                      "strategy": "distributed",
+                      "survivor": "best" if score_col else "min_id"}
     pairs = pairs_ds.to_pandas()
     if len(pairs) > max_pairs:
         raise RuntimeError(
             f"near-dup pair set too large for driver union-find "
             f"({len(pairs)} > {max_pairs}); use components='distributed'")
     comp = _components(pairs)
-    drop = [x for x, root in comp.items() if x != root]
-    drop_arr = np.asarray(drop)
-    if drop_arr.dtype.kind in "iuf":
-        drop_arr = np.sort(drop_arr)
+    if score_col is not None:
+        comp_df = pd.DataFrame({"id": list(comp),
+                                "component": list(comp.values())})
+        drop_arr = _best_drop_ids(ds, comp_df, id_col, score_col)
+        drop = list(drop_arr)
     else:
-        drop_arr = drop_arr.astype(object)
+        drop = [x for x, root in comp.items() if x != root]
+        drop_arr = np.asarray(drop)
+        if drop_arr.dtype.kind in "iuf":
+            drop_arr = np.sort(drop_arr)
+        else:
+            drop_arr = drop_arr.astype(object)
     drop_ref = ray.put(drop_arr)
 
     def keep(t: pa.Table) -> pa.Table:
@@ -786,13 +829,17 @@ def _dedup_from_pairs(ds, pairs_ds, id_col: str, max_pairs: int,
     kept = ds.map_batches(keep, batch_format="pyarrow")
     return kept, {"pairs": int(len(pairs)), "removed": len(drop),
                   "components": len({r for r in comp.values()}),
-                  "strategy": "driver"}
+                  "strategy": "driver",
+                  "survivor": "best" if score_col else "min_id"}
 
 
 def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
-                  components: str = "auto", **kw):
-    """Near-dup dedup: keep the canonical min id of each duplicate
-    component. Returns (kept Dataset, stats dict).
+                  components: str = "auto", score_col: str | None = None,
+                  **kw):
+    """Near-dup dedup: keep one survivor per duplicate component — the
+    canonical min id, or the best ``score_col`` member when given
+    (quality-aware survivor selection; ties → min id). Returns
+    (kept Dataset, stats dict).
 
     ``components``: "driver" = union-find over the collected pair set
     (fast, bounded by ``max_pairs``); "distributed" = min-label
@@ -803,7 +850,7 @@ def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
     pairs_ds = minhash_candidate_pairs(ds, text_col, id_col,
                                        stats_out=bucket_stats, **kw)
     kept, stats = _dedup_from_pairs(ds, pairs_ds, id_col, max_pairs,
-                                    components)
+                                    components, score_col=score_col)
     stats.update(bucket_stats)
     return kept, stats
 
@@ -811,17 +858,18 @@ def dedup_minhash(ds, text_col: str, id_col: str, max_pairs: int = 2_000_000,
 def dedup_semantic(ds, vec_col: str, id_col: str,
                    threshold: float = DEFAULT_COSINE,
                    max_pairs: int = 2_000_000, components: str = "auto",
-                   **kw):
+                   score_col: str | None = None, **kw):
     """Embedding-cosine near-dup dedup with a KEPT-SET result (reference
     ``dedup_semantic`` returns the kept list, dedup.py:199-272): LSH
-    bucket pairs → components → keep the canonical min id per component.
-    Returns (kept Dataset, stats dict)."""
+    bucket pairs → components → keep the canonical min id per component
+    (or the best ``score_col`` member when given). Returns
+    (kept Dataset, stats dict)."""
     bucket_stats: dict = {}
     pairs_ds = embedding_neardup_pairs(ds, vec_col, id_col,
                                        threshold=threshold,
                                        stats_out=bucket_stats, **kw)
     kept, stats = _dedup_from_pairs(ds, pairs_ds, id_col, max_pairs,
-                                    components)
+                                    components, score_col=score_col)
     stats.update(bucket_stats)
     return kept, stats
 

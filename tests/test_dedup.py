@@ -670,3 +670,41 @@ def test_remove_contaminated_spans(ray_session):
                                      n_buckets=4).to_pandas() \
         .sort_values("id", ignore_index=True)
     pd.testing.assert_frame_equal(out, out2[out.columns.tolist()])
+
+
+def test_dedup_best_survivor(ray_session):
+    """score_col survivor selection: the max-score member of each
+    component is kept (ties -> min id); singletons untouched; driver
+    and distributed component modes agree."""
+    import hashlib
+    import ray.data as rd
+    from prompture_ray.stages.dedup import dedup_minhash
+
+    def sha_text(seed: str) -> str:
+        return "".join(hashlib.sha256(f"{seed}:{j}".encode()).hexdigest()
+                       for j in range(3))
+
+    rows = [
+        (1, sha_text("a"), 5), (11, sha_text("a"), 9),
+        (12, sha_text("a"), 9),                       # {1,11,12}: tie 9
+        (2, sha_text("b"), 3), (22, sha_text("b"), 3),  # {2,22}: tie 3
+        (3, sha_text("c"), 1), (33, sha_text("c"), 7),  # {3,33}: best 33
+        (4, sha_text("d"), 0),                        # singleton
+    ]
+    t = pa.table({"doc_id": pa.array([r[0] for r in rows],
+                                     type=pa.int64()),
+                  "text": [r[1] for r in rows],
+                  "score": pa.array([r[2] for r in rows],
+                                    type=pa.int64())})
+    want = [2, 4, 11, 33]
+    for mode in ("driver", "distributed"):
+        kept, st = dedup_minhash(rd.from_arrow(t), "text", "doc_id",
+                                 threshold=0.8, components=mode,
+                                 score_col="score")
+        assert sorted(kept.to_pandas()["doc_id"]) == want, mode
+        assert st["survivor"] == "best" and st["removed"] == 4
+    # without score_col the old min-id semantics are untouched
+    kept, st = dedup_minhash(rd.from_arrow(t), "text", "doc_id",
+                             threshold=0.8)
+    assert sorted(kept.to_pandas()["doc_id"]) == [1, 2, 3, 4]
+    assert st["survivor"] == "min_id"
