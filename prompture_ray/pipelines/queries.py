@@ -6039,6 +6039,34 @@ ORACLE["dedup_best_docs"] = DEDUP_BEST_SQL
 _window_append("dedup_best_docs")
 
 
+def shard_shuffle_docs(sf_dir: str):
+    """Deterministic training-shard shuffle (sampling.assign_shards):
+    shard = knuth(id) % 8, pos = rank of (h, id) within the shard —
+    a reproducible global shuffle for writing training shards. GENUINE
+    oracle (no planting): SQL replays the module's Knuth rule and
+    row_number() over it. The engine pays ONE narrow row shuffle; the
+    distinct-cell offset table is bounded by shards × cells, not rows."""
+    from prompture_ray.stages.sampling import assign_shards
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    out = assign_shards(ds, "doc_id", n_shards=8, cells_per_shard=32)
+    return out.select_columns(["doc_id", "shard", "pos"])
+
+
+SHARD_SHUFFLE_SQL = """
+WITH h AS (SELECT doc_id,
+                  (doc_id * 2654435761) % 4294967296 AS hh
+           FROM documents)
+SELECT doc_id, CAST(hh % 8 AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY hh % 8
+                               ORDER BY hh, doc_id) - 1 AS BIGINT) AS pos
+FROM h
+"""
+
+QUERIES["shard_shuffle_docs"] = shard_shuffle_docs
+ORACLE["shard_shuffle_docs"] = SHARD_SHUFFLE_SQL
+_window_append("shard_shuffle_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -367,3 +367,93 @@ def sample_k_per_group(ds, key_col: str, id_col: str, k: int):
                           ascending=True)
     return out.map_batches(lambda b: b.drop(columns=["__kh"]),
                            batch_format="pandas")
+
+
+def assign_shards(ds, id_col: str, n_shards: int,
+                  cells_per_shard: int = 256, n_parts: int = 64):
+    """Deterministic training-shard shuffle (beyond the reference; the
+    standard "globally shuffle then write N shards" preprocessing step
+    before LLM training): every row gets
+
+    - ``shard`` = knuth(id) % n_shards,
+    - ``pos``   = 0-based rank of (knuth(id), id) within its shard,
+
+    i.e. a reproducible pseudo-random global order, auditable in SQL as
+    ``row_number() OVER (PARTITION BY shard ORDER BY h, id) - 1`` with
+    h = (id * 2654435761) % 2^32 (the module's Knuth rule). Identical
+    under any block layout, resumable, and ties (ids that collide in
+    the 32-bit hash) break by id on both sides.
+
+    Scale shape: rank needs cross-block coordination — it costs ONE
+    narrow shuffle of the rows, which a shard writer pays anyway to
+    co-locate shards. A cell = (shard, h >> shift) with
+    ~``cells_per_shard`` cells per shard: per-batch partial counts fold
+    into the distinct-cell table (bounded by n_shards × cells_per_shard
+    rows, independent of corpus size), its per-shard exclusive prefix
+    is broadcast as sorted arrays, rows shuffle once by
+    hash(cell) % n_parts, and each partition ranks all its cells in one
+    vectorized sort + grouped cumcount. Output = input columns +
+    (shard, pos), rows grouped by cell (contiguous shard runs)."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.functions.sketches import hash64
+
+    shift = max(0, 32 - int(np.ceil(np.log2(max(cells_per_shard, 2)))))
+    n_hb = np.int64(1) << np.int64(32 - shift)
+
+    def _cells(ids: np.ndarray):
+        h = (ids.astype(np.uint64) * _KNUTH) % _MOD
+        shard = (h % np.uint64(n_shards)).astype(np.int64)
+        hb = (h >> np.uint64(shift)).astype(np.int64)
+        return h.astype(np.int64), shard, shard * n_hb + hb
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        _, _, cell = _cells(ids)
+        u, c = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u, type=pa.int64()),
+                         "c": pa.array(c.astype(np.int64),
+                                       type=pa.int64())})
+
+    cells = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("cell").aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+    cdf = cells.to_pandas().sort_values("cell", ignore_index=True)
+    cell_ids = cdf["cell"].to_numpy().astype(np.int64)
+    c = cdf["c"].to_numpy().astype(np.int64)
+    start = np.cumsum(c) - c
+    shard_of_cell = cell_ids // n_hb
+    new_shard = np.ones(len(cdf), dtype=bool)
+    if len(cdf) > 1:
+        new_shard[1:] = shard_of_cell[1:] != shard_of_cell[:-1]
+    # exclusive prefix within shard: global start minus the shard's
+    # first cell's global start (propagated by segmented max — start
+    # is non-decreasing)
+    base = np.maximum.accumulate(
+        np.where(new_shard, start, np.int64(np.iinfo(np.int64).min)))
+    offsets = start - base
+    ref = ray.put((cell_ids, offsets))
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        h, shard, cell = _cells(ids)
+        t = t.append_column("__h", pa.array(h, type=pa.int64()))
+        t = t.append_column("shard", pa.array(shard, type=pa.int64()))
+        t = t.append_column("__cell", pa.array(cell, type=pa.int64()))
+        pb = (hash64(cell).astype(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def rank_part(g: pd.DataFrame) -> pd.DataFrame:
+        cells_sorted, offs = ray.get(ref)
+        g = g.sort_values(["__cell", "__h", id_col],
+                          kind="mergesort").copy()
+        local = g.groupby("__cell", sort=False).cumcount().to_numpy()
+        i = np.searchsorted(cells_sorted,
+                            g["__cell"].to_numpy().astype(np.int64))
+        g["pos"] = (offs[i] + local).astype(np.int64)
+        return g.drop(columns=["__h", "__cell", "__pb"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(rank_part, batch_format="pandas")

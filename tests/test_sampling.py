@@ -69,3 +69,43 @@ def test_sample_k_per_group_layout_independent(ray_session):
         .sort_values("g")["id"].tolist()
     got_first = outs[0][outs[0]["rk"] == 1].sort_values("g")["id"].tolist()
     assert got_first == first
+
+
+def test_assign_shards(ray_session):
+    """assign_shards == pandas row_number reference, including 32-bit
+    Knuth-hash ties (id and id + 2^32 hash identically; ties break by
+    id), under multi-block layout and tiny cells."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.sampling import assign_shards
+
+    rng = np.random.default_rng(7)
+    ids = rng.choice(2**20, 3000, replace=False).astype(np.int64)
+    ids = np.concatenate([ids, ids[:25] + 2**32])   # forced hash ties
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "payload": pa.array(ids * 3, type=pa.int64()),
+    })).repartition(13)
+
+    out = assign_shards(ds, "doc_id", n_shards=8, cells_per_shard=16) \
+        .to_pandas()
+
+    h = (ids.astype(np.uint64) * np.uint64(2654435761)) \
+        % np.uint64(2**32)
+    ref = pd.DataFrame({"doc_id": ids, "h": h.astype(np.int64)})
+    ref["shard"] = (h % np.uint64(8)).astype(np.int64)
+    ref = ref.sort_values(["shard", "h", "doc_id"], kind="mergesort")
+    ref["pos"] = ref.groupby("shard", sort=False).cumcount()
+
+    m = out.merge(ref[["doc_id", "shard", "pos"]], on="doc_id",
+                  suffixes=("", "_ref"))
+    assert len(m) == len(ids)
+    assert (m["shard"] == m["shard_ref"]).all()
+    assert (m["pos"] == m["pos_ref"]).all()
+    # payload columns survive
+    assert (m["payload"] == m["doc_id"] * 3).all()
+    # every shard's positions are exactly 0..n_shard-1
+    for s, grp in out.groupby("shard"):
+        assert sorted(grp["pos"]) == list(range(len(grp)))
