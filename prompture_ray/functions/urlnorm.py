@@ -186,3 +186,51 @@ def url_dedup_flags(ds, url_col: str, id_col: str,
             "keep": b["id"].to_numpy() == b["min_id"].to_numpy()})
 
     return joined.map_batches(flag_j, batch_format="pandas")
+
+
+def extract_hosts(arr) -> pa.Array:
+    """Vectorized URL → lowercase host (port stripped, '' for strings
+    that do not look like ``scheme://host...``)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if not isinstance(arr, (pa.Array, pa.ChunkedArray)):
+        arr = pa.array(arr, type=pa.string())
+    m = pc.extract_regex(
+        pc.utf8_trim_whitespace(pc.fill_null(arr, "")), _URL_RE)
+    host = pc.utf8_lower(pc.fill_null(pc.struct_field(m, "host"), ""))
+    return pc.replace_substring_regex(host, r":\d+$", "")
+
+
+def domain_blocklist_flags(ds, url_col: str, blocked,
+                           out_col: str = "blocked",
+                           max_labels: int = 4):
+    """URL blocklist filtering by registered-domain suffix (the
+    C4/RefinedWeb "blocked domains" curation step; beyond the
+    reference): a row is flagged when its URL's host equals a blocklist
+    entry or ends with ``"." + entry`` — label-aligned, so
+    ``notspam.example`` does NOT match entry ``spam.example``.
+
+    Zero shuffle: host extraction and the last-k-label candidate
+    suffixes (k = 1..``max_labels``) are Arrow regex kernels; membership
+    is ``pc.index_in`` against the blocklist, which is tiny and ships in
+    the task closure (entries with more than ``max_labels`` labels still
+    match exact hosts). Appends boolean ``out_col``."""
+    entries = sorted({str(b).lower().lstrip(".") for b in blocked})
+    val_set = pa.array(entries, type=pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        host = extract_hosts(t[url_col])
+        hit = pc.is_valid(pc.index_in(host, value_set=val_set))
+        for k in range(1, max_labels + 1):
+            pat = r"(?P<sfx>(?:[^.]+\.){%d}[^.]+)$" % (k - 1)
+            sfx = pc.struct_field(pc.extract_regex(host, pat), "sfx")
+            # suffix must be label-aligned: either the whole host or
+            # preceded by a dot — the regex anchors at $ and [^.]+
+            # labels, so a k-label suffix of a host with > k labels is
+            # always dot-preceded; equality with the host covers the
+            # rest
+            k_hit = pc.is_valid(pc.index_in(sfx, value_set=val_set))
+            hit = pc.or_(hit, pc.fill_null(k_hit, False))
+        return t.append_column(out_col, pc.fill_null(hit, False))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

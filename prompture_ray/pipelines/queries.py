@@ -6067,6 +6067,48 @@ ORACLE["shard_shuffle_docs"] = SHARD_SHUFFLE_SQL
 _window_append("shard_shuffle_docs")
 
 
+def domain_blocklist_docs(sf_dir: str):
+    """URL blocklist filter (urlnorm.domain_blocklist_flags): flag docs
+    whose URL host equals a blocked registered domain or ends with
+    '.'+entry, label-aligned (notspam.example must NOT match
+    spam.example — planted as its own doc class). Planted URLs derive
+    from doc_id%5; the SQL maps classes to flags directly. Zero-shuffle
+    Arrow regex kernels; the blocklist ships in the task closure."""
+    from prompture_ray.functions.urlnorm import domain_blocklist_flags
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        ds_ = pc.cast(did, pa.string())
+        join = pc.binary_join_element_wise
+        k = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        url = join("https://spam.example/page", ds_, "")
+        url = pc.if_else(pc.equal(k, 1),
+                         join("https://sub.spam.example/x", ds_, ""), url)
+        url = pc.if_else(pc.equal(k, 2),
+                         join("https://ok.example/y", ds_, ""), url)
+        url = pc.if_else(pc.equal(k, 3),
+                         join("https://notspam.example/z", ds_, ""), url)
+        url = pc.if_else(pc.equal(k, 4),
+                         join("https://deep.a.b.tracker.net/", ds_, ""),
+                         url)
+        return pa.table({"doc_id": did, "url": url})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return domain_blocklist_flags(
+        planted, "url", ["spam.example", "tracker.net"]) \
+        .select_columns(["doc_id", "blocked"])
+
+
+DOMAIN_BLOCKLIST_SQL = """
+SELECT doc_id, doc_id % 5 IN (0, 1, 4) AS blocked FROM documents
+"""
+
+QUERIES["domain_blocklist_docs"] = domain_blocklist_docs
+ORACLE["domain_blocklist_docs"] = DOMAIN_BLOCKLIST_SQL
+_window_append("domain_blocklist_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -58,3 +58,30 @@ def test_url_dedup_flags(ray_session):
         assert got == expect_keep, (bmax, got)
         assert df["canonical_url"][0] == df["canonical_url"][1] == \
             df["canonical_url"][2] == "https://example.com/a"
+
+
+def test_domain_blocklist_flags(ray_session):
+    """Suffix matching is label-aligned (notspam.example does not match
+    spam.example), ports strip, deep subdomains match, non-URLs and
+    clean hosts pass, long entries match exact hosts."""
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.functions.urlnorm import domain_blocklist_flags
+
+    cases = [
+        ("https://spam.example/page", True),          # exact
+        ("https://sub.spam.example/x", True),         # suffix
+        ("https://SPAM.example:8080/y", True),        # case + port
+        ("https://notspam.example/z", False),         # label alignment
+        ("https://ok.example/a", False),
+        ("https://deep.a.b.tracker.net/b", True),     # 5-label host
+        ("not a url", False),
+        ("https://a.b.c.d.e.f/q", True),              # long exact entry
+    ]
+    ds = rd.from_arrow(pa.table({
+        "i": pa.array(range(len(cases)), type=pa.int64()),
+        "url": [c[0] for c in cases]}))
+    out = domain_blocklist_flags(
+        ds, "url", ["spam.example", "tracker.net", "a.b.c.d.e.f"]) \
+        .to_pandas().sort_values("i", ignore_index=True)
+    assert list(out["blocked"]) == [c[1] for c in cases]
