@@ -6109,6 +6109,43 @@ ORACLE["domain_blocklist_docs"] = DOMAIN_BLOCKLIST_SQL
 _window_append("domain_blocklist_docs")
 
 
+def vocab_coverage_docs(sf_dir: str):
+    """Per-doc OOV rate + lexical diversity against the corpus's own
+    vocabulary (tfidf.vocab_coverage, vocab = terms with df >= 2).
+    GENUINE oracle over the real documents table — SQL recomputes df
+    and the per-doc sums; oov_rate is ONE division of exact small ints
+    on both sides (the tf/df precedent), no rounding anywhere. One
+    narrow 8-byte-hash df shuffle; text never shuffles."""
+    from prompture_ray.stages.tfidf import vocab_coverage
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return vocab_coverage(ds, "text", "doc_id", min_df=2)
+
+
+VOCAB_COVERAGE_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                            x -> x <> '')) AS term
+  FROM documents),
+tfs AS (SELECT doc_id, term, count(*) AS tf
+        FROM toks GROUP BY doc_id, term),
+dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term)
+SELECT tfs.doc_id AS id,
+       CAST(SUM(tf) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN dfs.df < 2 THEN tf ELSE 0 END) AS BIGINT)
+           AS n_oov,
+       CAST(SUM(CASE WHEN dfs.df < 2 THEN tf ELSE 0 END) AS DOUBLE)
+           / SUM(tf) AS oov_rate
+FROM tfs JOIN dfs USING (term)
+GROUP BY tfs.doc_id
+"""
+
+QUERIES["vocab_coverage_docs"] = vocab_coverage_docs
+ORACLE["vocab_coverage_docs"] = VOCAB_COVERAGE_SQL
+_window_append("vocab_coverage_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -177,3 +177,122 @@ def tfidf_topk_terms(ds, text_col: str = "text", id_col: str = "doc_id",
     return out.map_batches(
         lambda t: t.select(empty.column_names) if t.num_rows
         else empty, batch_format="pyarrow")
+
+
+def vocab_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
+                   min_df: int = 2, n_buckets: int = 32,
+                   broadcast_max: int = 20_000_000):
+    """Per-document vocabulary-coverage signals against the corpus's own
+    vocabulary (beyond the reference; the standard OOV-rate / lexical-
+    diversity quality gate for training data): with vocab = terms whose
+    document frequency >= ``min_df``,
+
+    returns ``(id, n_tokens, n_distinct, n_oov, oov_rate)`` — total
+    token count, distinct-term count, tokens outside the vocab, and
+    ``n_oov / n_tokens`` (ONE exact division of small ints on both
+    sides — bit-identical to SQL, the tf/df precedent). Documents with
+    zero tokens emit no row (their rate is undefined on both sides).
+
+    Scale shape mirrors ``tfidf_topk_terms``: one narrow df shuffle of
+    8-byte term hashes (Heaps-small lexicon), then a size-aware
+    broadcast df lookup per batch — document text never shuffles.
+    Beyond ``broadcast_max`` lexicon entries, posting rows go through
+    the hash-bucketed equi-join and fold per doc with one grouped
+    aggregate (equality-tested via ``broadcast_max=0``)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def df_rows(t: pa.Table) -> pa.Table:
+        _, _, terms, _ = _postings(t, text_col, id_col)
+        return pa.table({"gram": pa.array(hash64(terms).astype(np.int64)
+                                          if len(terms) else
+                                          np.empty(0, np.int64),
+                                          type=pa.int64())})
+
+    lexicon = ds.map_batches(df_rows, batch_format="pyarrow") \
+        .groupby("gram").aggregate(Count(alias_name="df")) \
+        .materialize()
+
+    def fold_local(ids, rows, tf, oov_mask) -> pa.Table:
+        n_docs = len(ids)
+        n_tokens = np.bincount(rows, weights=tf,
+                               minlength=n_docs).astype(np.int64)
+        n_distinct = np.bincount(rows, minlength=n_docs).astype(np.int64)
+        n_oov = np.bincount(rows, weights=tf * oov_mask,
+                            minlength=n_docs).astype(np.int64)
+        keep = n_tokens > 0
+        nt, no = n_tokens[keep], n_oov[keep]
+        return pa.table({
+            "id": pa.array(ids[keep].astype(np.int64), type=pa.int64()),
+            "n_tokens": pa.array(nt, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct[keep], type=pa.int64()),
+            "n_oov": pa.array(no, type=pa.int64()),
+            "oov_rate": pa.array(no / nt, type=pa.float64())})
+
+    n_lex = lexicon.count()
+    if n_lex <= broadcast_max:
+        parts = [(t["gram"].to_numpy(zero_copy_only=False),
+                  t["df"].to_numpy(zero_copy_only=False))
+                 for t in lexicon.iter_batches(batch_format="pyarrow")]
+        g_all = np.concatenate([p[0] for p in parts]) if parts \
+            else np.empty(0, dtype=np.int64)
+        d_all = np.concatenate([p[1] for p in parts]) if parts \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(g_all)
+        ref = ray.put((g_all[order], d_all[order].astype(np.int64)))
+
+        def cover_batch(t: pa.Table) -> pa.Table:
+            gs, dfs = ray.get(ref)
+            ids, rows, terms, tf = _postings(t, text_col, id_col)
+            if not len(rows):
+                return fold_local(ids, rows, tf,
+                                  np.empty(0, dtype=np.int64))
+            h = hash64(terms).astype(np.int64)
+            dfv = dfs[np.searchsorted(gs, h)]
+            return fold_local(ids, rows, tf,
+                              (dfv < min_df).astype(np.int64))
+
+        return ds.map_batches(cover_batch, batch_format="pyarrow")
+
+    # 100-TB path: posting rows × lexicon through the bucketed join,
+    # one grouped Sum/Count per doc id (rows are Heaps-compressed
+    # (doc, term) postings, never raw tokens)
+    import pandas as pd
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def posting_rows(t: pa.Table) -> pa.Table:
+        ids, rows, terms, tf = _postings(t, text_col, id_col)
+        h = hash64(terms).astype(np.int64) if len(terms) \
+            else np.empty(0, np.int64)
+        return pa.table({
+            "id": pa.array(ids[rows], type=pa.int64()),
+            "gram": pa.array(h, type=pa.int64()),
+            "tf": pa.array(tf, type=pa.int64())})
+
+    posts = ds.map_batches(posting_rows, batch_format="pyarrow")
+    joined = bucketed_equi_join(posts, lexicon, key="gram",
+                                n_buckets=n_buckets)
+
+    def partials(b: pd.DataFrame) -> pd.DataFrame:
+        tf = b["tf"].to_numpy().astype(np.int64)
+        oov = (b["df"].to_numpy().astype(np.int64) < min_df)
+        return pd.DataFrame({
+            "id": b["id"].to_numpy().astype(np.int64),
+            "n_tokens": tf, "n_distinct": np.ones(len(b), np.int64),
+            "n_oov": tf * oov.astype(np.int64)})
+
+    agg = joined.map_batches(partials, batch_format="pandas") \
+        .groupby("id").aggregate(Sum("n_tokens", alias_name="n_tokens"),
+                                 Sum("n_distinct",
+                                     alias_name="n_distinct"),
+                                 Sum("n_oov", alias_name="n_oov"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.int64)
+        no = t["n_oov"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nt > 0
+        t = t.filter(pa.array(keep))
+        return t.append_column("oov_rate", pa.array(
+            no[keep] / nt[keep], type=pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -71,3 +71,46 @@ def test_case_and_whitespace(ray_session):
     assert list(df["tf"]) == [2, 1]
     # scores are single exact divisions
     assert list(df["score"]) == [2.0, 1.0]
+
+
+def test_vocab_coverage(ray_session):
+    """OOV / lexical-diversity signals vs a pure-Python reference;
+    broadcast and bucketed-join paths agree; zero-token docs emit no
+    row."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from prompture_ray.stages.tfidf import vocab_coverage
+
+    texts = {
+        1: "alpha beta alpha gamma",
+        2: "alpha beta beta",
+        3: "rare1 rare2 alpha",
+        4: "",                       # no row
+        5: "Alpha BETA alpha",       # lowercased
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(sorted(texts), type=pa.int64()),
+        "text": pa.array([texts[k] for k in sorted(texts)])}))
+
+    # reference: df over per-doc distinct lowercased tokens
+    toks = {k: v.lower().split() for k, v in texts.items()}
+    df = Counter()
+    for v in toks.values():
+        for t in set(v):
+            df[t] += 1
+    want = {}
+    for k, v in toks.items():
+        if not v:
+            continue
+        oov = sum(1 for t in v if df[t] < 2)
+        want[k] = (len(v), len(set(v)), oov, oov / len(v))
+
+    for bmax in (20_000_000, 0):
+        out = vocab_coverage(ds, "text", "doc_id", min_df=2,
+                             broadcast_max=bmax).to_pandas()
+        got = {int(r["id"]): (int(r["n_tokens"]), int(r["n_distinct"]),
+                              int(r["n_oov"]), float(r["oov_rate"]))
+               for _, r in out.iterrows()}
+        assert got == want, bmax
