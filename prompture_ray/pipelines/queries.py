@@ -6146,6 +6146,75 @@ ORACLE["vocab_coverage_docs"] = VOCAB_COVERAGE_SQL
 _window_append("vocab_coverage_docs")
 
 
+def web_curation_docs(sf_dir: str):
+    """Composed end-to-end web-curation pipeline (this round's ops
+    chained): URL blocklist → C4 line/page filter (pass-through
+    columns) → keep clean unblocked pages → exact first-wins dedup of
+    the surviving texts. Exact copies planted at doc_id+10000 for
+    doc_id%10==2 carry the ORIGINAL's text (same C4 flags) and a
+    same-class URL ((src+10000)%5 == src%5), so a copy survives the
+    filters iff its original does — and then dedup removes it (min
+    doc_id wins). Final kept set is closed-form: src%4 in (2,3) AND
+    src%7<>0 AND src%5=2."""
+    import hashlib as _h  # noqa: F401 (parallel with sibling plants)
+    from prompture_ray.functions.urlnorm import domain_blocklist_flags
+    from prompture_ray.stages.c4 import c4_line_filter
+    from prompture_ray.stages.dedup import dedup_exact
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def _c4_text(src: int) -> str:
+        k = src % 4
+        lines = [f"news line one for doc {src} looks good.",
+                 f"short line for doc {src} here",
+                 f"tiny doc {src}.",
+                 f"please enable javascript to view doc {src}."]
+        lines += [f"extra sentence {i} for doc {src} adds length here."
+                  for i in range(k)]
+        if src % 7 == 0:
+            lines.append("bad brace { appears here")
+        if src % 5 == 3:
+            lines.append(f"lorem ipsum filler for doc {src}")
+        return "\n".join(lines)
+
+    _URLS = ["https://spam.example/page", "https://sub.spam.example/x",
+             "https://ok.example/y", "https://notspam.example/z",
+             "https://deep.a.b.tracker.net/"]
+
+    def plant(t: pa.Table) -> pa.Table:
+        rows = []
+        for i in t["doc_id"].to_pylist():
+            rows.append((i, i))
+            if i % 10 == 2:
+                rows.append((i + 10000, i))
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "url": pa.array([_URLS[r[0] % 5] + str(r[0])
+                             for r in rows], type=pa.string()),
+            "text": pa.array([_c4_text(r[1]) for r in rows],
+                             type=pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    flagged = domain_blocklist_flags(
+        planted, "url", ["spam.example", "tracker.net"])
+    filtered = c4_line_filter(flagged, "text", "doc_id") \
+        .map_batches(lambda t: t.filter(pc.and_(
+            t["page_kept"].combine_chunks(),
+            pc.invert(t["blocked"].combine_chunks()))),
+            batch_format="pyarrow")
+    kept = dedup_exact(filtered, "text", order_col="doc_id")
+    return kept.select_columns(["doc_id"])
+
+
+WEB_CURATION_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id % 4 IN (2, 3) AND doc_id % 7 <> 0 AND doc_id % 5 = 2
+"""
+
+QUERIES["web_curation_docs"] = web_curation_docs
+ORACLE["web_curation_docs"] = WEB_CURATION_SQL
+_window_append("web_curation_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -16,9 +16,10 @@ page level — a document is KEPT iff
   * its RAW text contains neither a curly bracket ``{`` nor the phrase
     ``lorem ipsum`` (case-insensitive).
 
-Returns one row per input document: ``(id, text, n_lines_kept,
-page_kept)`` where ``text`` is the kept lines rejoined with ``sep``
-(empty string when no line survives). Callers wanting C4's destructive
+Returns one row per input document: the input columns (pass-through —
+the op composes in pipelines) with ``text_col`` replaced by the kept
+lines rejoined with ``sep`` (empty string when no line survives), plus
+``n_lines_kept`` and ``page_kept``. Callers wanting C4's destructive
 behaviour filter on ``page_kept`` afterwards; keeping every row makes
 the op auditable and the oracle row-count stable.
 
@@ -83,10 +84,13 @@ def c4_line_filter(ds, text_col: str = "text", id_col: str = "doc_id",
             pa.array(offsets, type=pa.int32()),
             flat.filter(pa.array(keep)) if len(flat)
             else pa.array([], type=pa.string()))
-        return pa.table({
-            id_col: t[id_col],
-            text_col: pc.binary_join(lst, sep),
-            "n_lines_kept": pa.array(kept_counts, type=pa.int64()),
-            "page_kept": pa.array(page_kept, type=pa.bool_())})
+        # replace the text column in place and append the flags —
+        # pass-through columns survive so the op composes in pipelines
+        t = t.set_column(t.schema.get_field_index(text_col), text_col,
+                         pc.binary_join(lst, sep))
+        t = t.append_column("n_lines_kept",
+                            pa.array(kept_counts, type=pa.int64()))
+        return t.append_column("page_kept",
+                               pa.array(page_kept, type=pa.bool_()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
