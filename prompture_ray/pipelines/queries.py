@@ -6215,6 +6215,28 @@ ORACLE["web_curation_docs"] = WEB_CURATION_SQL
 _window_append("web_curation_docs")
 
 
+def global_rownum_docs(sf_dir: str):
+    """zipWithIndex (analytic.global_row_number): 0-based global row
+    number in doc_id order — genuine oracle (row_number() - 1 in SQL).
+    Distribution = the pack_sequences constant-key running count; no
+    driver state."""
+    from prompture_ray.stages.analytic import global_row_number
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_row_number(ds, "doc_id") \
+        .select_columns(["doc_id", "n_chars", "rownum"])
+
+
+GLOBAL_ROWNUM_SQL = """
+SELECT doc_id, n_chars,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS rownum
+FROM documents
+"""
+
+QUERIES["global_rownum_docs"] = global_rownum_docs
+ORACLE["global_rownum_docs"] = GLOBAL_ROWNUM_SQL
+_window_append("global_rownum_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

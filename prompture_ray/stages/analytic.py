@@ -361,3 +361,63 @@ def percent_rank_by_key(ds, key_col: str, value_col: str,
         return out
 
     return ds.map_batches(attach, batch_format="pandas")
+
+
+def global_row_number(ds, order_col: str, out_col: str = "rownum",
+                      bucket: "str" = "1s"):
+    """0-based global row number in ``order_col`` order — the
+    zipWithIndex primitive Ray Data lacks (beyond the reference; used
+    for stable corpus ordering / resumable offsets). ``order_col`` must
+    be an int64 key; ties are assigned unique but layout-dependent
+    numbers, so pass a duplicate-free key for determinism (ids).
+
+    Distribution is the pack_sequences shape: ONE constant-key run of
+    ``windows.running_aggregate_bucketed`` (phase-bounded cells,
+    distributed offset join, no driver state) with value 1 — the
+    running count minus one is the row number. ``bucket`` bounds cell
+    size in order_col units ('1s' = 1M per cell for dense id spaces)."""
+    import pandas as pd
+    from prompture_ray.stages.windows import running_aggregate_bucketed
+
+    # integer passthrough columns widen to float64 across the pandas
+    # block unification inside the running-aggregate join (exact for
+    # values < 2^53 — ids/counters; pack_sequences re-casts the same
+    # way). Capture them up front to restore dtypes. NB .schema() on a
+    # non-trivial lineage executes it — pass a plain projected read.
+    int_cols = []
+    sch = ds.schema()
+    for n, t in zip(sch.names, sch.types):
+        if isinstance(t, pa.DataType):
+            if pa.types.is_integer(t):
+                int_cols.append(n)
+        else:
+            try:
+                if np.issubdtype(np.dtype(t), np.integer):
+                    int_cols.append(n)
+            except TypeError:
+                pass
+
+    def prep(t: pa.Table) -> pa.Table:
+        ids = t[order_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        ids = ids.cast(pa.int64())
+        t = t.append_column("__k", pa.array(
+            np.zeros(t.num_rows, dtype=np.int64)))
+        t = t.append_column("__ts", ids.cast(pa.timestamp("us")))
+        return t.append_column("__one", pa.array(
+            np.ones(t.num_rows, dtype=np.int64)))
+
+    run = running_aggregate_bucketed(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "__k", "__ts", "__one", bucket=bucket)
+
+    def finish(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b[out_col] = (b["running_sum"].to_numpy().astype(np.int64) - 1)
+        for c in int_cols:
+            if c in b.columns:
+                b[c] = b[c].to_numpy().astype(np.int64)
+        return b.drop(columns=["__k", "__ts", "__one", "running_sum"])
+
+    return run.map_batches(finish, batch_format="pandas")

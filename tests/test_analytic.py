@@ -149,3 +149,22 @@ def test_percent_rank_matches_pandas(ray_session):
     truth.loc[truth.groupby("key")["v"].transform("size") == 1, "pr"] = 0.0
     truth = truth.sort_values("id", ignore_index=True)
     assert np.array_equal(out["pr"].to_numpy(), truth["pr"].to_numpy())
+
+
+def test_global_row_number(ray_session):
+    """zipWithIndex: exact 0..n-1 in key order under a multi-block
+    layout with sparse, shuffled ids; payload columns survive."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.analytic import global_row_number
+
+    rng = np.random.default_rng(3)
+    ids = rng.choice(50_000_000, 4000, replace=False).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "p": pa.array(ids % 17, type=pa.int64())})).repartition(11)
+    out = global_row_number(ds, "doc_id").to_pandas() \
+        .sort_values("doc_id", ignore_index=True)
+    assert list(out["rownum"]) == list(range(len(ids)))
+    assert (out["p"] == out["doc_id"] % 17).all()
