@@ -6237,6 +6237,51 @@ ORACLE["global_rownum_docs"] = GLOBAL_ROWNUM_SQL
 _window_append("global_rownum_docs")
 
 
+def collocations_docs(sf_dir: str):
+    """Top-20 PMI collocations (lm.top_collocations) over the REAL
+    documents text — GENUINE oracle: SQL recomputes bigram/unigram
+    counts (the lm_bigram unnest(generate_series) idiom) and the PMI
+    ratio (cnt·N)/(c1·c2), ONE double division of exact ints on both
+    sides; rank order (score desc, w1, w2) is a deterministic total
+    order. Engine: two narrow lexicon shuffles + broadcast unigram
+    lookup + per-batch partial top-k (k rows per block reach the
+    driver)."""
+    from prompture_ray.stages.lm import top_collocations
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return top_collocations(ds, "text", k=20, min_count=5)
+
+
+COLLOCATIONS_SQL = """
+WITH tok AS (SELECT string_split(text, ' ') AS l FROM documents),
+pos AS (SELECT l, unnest(generate_series(1, len(l) - 1)) AS i FROM tok),
+big AS (SELECT l[i] AS w1, l[i + 1] AS w2,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM pos GROUP BY w1, w2),
+uni AS (SELECT l[j] AS w, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT l, unnest(generate_series(1, len(l))) AS j
+              FROM tok)
+        GROUP BY w),
+n AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM big),
+scored AS (
+  SELECT w1, w2, cnt,
+         u1.c AS c1, u2.c AS c2,
+         CAST(cnt * n.n AS DOUBLE) / (u1.c * u2.c) AS score
+  FROM big CROSS JOIN n
+  JOIN uni u1 ON big.w1 = u1.w
+  JOIN uni u2 ON big.w2 = u2.w
+  WHERE cnt >= 5)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, w1, w2) AS BIGINT)
+           AS rank,
+       w1, w2, cnt, c1, c2, score
+FROM scored
+ORDER BY rank LIMIT 20
+"""
+
+QUERIES["collocations_docs"] = collocations_docs
+ORACLE["collocations_docs"] = COLLOCATIONS_SQL
+_window_append("collocations_docs")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -302,3 +302,78 @@ def lm_score(ds, model, text_col: str, id_col: str,
 
     return ds.map_batches(score_append if append else score,
                           batch_format="pyarrow")
+
+
+def top_collocations(ds, text_col: str = "text", k: int = 20,
+                     min_count: int = 5, normalize: bool = False):
+    """Top-``k`` PMI collocations — the classic corpus-analysis
+    "characteristic word pairs" op (beyond the reference): within-doc
+    adjacent bigrams ranked by the PMI ratio
+
+        score = (cnt · N) / (c1 · c2)
+
+    with N = total bigram events — monotone in true PMI (log of it) and
+    ORACLE-EXACT: one double division of exact int64 products on both
+    sides (the tf/df precedent; exact while cnt·N < 2^53 — beyond that
+    scale switch the oracle off, the ranking stays correct to double
+    rounding). Rank order: score desc, then (w1, w2) asc — a
+    deterministic total order on both sides.
+
+    Scale shape: the two narrow lexicon-sized count shuffles of
+    ``bigram_counts``/``unigram_counts``; the unigram lexicon is
+    collected and broadcast as sorted hash arrays (Heaps-small — the
+    train_bigram_lm bound); per-batch partial top-k bounds the driver
+    fold to k rows per block. Returns (rank, w1, w2, cnt, c1, c2,
+    score), rank 1..k."""
+    import ray
+    import pyarrow.compute as pc
+
+    big = bigram_counts(ds, text_col, normalize).materialize()
+    uni = unigram_counts(ds, text_col, normalize).materialize()
+
+    n_total = 0
+    for t in big.iter_batches(batch_format="pyarrow"):
+        n_total += int(pc.sum(t["cnt"]).as_py() or 0)
+
+    w, c = _collect(uni, ["w", "cnt"])
+    h = hash64(w).astype(np.int64) if len(w) \
+        else np.empty(0, dtype=np.int64)
+    order = np.argsort(h)
+    ref = ray.put((h[order], c[order].astype(np.int64)))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        hs, cs = ray.get(ref)
+        w1 = np.asarray(t["w1"].to_pylist(), dtype=object)
+        w2 = np.asarray(t["w2"].to_pylist(), dtype=object)
+        cnt = t["cnt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = cnt >= min_count
+        w1, w2, cnt = w1[keep], w2[keep], cnt[keep]
+        if not len(cnt):
+            return pa.table({"w1": pa.array([], type=pa.string()),
+                             "w2": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64()),
+                             "c1": pa.array([], type=pa.int64()),
+                             "c2": pa.array([], type=pa.int64()),
+                             "score": pa.array([], type=pa.float64())})
+        c1 = cs[np.searchsorted(hs, hash64(w1).astype(np.int64))]
+        c2 = cs[np.searchsorted(hs, hash64(w2).astype(np.int64))]
+        score = (cnt * n_total) / (c1 * c2)
+        sel = np.lexsort((w2, w1, -score))[:k]
+        return pa.table({"w1": pa.array(w1[sel].tolist(),
+                                        type=pa.string()),
+                         "w2": pa.array(w2[sel].tolist(),
+                                        type=pa.string()),
+                         "cnt": pa.array(cnt[sel], type=pa.int64()),
+                         "c1": pa.array(c1[sel], type=pa.int64()),
+                         "c2": pa.array(c2[sel], type=pa.int64()),
+                         "score": pa.array(score[sel],
+                                           type=pa.float64())})
+
+    folded = big.map_batches(partial_topk,
+                             batch_format="pyarrow").to_pandas()
+    folded = folded.sort_values(
+        ["score", "w1", "w2"], ascending=[False, True, True],
+        kind="mergesort", ignore_index=True).head(k)
+    folded.insert(0, "rank", np.arange(1, len(folded) + 1,
+                                       dtype=np.int64))
+    return folded

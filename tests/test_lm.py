@@ -156,3 +156,39 @@ def test_lm_score_append_mode(ray_session):
     assert list(df["n_tokens"][1:]) == [0, 0]
     assert df["ppl"][1:].isna().all()
     assert df["bucket"][1:].isna().all()
+
+
+def test_top_collocations(ray_session):
+    """PMI ratio top-k vs a pure-Python reference: counts, scores and
+    the (score desc, w1, w2) total order; min_count filter."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from prompture_ray.stages.lm import top_collocations
+
+    texts = ["new york is big", "new york city", "big apple city",
+             "new york new york", "is big is big", "city of new york"]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts)})).repartition(3)
+
+    big, uni = Counter(), Counter()
+    for t in texts:
+        toks = t.split()
+        uni.update(toks)
+        big.update(zip(toks, toks[1:]))
+    n = sum(big.values())
+    scored = sorted(
+        (((-cnt * n / (uni[a] * uni[b])), a, b, cnt)
+         for (a, b), cnt in big.items() if cnt >= 2))
+    want = [(i + 1, a, b, cnt) for i, (_, a, b, cnt)
+            in enumerate(scored[:5])]
+
+    out = top_collocations(ds, "text", k=5, min_count=2)
+    got = [(int(r["rank"]), r["w1"], r["w2"], int(r["cnt"]))
+           for _, r in out.iterrows()]
+    assert got == want
+    # scores are the exact integer-ratio division
+    for _, r in out.iterrows():
+        assert r["score"] == r["cnt"] * n / (uni[r["w1"]] * uni[r["w2"]])
