@@ -455,5 +455,12 @@ def assign_shards(ds, id_col: str, n_shards: int,
         g["pos"] = (offs[i] + local).astype(np.int64)
         return g.drop(columns=["__h", "__cell", "__pb"])
 
+    # Ray groupby sort cost follows the INPUT block count (round-5
+    # fact: a 1500-block input made this shuffle 38× slower at 10×
+    # rows) — coalesce to a bounded count before the groupby. n_rows
+    # comes free from the cell table.
+    n_rows = int(c.sum())
+    n_blocks = max(n_parts, min(1024, n_rows // 500_000 + 1))
     return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(n_blocks) \
         .groupby("__pb").map_groups(rank_part, batch_format="pandas")
