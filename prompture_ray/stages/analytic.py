@@ -408,6 +408,14 @@ def global_row_number(ds, order_col: str, out_col: str = "rownum",
         return t.append_column("__one", pa.array(
             np.ones(t.num_rows, dtype=np.int64)))
 
+    # Ray groupby/join costs follow the INPUT block count (round-5
+    # fact; a 1500-block 9M-row input ran >20 min where 128 blocks
+    # take ~1 min) — coalesce to a bounded count first. count() on a
+    # non-trivial lineage executes it: pass a plain projected read or
+    # a materialized Dataset.
+    n_rows = ds.count()
+    ds = ds.repartition(max(64, min(1024, n_rows // 500_000 + 1)))
+
     run = running_aggregate_bucketed(
         ds.map_batches(prep, batch_format="pyarrow"),
         "__k", "__ts", "__one", bucket=bucket)

@@ -114,7 +114,13 @@ def running_aggregate_bucketed(ds, key_col: str, ts_col: str,
 
     Ties within (key, ts) accumulate in input order inside a bucket like
     the plain form. Equality against ``running_aggregate`` is pinned by
-    test; the oracle is a SQL window cumsum."""
+    test; the oracle is a SQL window cumsum.
+
+    Block-count hazard (round-5): the phase-1 groupby and the phase-3
+    join inherit the INPUT's block count — a 1500-block input made a
+    9M-row run >20x slower than a 128-block one. Callers with
+    many-fragment inputs should coalesce first (``repartition(
+    max(64, rows/500k))`` — see ``analytic.global_row_number``)."""
     from ray.data.aggregate import Sum
     from prompture_ray.stages.joins import bucketed_equi_join
     from prompture_ray.functions.sketches import hash64
