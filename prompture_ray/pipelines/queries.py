@@ -6282,6 +6282,49 @@ ORACLE["collocations_docs"] = COLLOCATIONS_SQL
 _window_append("collocations_docs")
 
 
+def trending_events(sf_dir: str):
+    """Trending event types: top-3 per tumbling hour by count (ties →
+    event_type asc) — composes the hourly grouped count with the
+    distributed top_k_per_group (partial top-k bounds the shuffle to
+    ≤k rows per (hour, batch)). GENUINE oracle: row_number() over the
+    same hourly counts. Hours travel as exact int64 epoch-µs
+    (epoch_us(date_trunc(...)) in SQL; CAST(epoch(...)) would ROUND
+    fractional seconds — the round-3 gotcha)."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.analytic import top_k_per_group
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def tag(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        hour = pc.multiply(pc.divide(us, 3_600_000_000),
+                           3_600_000_000)
+        return pa.table({"hour_us": hour,
+                         "event_type": t["event_type"]})
+
+    counts = ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby(["hour_us", "event_type"]) \
+        .aggregate(Count(alias_name="n"))
+    return top_k_per_group(counts, "hour_us", "n", 3,
+                           tie_col="event_type")
+
+
+TRENDING_EVENTS_SQL = """
+WITH hc AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2),
+r AS (SELECT hour_us, event_type, n,
+             CAST(row_number() OVER (PARTITION BY hour_us
+                  ORDER BY n DESC, event_type) AS BIGINT) AS rk
+      FROM hc)
+SELECT hour_us, event_type, n, rk FROM r WHERE rk <= 3
+"""
+
+QUERIES["trending_events"] = trending_events
+ORACLE["trending_events"] = TRENDING_EVENTS_SQL
+_window_append("trending_events")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
