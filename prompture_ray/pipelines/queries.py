@@ -6325,6 +6325,49 @@ ORACLE["trending_events"] = TRENDING_EVENTS_SQL
 _window_append("trending_events")
 
 
+def ip_band_events(sf_dir: str):
+    """Keyless sorted-range dimension lookup (joins.range_lookup — the
+    CIDR→geo shape): planted ip = knuth(user_id) in [0, 2^32), mapped
+    into non-uniform bands with a GAP (→ 'unknown'). Zero shuffle: the
+    edge array ships once, each batch pays one searchsorted. SQL
+    replays the Knuth ip and the band CASE."""
+    from prompture_ray.stages.joins import range_lookup
+    ds = _read(sf_dir, "events", ["event_id", "user_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        ip = ((uid * np.uint64(2654435761))
+              % np.uint64(2 ** 32)).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "ip": pa.array(ip, type=pa.int64())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return range_lookup(
+        planted, "ip",
+        [0, 500_000_000, 1_500_000_000, 2_000_000_000,
+         3_000_000_000, 4_294_967_296],
+        ["na", "eu", None, "apac", "latam"], miss="unknown")
+
+
+IP_BAND_SQL = """
+WITH ip AS (SELECT event_id,
+                   (user_id * 2654435761) % 4294967296 AS ip
+            FROM events)
+SELECT event_id, CAST(ip AS BIGINT) AS ip,
+       CASE WHEN ip < 500000000 THEN 'na'
+            WHEN ip < 1500000000 THEN 'eu'
+            WHEN ip < 2000000000 THEN 'unknown'
+            WHEN ip < 3000000000 THEN 'apac'
+            ELSE 'latam' END AS band
+FROM ip
+"""
+
+QUERIES["ip_band_events"] = ip_band_events
+ORACLE["ip_band_events"] = IP_BAND_SQL
+_window_append("ip_band_events")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -489,3 +489,37 @@ def bucketed_equi_join(left_ds, right_ds, key: str,
 
     return tagged.groupby("__bucket").map_groups(per_bucket,
                                                  batch_format="pyarrow")
+
+
+def range_lookup(ds, value_col: str, bounds, labels,
+                 out_col: str = "band", miss=None):
+    """Keyless dimension lookup into NON-OVERLAPPING sorted ranges —
+    the CIDR→geo / value→tier shape (beyond the reference's keyed
+    lookups; ``broadcast_interval_join`` stays the keyed form).
+    ``bounds`` = sorted array of n+1 range edges; row value v maps to
+    ``labels[i]`` when ``bounds[i] <= v < bounds[i+1]`` and to ``miss``
+    outside [bounds[0], bounds[-1]). A label of None makes its range a
+    GAP (maps to ``miss``).
+
+    ZERO shuffle: the edge array ships once via ``ray.put``; each batch
+    pays ONE vectorized searchsorted. Appends ``out_col``."""
+    import ray
+
+    b = np.asarray(bounds)
+    if len(b) < 2 or np.any(b[1:] <= b[:-1]):
+        raise ValueError("bounds must be strictly increasing, len >= 2")
+    if len(labels) != len(b) - 1:
+        raise ValueError("need exactly len(bounds) - 1 labels")
+    lab = np.asarray([miss if v is None else v for v in labels]
+                     + [miss, miss], dtype=object)
+    ref = ray.put((b, lab))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bb, ll = ray.get(ref)
+        v = t[value_col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(bb, v, side="right") - 1
+        out = ll[np.where((idx < 0) | (idx >= len(bb) - 1),
+                          len(ll) - 1, idx)]
+        return t.append_column(out_col, pa.array(out.tolist()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")

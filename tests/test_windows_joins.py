@@ -457,3 +457,27 @@ def test_bucketed_asof_interval_hash_magnitude_int64(ray_session):
     assert iout["lpay"].tolist() == [base + 7, base + 9, base + 11]
     assert iout["rpay"].tolist() == [base + 3, base + 3, base + 5]
     assert iout["lpay"].dtype.kind == "i" and iout["rpay"].dtype.kind == "i"
+
+
+def test_range_lookup(ray_session):
+    """Keyless sorted-range lookup: edges, gaps, out-of-range and exact
+    boundary semantics ([start, end))."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    import pytest
+    from prompture_ray.stages.joins import range_lookup
+
+    vals = [-5, 0, 9, 10, 15, 20, 29, 30, 99]
+    ds = rd.from_arrow(pa.table({
+        "i": pa.array(range(len(vals)), type=pa.int64()),
+        "v": pa.array(vals, type=pa.int64())}))
+    out = range_lookup(ds, "v", [0, 10, 20, 30], ["a", None, "c"],
+                       miss="?").to_pandas().sort_values(
+        "i", ignore_index=True)
+    assert list(out["band"]) == ["?", "a", "a", "?", "?",
+                                 "c", "c", "?", "?"]
+    with pytest.raises(ValueError):
+        range_lookup(ds, "v", [0, 0, 1], ["a", "b"])
+    with pytest.raises(ValueError):
+        range_lookup(ds, "v", [0, 1], ["a", "b"])
