@@ -6368,6 +6368,48 @@ ORACLE["ip_band_events"] = IP_BAND_SQL
 _window_append("ip_band_events")
 
 
+def priority_sample_events(sf_dir: str):
+    """Weight-proportional deterministic sampling (priority sampling,
+    sampling.priority_sample_k): top-5 rows per event_type by
+    priority = weight·2^32 / (knuth(event_id)+1), weight planted as
+    user_id%7+1. GENUINE-arithmetic oracle: SQL computes the identical
+    priority double (one division of exact ints) and row_number()s it;
+    shuffle bounded to ≤k rows per (group, batch)."""
+    from prompture_ray.stages.sampling import priority_sample_k
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "weight": pa.array(uid % 7 + 1,
+                                            type=pa.int64())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return priority_sample_k(planted, "event_id", "weight",
+                             "event_type", 5)
+
+
+PRIORITY_SAMPLE_SQL = """
+WITH pr AS (
+  SELECT event_id, event_type, user_id % 7 + 1 AS weight,
+         CAST((user_id % 7 + 1) * 4294967296 AS DOUBLE)
+             / ((event_id * 2654435761) % 4294967296 + 1) AS priority
+  FROM events),
+r AS (SELECT event_id, event_type, CAST(weight AS BIGINT) AS weight,
+             priority,
+             CAST(row_number() OVER (PARTITION BY event_type
+                  ORDER BY priority DESC, event_id) AS BIGINT) AS rk
+      FROM pr)
+SELECT event_id, event_type, weight, priority, rk FROM r WHERE rk <= 5
+"""
+
+QUERIES["priority_sample_events"] = priority_sample_events
+ORACLE["priority_sample_events"] = PRIORITY_SAMPLE_SQL
+_window_append("priority_sample_events")
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

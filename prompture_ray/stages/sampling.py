@@ -464,3 +464,36 @@ def assign_shards(ds, id_col: str, n_shards: int,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(n_blocks) \
         .groupby("__pb").map_groups(rank_part, batch_format="pandas")
+
+
+def priority_sample_k(ds, id_col: str, weight_col: str, group_col: str,
+                      k: int):
+    """Deterministic weight-proportional sample of ``k`` rows per group
+    (priority sampling, Duffield et al.; the weighted coreset-per-domain
+    curation step): row priority = weight · 2^32 / knuth(id), keep each
+    group's top ``k`` priorities (ties → id asc). A pure function of
+    (id, weight), so the sample is reproducible under any block layout,
+    resumable, and auditable in SQL — the priority double is ONE
+    division of exact ints (< 2^53 for weights ≤ ~2^21), identical on
+    both sides, and the (priority desc, id asc) order is total.
+
+    Rows with knuth(id) = 0 (id = 0 mod 2^32/gcd) get priority +inf in
+    exact arithmetic; they are mapped to the max finite priority rank by
+    both sides ordering NULL-free doubles — we sidestep it by hashing to
+    h + 1 ∈ [1, 2^32]. Scale shape = ``top_k_per_group`` (partial top-k
+    per batch, ≤ k rows per (group, batch) shuffle)."""
+    from prompture_ray.stages.analytic import top_k_per_group
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        h = ((ids.astype(np.uint64) * _KNUTH) % _MOD).astype(np.int64) \
+            + np.int64(1)
+        pr = (w * np.int64(2 ** 32)) / h
+        return t.append_column("priority",
+                               pa.array(pr, type=pa.float64()))
+
+    return top_k_per_group(ds.map_batches(attach,
+                                          batch_format="pyarrow"),
+                           group_col, "priority", k, tie_col=id_col)

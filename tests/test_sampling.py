@@ -109,3 +109,39 @@ def test_assign_shards(ray_session):
     # every shard's positions are exactly 0..n_shard-1
     for s, grp in out.groupby("shard"):
         assert sorted(grp["pos"]) == list(range(len(grp)))
+
+
+def test_priority_sample_k(ray_session):
+    """Priority sampling == pandas reference; deterministic under
+    layout; zero-hash edge covered by the +1 shift."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.sampling import priority_sample_k
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    ids = np.concatenate([rng.choice(10**7, n - 1, replace=False)
+                          .astype(np.int64), [0]])   # id=0: h=0 edge
+    grp = (ids % 5).astype(np.int64)
+    w = (ids % 9 + 1).astype(np.int64)
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(ids, type=pa.int64()),
+        "g": pa.array(grp, type=pa.int64()),
+        "w": pa.array(w, type=pa.int64())})).repartition(7)
+
+    out = priority_sample_k(ds, "id", "w", "g", 3).to_pandas()
+
+    h = ((ids.astype(np.uint64) * np.uint64(2654435761))
+         % np.uint64(2**32)).astype(np.int64) + 1
+    ref = pd.DataFrame({"id": ids, "g": grp,
+                        "pr": (w * np.int64(2**32)) / h})
+    ref = ref.sort_values(["g", "pr", "id"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+    ref = ref.groupby("g", sort=False).head(3)
+    want = {(int(r["g"]), int(r["id"])) for _, r in ref.iterrows()}
+    got = {(int(r["g"]), int(r["id"])) for _, r in out.iterrows()}
+    assert got == want
+    assert sorted(out.groupby("g")["rk"].max()) == [3, 3, 3, 3, 3]
