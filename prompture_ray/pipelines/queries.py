@@ -5464,8 +5464,11 @@ _WINDOW_PRIORITY = [
     "bm25_index_topk_docs", "bm25_index_update_docs",
     "phrase_search_docs", "analytic_window_events",
     # (c) long-stable canaries rotated back in (r4 verdict #6: nothing
-    # in the r4 head had been driver-checked more than twice)
-    "q1_lineitem", "doc_verdicts", "events_hourly",
+    # in the r4 head had been driver-checked more than twice).
+    # events_hourly rotated back OUT late in round 5 to make room for a
+    # never-checked new query — it is r1-green, unchanged, and its
+    # lineage still runs in every bench (events_hourly in bench.py).
+    "q1_lineitem", "doc_verdicts",
     # (d) new in round 5 — never driver-checked (registered below with
     # _window_append so they land inside the 50-slot head)
     # -- everything OUTSIDE the window was driver-green in r4 (50/50 in
@@ -6408,6 +6411,130 @@ SELECT event_id, event_type, weight, priority, rk FROM r WHERE rk <= 5
 QUERIES["priority_sample_events"] = priority_sample_events
 ORACLE["priority_sample_events"] = PRIORITY_SAMPLE_SQL
 _window_append("priority_sample_events")
+
+
+def keyword_context_docs(sf_dir: str):
+    """Concordance / KWIC (stages/concordance.py keyword_contexts):
+    every occurrence of 'table' in the REAL documents text with
+    16-char contexts — GENUINE oracle (the SQL substring-scan over
+    unnest(generate_series) positions; both sides count code points
+    and use OVERLAPPING 1-based matches). Engine: zero shuffle, one
+    C-speed find walk per batch blob, per-OCCURRENCE output work."""
+    from prompture_ray.stages.concordance import keyword_contexts
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return keyword_contexts(ds, "table", window=16)
+
+
+KEYWORD_CONTEXT_SQL = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 4)) AS i
+  FROM documents),
+hits AS (SELECT doc_id, text, i FROM pos
+         WHERE substring(text, i, 5) = 'table')
+SELECT doc_id, CAST(i AS BIGINT) AS pos,
+       substring(text, greatest(1, i - 16),
+                 i - greatest(1, i - 16)) AS left_ctx,
+       substring(text, i + 5, 16) AS right_ctx
+FROM hits
+"""
+
+QUERIES["keyword_context_docs"] = keyword_context_docs
+ORACLE["keyword_context_docs"] = KEYWORD_CONTEXT_SQL
+_window_append("keyword_context_docs")
+
+
+def source_prior_docs(sf_dir: str):
+    """Per-source smoothed quality prior joined back to rows
+    (stages/groupstats.py group_prior — the CCNet per-domain statistics
+    shape). GENUINE oracle over real columns: prior = (sum(n_chars)+M)
+    / (n+K) is ONE double division of exact int64s on both sides (the
+    tf/df precedent, bit-identical, no rounding); above_prior compares
+    in exact int64. Engine: per-batch Arrow partials → one tiny grouped
+    Sum → broadcast searchsorted map-back (rows never shuffle);
+    bucketed-join fallback equality-tested in tests."""
+    from prompture_ray.stages.groupstats import group_prior
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return group_prior(ds, "source", "n_chars",
+                       pseudo_count=10, pseudo_sum=3000) \
+        .select_columns(["doc_id", "source", "n_grp", "sum_grp",
+                         "prior", "above_prior"])
+
+
+SOURCE_PRIOR_SQL = """
+WITH g AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS s,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, g.n AS n_grp, g.s AS sum_grp,
+       CAST(g.s + 3000 AS DOUBLE) / (g.n + 10) AS prior,
+       d.n_chars * (g.n + 10) > (g.s + 3000) AS above_prior
+FROM documents d JOIN g USING (source)
+"""
+
+QUERIES["source_prior_docs"] = source_prior_docs
+ORACLE["source_prior_docs"] = SOURCE_PRIOR_SQL
+_window_append("source_prior_docs")
+
+
+def degree_events(sf_dir: str):
+    """Link-graph degree audit (stages/graph.py degree_table — the
+    pre-PageRank degree-distribution pass): in/out degree per node over
+    edges planted arithmetically from event ids (src = id%97, dst =
+    (id*31+7)%97 — GENUINE-arithmetic oracle, SQL replays the same map
+    and a UNION ALL grouped sum). Engine: per-batch Arrow partial
+    counts, ONE grouped Sum shuffle of 24-byte rows; edges never
+    shuffle whole."""
+    from prompture_ray.stages.graph import degree_table
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "src": pa.array(eid % 97, type=pa.int64()),
+            "dst": pa.array((eid * 31 + 7) % 97, type=pa.int64())})
+
+    return degree_table(ds.map_batches(plant, batch_format="pyarrow"))
+
+
+DEGREE_EVENTS_SQL = """
+WITH e AS (SELECT event_id % 97 AS src,
+                  (event_id * 31 + 7) % 97 AS dst
+           FROM events),
+u AS (SELECT src AS node, 1 AS o, 0 AS i FROM e
+      UNION ALL SELECT dst AS node, 0 AS o, 1 AS i FROM e)
+SELECT CAST(node AS BIGINT) AS node,
+       CAST(sum(o) AS BIGINT) AS out_deg,
+       CAST(sum(i) AS BIGINT) AS in_deg
+FROM u GROUP BY node
+"""
+
+QUERIES["degree_events"] = degree_events
+ORACLE["degree_events"] = DEGREE_EVENTS_SQL
+_window_append("degree_events")
+
+
+def distinct_users_exact(sf_dir: str):
+    """EXACT distinct users per event type (stages/groupstats.py
+    exact_nunique) — the exact complement of the HLL path that
+    distinct_users exercises. GENUINE oracle: count(DISTINCT user_id).
+    Engine: per-batch pre-dedup → one wide (type,user) shuffle →
+    per-block partial counts → tiny grouped Sum; the driver never
+    holds user ids."""
+    from prompture_ray.stages.groupstats import exact_nunique
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return exact_nunique(ds, "event_type", "user_id")
+
+
+DISTINCT_USERS_EXACT_SQL = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY event_type
+"""
+
+QUERIES["distinct_users_exact"] = distinct_users_exact
+ORACLE["distinct_users_exact"] = DISTINCT_USERS_EXACT_SQL
+_window_append("distinct_users_exact")
 
 
 def _reorder_registry():

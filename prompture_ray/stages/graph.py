@@ -152,3 +152,39 @@ def extract_links(ds, html_col: str, id_col: str):
             "href": pa.array(hrefs, type=pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):
+    """In/out degree per node over an edge Dataset — the standard
+    pre-PageRank audit (degree distribution, dangling/sink detection).
+    Returns ``(node, out_deg, in_deg)`` covering distinct src ∪ dst.
+
+    Scale shape: each batch reduces to per-node partial counts with two
+    Arrow group_bys (≤ 2 rows per node per batch), then ONE grouped Sum
+    shuffle of 24-byte partial rows. Edges never shuffle whole; the
+    driver holds nothing."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        o = t.select([src_col]).group_by(src_col).aggregate(
+            [([], "count_all")])
+        i = t.select([dst_col]).group_by(dst_col).aggregate(
+            [([], "count_all")])
+        node = pa.concat_arrays([
+            o[src_col].combine_chunks().cast(pa.int64()),
+            i[dst_col].combine_chunks().cast(pa.int64())])
+        zeros_o = np.zeros(len(i), dtype=np.int64)
+        zeros_i = np.zeros(len(o), dtype=np.int64)
+        return pa.table({
+            "node": node,
+            "__o": pa.array(np.concatenate([
+                o["count_all"].to_numpy(zero_copy_only=False)
+                .astype(np.int64), zeros_o]), type=pa.int64()),
+            "__i": pa.array(np.concatenate([
+                zeros_i,
+                i["count_all"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)]), type=pa.int64())})
+
+    return edges.map_batches(partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("__o", alias_name="out_deg"),
+                                   Sum("__i", alias_name="in_deg"))

@@ -1,0 +1,146 @@
+"""Per-group corpus statistics joined back to rows: smoothed group
+priors (the CCNet/C4 per-DOMAIN quality-prior shape — score a page
+against its host's aggregate before keeping it; cf. Wenzek et al. 2020
+§3.2 which buckets by per-domain statistics) and exact per-group
+distinct counts (the exact complement of the HLL sketch path in
+functions/sketches.py — use the sketch for monitoring, this for
+billing-grade answers).
+
+Exactness contract (the oracle basis): for integer ``val_col`` the
+prior is ONE correctly-rounded double division of exact int64 sums
+
+    prior(g) = (sum(val) over g + pseudo_sum) / (count(g) + pseudo_count)
+
+so engine and SQL doubles are bit-identical with no rounding (the tf/df
+precedent), and the per-row comparison ``val * den > num`` stays in
+exact int64 (caller contract: ``|val| * (count + pseudo_count)`` must
+fit 2^53 if the consumer re-derives it in SQL doubles, int64 here).
+
+Scale shape:
+- ``group_prior``: per-batch Arrow group_by partials (one row per key
+  per batch) → one narrow grouped Sum shuffle bounded by keys × blocks
+  → size-aware map-back: up to ``broadcast_max`` keys the sorted
+  (hash64(key), sum, count) arrays ship once via ``ray.put`` and each
+  batch pays one searchsorted (rows never shuffle); beyond that, rows ×
+  key table go through the hash-bucketed equi-join (the 100-TB path,
+  equality-tested via ``broadcast_max=0``).
+- ``exact_nunique``: per-batch distinct (key, val) pairs → grouped
+  Count makes pairs globally distinct (ONE wide shuffle, pre-deduped
+  per batch) → per-block partial pair-counts per key → tiny grouped
+  Sum bounded by keys × blocks. The driver never holds values.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from prompture_ray.functions.sketches import hash_arrow_column
+
+
+def group_prior(ds, key_col: str, val_col: str,
+                pseudo_count: int = 10, pseudo_sum: int = 0,
+                n_buckets: int = 32, broadcast_max: int = 20_000_000):
+    """Append per-group smoothed-prior columns to every row:
+    ``n_grp`` / ``sum_grp`` (exact int64 group count / sum of
+    ``val_col``), ``prior`` (one exact-int division, see module
+    docstring) and ``above_prior`` (``val * (n_grp + pseudo_count) >
+    sum_grp + pseudo_sum``, exact int64)."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, val_col]).group_by(key_col).aggregate(
+            [(val_col, "sum"), (val_col, "count")])
+        return pa.table({
+            key_col: g[key_col],
+            "__s": g[f"{val_col}_sum"].cast(pa.int64()),
+            "__n": g[f"{val_col}_count"].cast(pa.int64())})
+
+    grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(
+            Sum("__s", alias_name="sum_grp"),
+            Sum("__n", alias_name="n_grp")).materialize()
+
+    def annotate(t: pa.Table, sums: np.ndarray,
+                 counts: np.ndarray) -> pa.Table:
+        val = t[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        num = sums + int(pseudo_sum)
+        den = counts + int(pseudo_count)
+        prior = num / den  # elementwise correctly-rounded divisions
+        above = val * den > num
+        return t.append_column(
+            "n_grp", pa.array(counts, type=pa.int64())) \
+            .append_column("sum_grp", pa.array(sums, type=pa.int64())) \
+            .append_column("prior", pa.array(prior, type=pa.float64())) \
+            .append_column("above_prior", pa.array(above, type=pa.bool_()))
+
+    if grouped.count() <= broadcast_max:
+        hs, ss, ns = [], [], []
+        for t in grouped.iter_batches(batch_format="pyarrow"):
+            hs.append(hash_arrow_column(t[key_col]))
+            ss.append(t["sum_grp"].to_numpy(zero_copy_only=False))
+            ns.append(t["n_grp"].to_numpy(zero_copy_only=False))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        s = np.concatenate(ss).astype(np.int64) if ss \
+            else np.empty(0, dtype=np.int64)
+        n = np.concatenate(ns).astype(np.int64) if ns \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(h)
+        ref = ray.put((h[order], s[order], n[order]))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return annotate(t, np.empty(0, dtype=np.int64),
+                                np.empty(0, dtype=np.int64))
+            hk, sk, nk = ray.get(ref)
+            if t[key_col].null_count:
+                raise ValueError(
+                    f"group_prior: null {key_col!r} keys (hash lookup "
+                    "is null-dropping — filter or fill first)")
+            g = hash_arrow_column(t[key_col])
+            # every key exists in the grouped table by construction
+            idx = np.searchsorted(hk, g)
+            return annotate(t, sk[idx], nk[idx])
+
+        return ds.map_batches(lookup, batch_format="pyarrow")
+
+    joined = bucketed_equi_join(ds, grouped, key=key_col,
+                                n_buckets=n_buckets)
+
+    def from_join(b: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(b.drop(columns=["sum_grp", "n_grp"]),
+                                 preserve_index=False)
+        return annotate(t,
+                        b["sum_grp"].to_numpy().astype(np.int64),
+                        b["n_grp"].to_numpy().astype(np.int64))
+
+    return joined.map_batches(from_join, batch_format="pandas")
+
+
+def exact_nunique(ds, key_col: str, val_col: str,
+                  out_col: str = "n_distinct"):
+    """Exact distinct ``val_col`` count per ``key_col`` value, as a
+    Dataset ``(key_col, out_col)``. Batches are pre-deduped before the
+    single wide shuffle; the second shuffle carries only per-block
+    per-key partial counts (keys × blocks rows)."""
+    from ray.data.aggregate import Count, Sum
+
+    def distinct_pairs(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, val_col]).group_by(
+            [key_col, val_col]).aggregate([])
+        return g
+
+    pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby([key_col, val_col]).aggregate(Count(alias_name="__c"))
+
+    def per_key_partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col]).group_by(key_col).aggregate(
+            [([], "count_all")])
+        return pa.table({key_col: g[key_col],
+                         "__p": g["count_all"].cast(pa.int64())})
+
+    return pairs.map_batches(per_key_partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("__p", alias_name=out_col))

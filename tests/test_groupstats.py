@@ -1,0 +1,145 @@
+"""Group-prior / exact-nunique (stages/groupstats.py), KWIC
+concordance (stages/concordance.py) and degree_table (stages/graph.py):
+hand-checked values, path equality, edge cases."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages.concordance import keyword_contexts
+from prompture_ray.stages.groupstats import exact_nunique, group_prior
+from prompture_ray.stages.graph import degree_table
+
+
+def _ds(tbl: dict, parallelism: int = 2):
+    import ray.data as rd
+    t = pa.table(tbl)
+    return rd.from_arrow(t).repartition(parallelism)
+
+
+# ---------------------------------------------------------------- KWIC
+
+
+def test_kwic_hand_checked(ray_session):
+    ds = _ds({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+              "text": ["the cat sat on the mat",
+                       "cathedral catcat",
+                       "no hits here"]}, parallelism=1)
+    df = keyword_contexts(ds, "cat", window=4).to_pandas() \
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    # doc1: "cat" at 1-based pos 5; doc2: pos 1 (cathedral), 11, 14
+    assert list(df["doc_id"]) == [1, 2, 2, 2]
+    assert list(df["pos"]) == [5, 1, 11, 14]
+    r0 = df.iloc[0]
+    assert r0["left_ctx"] == "the " and r0["right_ctx"] == " sat"
+    # boundary truncation, never padded
+    r1 = df.iloc[1]
+    assert r1["left_ctx"] == "" and r1["right_ctx"] == "hedr"
+
+
+def test_kwic_overlapping_and_batch_boundary(ray_session):
+    # overlapping matches: "aaaa" contains "aa" at pos 1,2,3
+    ds = _ds({"doc_id": pa.array([7], type=pa.int64()),
+              "text": ["aaaa"]}, parallelism=1)
+    df = keyword_contexts(ds, "aa", window=2).to_pandas()
+    assert list(df["pos"]) == [1, 2, 3]
+    # needle split across two docs in one batch must NOT match: doc A
+    # ends with "ca", doc B starts with "t" — separator blocks it
+    ds2 = _ds({"doc_id": pa.array([1, 2], type=pa.int64()),
+               "text": ["ends ca", "t starts"]}, parallelism=1)
+    assert keyword_contexts(ds2, "cat").count() == 0
+
+
+def test_kwic_validation(ray_session):
+    ds = _ds({"doc_id": pa.array([1], type=pa.int64()), "text": ["x"]})
+    with pytest.raises(ValueError):
+        keyword_contexts(ds, "")
+    with pytest.raises(ValueError):
+        keyword_contexts(ds, "a\x00b")
+
+
+# --------------------------------------------------------- group_prior
+
+
+_GP = {"doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+       "src": ["a", "a", "a", "b", "b"],
+       "v": pa.array([10, 20, 60, 5, 7], type=pa.int64())}
+# group a: n=3 sum=90; group b: n=2 sum=12
+# pseudo_count=2, pseudo_sum=8 → prior a = 98/5, prior b = 20/4
+
+
+def test_group_prior_hand_checked(ray_session):
+    df = group_prior(_ds(_GP), "src", "v",
+                     pseudo_count=2, pseudo_sum=8) \
+        .to_pandas().sort_values("doc_id", ignore_index=True)
+    assert list(df["n_grp"]) == [3, 3, 3, 2, 2]
+    assert list(df["sum_grp"]) == [90, 90, 90, 12, 12]
+    assert list(df["prior"]) == [98 / 5] * 3 + [20 / 4] * 2
+    # above: v*(n+K) > sum+M → a: v*5>98 → 10*5=50 no, 20*5=100 yes,
+    # 60*5=300 yes; b: v*4>20 → 5*4=20 no (strict), 7*4=28 yes
+    assert list(df["above_prior"]) == [False, True, True, False, True]
+
+
+def test_group_prior_path_equality(ray_session):
+    cols = ["doc_id", "n_grp", "sum_grp", "prior", "above_prior"]
+    a = group_prior(_ds(_GP), "src", "v", pseudo_count=2,
+                    pseudo_sum=8).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)[cols]
+    b = group_prior(_ds(_GP), "src", "v", pseudo_count=2,
+                    pseudo_sum=8, broadcast_max=0).to_pandas() \
+        .sort_values("doc_id", ignore_index=True)[cols]
+    assert a.equals(b)
+
+
+def test_group_prior_null_key_raises(ray_session):
+    ds = _ds({"doc_id": pa.array([0, 1], type=pa.int64()),
+              "src": pa.array(["a", None], type=pa.string()),
+              "v": pa.array([1, 2], type=pa.int64())}, parallelism=1)
+    with pytest.raises(Exception):
+        group_prior(ds, "src", "v").to_pandas()
+
+
+# -------------------------------------------------------- exact_nunique
+
+
+def test_exact_nunique(ray_session):
+    ds = _ds({"k": ["x", "x", "x", "y", "y"],
+              "u": pa.array([1, 1, 2, 3, 3], type=pa.int64())},
+             parallelism=3)
+    df = exact_nunique(ds, "k", "u").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert list(df["k"]) == ["x", "y"]
+    assert list(df["n_distinct"]) == [2, 1]
+
+
+def test_exact_nunique_cross_block_dupes(ray_session):
+    # the same (k, u) pair in every block must count once
+    ds = _ds({"k": ["x"] * 8, "u": pa.array([5] * 8, type=pa.int64())},
+             parallelism=4)
+    df = exact_nunique(ds, "k", "u").to_pandas()
+    assert list(df["n_distinct"]) == [1]
+
+
+# --------------------------------------------------------- degree_table
+
+
+def test_degree_table(ray_session):
+    # 1→2, 1→3, 2→3, 3→1: out 1:2 2:1 3:1; in 1:1 2:1 3:2
+    ds = _ds({"src": pa.array([1, 1, 2, 3], type=pa.int64()),
+              "dst": pa.array([2, 3, 3, 1], type=pa.int64())},
+             parallelism=2)
+    df = degree_table(ds).to_pandas().sort_values(
+        "node", ignore_index=True)
+    assert list(df["node"]) == [1, 2, 3]
+    assert list(df["out_deg"]) == [2, 1, 1]
+    assert list(df["in_deg"]) == [1, 1, 2]
+
+
+def test_degree_table_sink_and_source_nodes(ray_session):
+    # 10→20 only: 10 is pure source (in 0), 20 pure sink (out 0)
+    ds = _ds({"src": pa.array([10], type=pa.int64()),
+              "dst": pa.array([20], type=pa.int64())}, parallelism=1)
+    df = degree_table(ds).to_pandas().sort_values(
+        "node", ignore_index=True)
+    assert list(df["node"]) == [10, 20]
+    assert list(df["out_deg"]) == [1, 0]
+    assert list(df["in_deg"]) == [0, 1]
