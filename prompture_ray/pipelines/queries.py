@@ -6634,6 +6634,81 @@ QUERIES["link_targets_docs"] = link_targets_docs
 ORACLE["link_targets_docs"] = LINK_TARGETS_SQL
 
 
+def anchor_texts_docs(sf_dir: str):
+    """Anchor-text corpus extraction (graph.py extract_anchor_texts):
+    (src, href, anchor) rows from real HTML anchors planted from
+    doc_id (doc_id%5==0 carries NO link — exercises empty emission).
+    GENUINE-arithmetic oracle: SQL rebuilds the planted href/anchor
+    strings for the linked classes. OUTSIDE the full 50-slot window —
+    locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.graph import extract_anchor_texts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        s7 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 7), 7)),
+                     pa.string())
+        s3 = pc.cast(pc.subtract(did, pc.multiply(pc.divide(did, 3), 3)),
+                     pa.string())
+        k = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        join = pc.binary_join_element_wise
+        html = join('<p>pre</p><a rel="x" href="https://t', s7,
+                    '.example/">label ', s3, ' here</a><p>post</p>', "")
+        html = pc.if_else(pc.equal(k, 0),
+                          pa.scalar("<p>no links here</p>",
+                                    type=pa.string()), html)
+        return pa.table({"doc_id": did, "html": html})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    return extract_anchor_texts(planted, "html", "doc_id")
+
+
+ANCHOR_TEXTS_SQL = """
+SELECT doc_id AS src,
+       'https://t' || CAST(doc_id % 7 AS VARCHAR) || '.example/'
+           AS href,
+       'label ' || CAST(doc_id % 3 AS VARCHAR) || ' here' AS anchor
+FROM documents WHERE doc_id % 5 <> 0
+"""
+
+QUERIES["anchor_texts_docs"] = anchor_texts_docs
+ORACLE["anchor_texts_docs"] = ANCHOR_TEXTS_SQL
+
+
+def dictionary_kwic_docs(sf_dir: str):
+    """Multi-needle concordance (concordance.py keyword_contexts_multi)
+    over the REAL documents text for the terms {table, merge, scan} —
+    GENUINE oracle: the KWIC substring-scan SQL cross-joined with a
+    VALUES needle list (per-term lengths, same overlapping 1-based
+    character semantics). OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.concordance import keyword_contexts_multi
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return keyword_contexts_multi(ds, ["table", "merge", "scan"],
+                                  window=12)
+
+
+DICTIONARY_KWIC_SQL = """
+WITH needles(term) AS (VALUES ('table'), ('merge'), ('scan')),
+pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents),
+hits AS (SELECT doc_id, text, term, i
+         FROM pos CROSS JOIN needles
+         WHERE i + length(term) - 1 <= length(text)
+           AND substring(text, i, length(term)) = term)
+SELECT doc_id, term, CAST(i AS BIGINT) AS pos,
+       substring(text, greatest(1, i - 12),
+                 i - greatest(1, i - 12)) AS left_ctx,
+       substring(text, i + length(term), 12) AS right_ctx
+FROM hits
+"""
+
+QUERIES["dictionary_kwic_docs"] = dictionary_kwic_docs
+ORACLE["dictionary_kwic_docs"] = DICTIONARY_KWIC_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

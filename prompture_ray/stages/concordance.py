@@ -80,3 +80,60 @@ def keyword_contexts(ds, needle: str, text_col: str = "text",
                                                type=pa.string())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def keyword_contexts_multi(ds, needles, text_col: str = "text",
+                           id_col: str = "doc_id", window: int = 16):
+    """Dictionary concordance: ``keyword_contexts`` for a whole term
+    list in one pass — the batch blob is built ONCE and each needle
+    pays only its own find walk (needle-count passes over the blob,
+    per-OCCURRENCE output work; the badword_flags counting stage's
+    inspection companion). Adds a ``term`` column; same overlapping
+    1-based character semantics per needle."""
+    needles = list(needles)
+    if not needles:
+        raise ValueError("needles must be non-empty")
+    for nd in needles:
+        if not nd or "\x00" in nd:
+            raise ValueError(f"bad needle {nd!r}")
+
+    schema = pa.schema([(id_col, pa.int64()), ("term", pa.string()),
+                        ("pos", pa.int64()),
+                        ("left_ctx", pa.string()),
+                        ("right_ctx", pa.string())])
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        if not texts:
+            return schema.empty_table()
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.fromiter((len(s) for s in texts), dtype=np.int64,
+                           count=len(texts))
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        blob = "\x00".join(texts)
+        out_id, out_term, out_pos = [], [], []
+        out_left, out_right = [], []
+        for needle in needles:
+            m = len(needle)
+            p = blob.find(needle)
+            while p != -1:
+                i = int(np.searchsorted(starts, p, side="right") - 1)
+                p0 = p - int(starts[i])
+                text = texts[i]
+                out_id.append(ids[i])
+                out_term.append(needle)
+                out_pos.append(p0 + 1)
+                out_left.append(text[max(0, p0 - window):p0])
+                out_right.append(text[p0 + m:p0 + m + window])
+                p = blob.find(needle, p + 1)
+        return pa.table({id_col: pa.array(out_id, type=pa.int64()),
+                         "term": pa.array(out_term, type=pa.string()),
+                         "pos": pa.array(out_pos, type=pa.int64()),
+                         "left_ctx": pa.array(out_left,
+                                              type=pa.string()),
+                         "right_ctx": pa.array(out_right,
+                                               type=pa.string())})
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -188,3 +188,52 @@ def degree_table(edges, src_col: str = "src", dst_col: str = "dst"):
     return edges.map_batches(partial, batch_format="pyarrow") \
         .groupby("node").aggregate(Sum("__o", alias_name="out_deg"),
                                    Sum("__i", alias_name="in_deg"))
+
+
+# anchor = href + inner text up to the first '<' (nested markup inside
+# an anchor is out of scope — documented; \x00 excluded everywhere so a
+# match can never span the blob's document separator)
+_ANCHOR_RE = re.compile(
+    r'<a\s[^>\x00]*?href\s*=\s*["\x27]([^"\x27\x00]+)["\x27]'
+    r'[^>\x00]*>([^<\x00]*)<')
+
+
+def extract_anchor_texts(ds, html_col: str, id_col: str):
+    """(src_id, href, anchor) rows from an HTML column — the anchor-text
+    corpus pass (inbound link text is a classic relevance/label signal;
+    the reference's HTML surface stops at text extraction). Same scan
+    shape as extract_links: ONE regex pass over the \\x00-joined blob
+    per batch, per-MATCH work only, offsets mapped back to rows via
+    searchsorted. Anchor text is the run up to the first '<' inside the
+    element; anchors with nested markup yield their leading text run
+    (possibly empty)."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        arr = t[html_col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        arr = pc.fill_null(arr.cast(pa.string()), "")
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = arr.to_pylist()
+        blob = "\x00".join(texts)
+        starts = np.zeros(len(texts), dtype=np.int64)
+        if len(texts) > 1:
+            lens = np.fromiter((len(x) for x in texts), dtype=np.int64,
+                               count=len(texts))
+            starts[1:] = np.cumsum(lens[:-1] + 1)
+        hrefs, anchors, pos = [], [], []
+        for m in _ANCHOR_RE.finditer(blob):
+            hrefs.append(m.group(1))
+            anchors.append(m.group(2).strip())
+            pos.append(m.start())
+        row = np.searchsorted(starts, np.asarray(pos, dtype=np.int64),
+                              side="right") - 1 if pos else \
+            np.empty(0, dtype=np.int64)
+        return pa.table({
+            "src": pa.array(ids[row] if len(row) else
+                            np.empty(0, dtype=np.int64),
+                            type=pa.int64()),
+            "href": pa.array(hrefs, type=pa.string()),
+            "anchor": pa.array(anchors, type=pa.string())})
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -143,3 +143,39 @@ def test_degree_table_sink_and_source_nodes(ray_session):
     assert list(df["node"]) == [10, 20]
     assert list(df["out_deg"]) == [1, 0]
     assert list(df["in_deg"]) == [0, 1]
+
+
+# --------------------------------------------- multi-needle concordance
+
+
+def test_kwic_multi(ray_session):
+    from prompture_ray.stages.concordance import keyword_contexts_multi
+    ds = _ds({"doc_id": pa.array([1, 2], type=pa.int64()),
+              "text": ["key and table and key", "table only"]},
+             parallelism=1)
+    df = keyword_contexts_multi(ds, ["key", "table"], window=3) \
+        .to_pandas().sort_values(["doc_id", "term", "pos"],
+                                 ignore_index=True)
+    assert list(df["term"]) == ["key", "key", "table", "table"]
+    assert list(df["pos"]) == [1, 19, 9, 1]
+    assert df.iloc[0]["left_ctx"] == "" and df.iloc[0]["right_ctx"] == " an"
+    with __import__("pytest").raises(ValueError):
+        keyword_contexts_multi(ds, [])
+
+
+# -------------------------------------------------- anchor text extract
+
+
+def test_extract_anchor_texts(ray_session):
+    from prompture_ray.stages.graph import extract_anchor_texts
+    ds = _ds({"doc_id": pa.array([1, 2, 3], type=pa.int64()),
+              "html": ['<a href="https://x/">Click  here</a>'
+                       '<a class="z" href="/rel">r</a>',
+                       '<a href="https://y/"><b>nested</b></a>',
+                       'no links']}, parallelism=1)
+    df = extract_anchor_texts(ds, "html", "doc_id").to_pandas() \
+        .sort_values(["src", "href"], ignore_index=True)
+    assert list(df["src"]) == [1, 1, 2]
+    assert list(df["href"]) == ["/rel", "https://x/", "https://y/"]
+    # anchor text = run up to first '<', stripped; nested markup -> ""
+    assert list(df["anchor"]) == ["r", "Click  here", ""]
