@@ -40,7 +40,8 @@ from prompture_ray.functions.sketches import hash_arrow_column
 
 def group_prior(ds, key_col: str, val_col: str,
                 pseudo_count: int = 10, pseudo_sum: int = 0,
-                n_buckets: int = 32, broadcast_max: int = 20_000_000):
+                n_buckets: int = 32, broadcast_max: int = 20_000_000,
+                shuffle_blocks: int = 128):
     """Append per-group smoothed-prior columns to every row:
     ``n_grp`` / ``sum_grp`` (exact int64 group count / sum of
     ``val_col``), ``prior`` (one exact-int division, see module
@@ -58,7 +59,14 @@ def group_prior(ds, key_col: str, val_col: str,
             "__s": g[f"{val_col}_sum"].cast(pa.int64()),
             "__n": g[f"{val_col}_count"].cast(pa.int64())})
 
+    # Ray groupby sort cost follows the INPUT block count (round-5
+    # pathology: a 1500-fragment corpus made this "tiny" grouped Sum
+    # 53x superlinear at 10x rows) — coalesce the narrow partial rows
+    # to a bounded count first. 128 blocks hold billions of 24-byte
+    # partial rows comfortably; raise shuffle_blocks beyond ~100M
+    # distinct keys.
     grouped = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
         .groupby(key_col).aggregate(
             Sum("__s", alias_name="sum_grp"),
             Sum("__n", alias_name="n_grp")).materialize()
@@ -121,11 +129,18 @@ def group_prior(ds, key_col: str, val_col: str,
 
 
 def exact_nunique(ds, key_col: str, val_col: str,
-                  out_col: str = "n_distinct"):
+                  out_col: str = "n_distinct",
+                  shuffle_blocks: int = 128):
     """Exact distinct ``val_col`` count per ``key_col`` value, as a
     Dataset ``(key_col, out_col)``. Batches are pre-deduped before the
     single wide shuffle; the second shuffle carries only per-block
-    per-key partial counts (keys × blocks rows)."""
+    per-key partial counts (keys × blocks rows).
+
+    ``shuffle_blocks`` bounds the wide shuffle's input block count
+    (round-5 pathology: groupby sort cost follows input blocks — a
+    1500-fragment corpus measured 44x superlinear at 10x rows before
+    this coalesce, 9M→29s after). Size ≈ distinct pairs / 500k when
+    the pair count runs into the billions."""
     from ray.data.aggregate import Count, Sum
 
     def distinct_pairs(t: pa.Table) -> pa.Table:
@@ -134,6 +149,7 @@ def exact_nunique(ds, key_col: str, val_col: str,
         return g
 
     pairs = ds.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
         .groupby([key_col, val_col]).aggregate(Count(alias_name="__c"))
 
     def per_key_partial(t: pa.Table) -> pa.Table:
