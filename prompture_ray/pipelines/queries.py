@@ -6709,6 +6709,155 @@ QUERIES["dictionary_kwic_docs"] = dictionary_kwic_docs
 ORACLE["dictionary_kwic_docs"] = DICTIONARY_KWIC_SQL
 
 
+def temporal_split_events(sf_dir: str):
+    """Temporal train/val/test split at EXACT global timestamp
+    quantiles (stages/selection.py — distributed selection via
+    iterative histogram narrowing, no global sort, nothing row-sized on
+    the driver): cut80/cut90 = values at ranks ceil(0.8n)/ceil(0.9n) of
+    epoch-µs (quantile_disc semantics, exact integer ranks), split =
+    value-threshold labels (ties at a cut all land on the earlier
+    side — deterministic on both sides). GENUINE oracle: SQL selects
+    the same ranks with the round-3 integer-rank idiom (rn·den ≥ num·n
+    AND (rn−1)·den < num·n) and replays the CASE. OUTSIDE the full
+    50-slot window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.selection import exact_global_quantiles
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        return pa.table({"event_id": t["event_id"], "us": us})
+
+    tagged = ds.map_batches(to_us, batch_format="pyarrow")
+    cuts = exact_global_quantiles(tagged, "us", qs=(0.8, 0.9))
+    c80, c90 = cuts[0.8], cuts[0.9]
+
+    def label(t: pa.Table) -> pa.Table:
+        us = t["us"]
+        split = pc.if_else(
+            pc.less_equal(us, c80), pa.scalar("train"),
+            pc.if_else(pc.less_equal(us, c90), pa.scalar("val"),
+                       pa.scalar("test")))
+        return pa.table({"event_id": t["event_id"], "us": us,
+                         "split": split})
+
+    return tagged.map_batches(label, batch_format="pyarrow")
+
+
+TEMPORAL_SPLIT_SQL = """
+WITH v AS (SELECT event_id, epoch_us(ts) AS us FROM events),
+o AS (SELECT us, row_number() OVER (ORDER BY us) AS rn,
+             count(*) OVER () AS n
+      FROM v),
+c80 AS (SELECT us FROM o WHERE rn * 5 >= 4 * n AND (rn - 1) * 5 < 4 * n),
+c90 AS (SELECT us FROM o
+        WHERE rn * 10 >= 9 * n AND (rn - 1) * 10 < 9 * n)
+SELECT event_id, us,
+       CASE WHEN us <= (SELECT us FROM c80) THEN 'train'
+            WHEN us <= (SELECT us FROM c90) THEN 'val'
+            ELSE 'test' END AS split
+FROM v
+"""
+
+QUERIES["temporal_split_events"] = temporal_split_events
+ORACLE["temporal_split_events"] = TEMPORAL_SPLIT_SQL
+
+
+def crawl_compliance_docs(sf_dir: str):
+    """Composed crawl-compliance audit: robots.txt verdict + domain
+    blocklist verdict + the fetchable conjunction, per URL — the two
+    independent gates a crawler applies before a page may enter the
+    corpus (robots_filter_docs' planted classes with a blocklist that
+    blocks a robots-ALLOWED host, so the conjunction differs from both
+    inputs). Closed-form oracle per class. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.functions.urlnorm import domain_blocklist_flags
+    from prompture_ray.stages.robots import robots_allowed
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    robots = {"a.example": ("User-agent: *\nDisallow: /private\n"
+                            "Allow: /private/ok\n"
+                            "Disallow: /tmp/*.pdf$\n"),
+              "b.example": "User-agent: *\nDisallow: /\n"}
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        s = pc.cast(did, pa.string())
+        k = pc.subtract(did, pc.multiply(pc.divide(did, 6), 6))
+        join = pc.binary_join_element_wise
+        url = join("https://a.example/public/p", s, "")
+        url = pc.if_else(pc.equal(k, 1),
+                         join("https://a.example/private/x", s, ""), url)
+        url = pc.if_else(pc.equal(k, 2),
+                         join("https://a.example/private/ok/y", s, ""),
+                         url)
+        url = pc.if_else(pc.equal(k, 3),
+                         join("https://a.example/tmp/f", s, ".pdf", ""),
+                         url)
+        url = pc.if_else(pc.equal(k, 4),
+                         join("https://b.example/any", s, ""), url)
+        url = pc.if_else(pc.equal(k, 5),
+                         join("https://c.example/z", s, ""), url)
+        return pa.table({"doc_id": did, "url": url})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    flagged = domain_blocklist_flags(robots_allowed(
+        planted, "url", robots), "url", ["c.example"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        fetch = pc.and_(t["allowed"].combine_chunks(),
+                        pc.invert(t["blocked"].combine_chunks()))
+        return pa.table({"doc_id": t["doc_id"],
+                         "allowed": t["allowed"],
+                         "blocked": t["blocked"],
+                         "fetchable": fetch})
+
+    return flagged.map_batches(finish, batch_format="pyarrow")
+
+
+CRAWL_COMPLIANCE_SQL = """
+SELECT doc_id,
+       doc_id % 6 IN (0, 2, 5) AS allowed,
+       doc_id % 6 = 5 AS blocked,
+       doc_id % 6 IN (0, 2) AS fetchable
+FROM documents
+"""
+
+QUERIES["crawl_compliance_docs"] = crawl_compliance_docs
+ORACLE["crawl_compliance_docs"] = CRAWL_COMPLIANCE_SQL
+
+
+def csv_roundtrip_docs(sf_dir: str):
+    """CSV sink + source round trip (Ray write_csv → our arrow-native
+    read_csv_files): the documents projection survives the text format
+    bit-exact (int64 / string / int64 columns). GENUINE oracle: the
+    same projection straight from parquet. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    import glob as _g
+    import shutil
+    import tempfile
+    from prompture_ray.sources import read_csv_files
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    root = tempfile.mkdtemp(prefix="prompture_ray_csv_")
+    try:
+        ds.write_csv(root)
+        back = read_csv_files(sorted(_g.glob(f"{root}/*.csv")))
+        return back.map_batches(lambda t: pa.table({
+            "doc_id": t["doc_id"].combine_chunks().cast(pa.int64()),
+            "lang": t["lang"].combine_chunks().cast(pa.string()),
+            "n_chars": t["n_chars"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow").to_pandas()
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+CSV_ROUNDTRIP_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+QUERIES["csv_roundtrip_docs"] = csv_roundtrip_docs
+ORACLE["csv_roundtrip_docs"] = CSV_ROUNDTRIP_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
