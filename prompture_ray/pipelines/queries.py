@@ -6858,6 +6858,106 @@ QUERIES["csv_roundtrip_docs"] = csv_roundtrip_docs
 ORACLE["csv_roundtrip_docs"] = CSV_ROUNDTRIP_SQL
 
 
+def token_budget_sample_docs(sf_dir: str):
+    """Deterministic budget-cut corpus sampling ("keep hash-priority
+    order until ~40% of total chars"): h* = exact weighted threshold
+    over knuth(doc_id) keys with n_chars weights
+    (selection.exact_weighted_threshold — histogram narrowing with
+    exact-int64 weight folds, nothing row-sized on the driver); keep =
+    knuth(id) <= h*. GENUINE oracle: SQL's cumulative-sum window with
+    the default RANGE frame (sums all tied peers, matching the bucket
+    fold) and budget = ceil(2·total/5) derived IN SQL — no pasted
+    constants. OUTSIDE the full 50-slot window — locally oracle-PASSed
+    at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.selection import exact_weighted_threshold
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def key(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        h = ((did * np.uint64(2654435761)) % np.uint64(2 ** 32)) \
+            .astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "h": pa.array(h, type=pa.int64()),
+                         "n_chars": t["n_chars"]})
+
+    keyed = ds.map_batches(key, batch_format="pyarrow").materialize()
+    total = int(keyed.aggregate(Sum("n_chars"))["sum(n_chars)"])
+    budget = -(-2 * total // 5)  # ceil(0.4 * total), exact ints
+    hstar = exact_weighted_threshold(keyed, "h", "n_chars", budget)
+
+    def label(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"],
+                         "kept": pc.less_equal(t["h"], hstar)})
+
+    return keyed.map_batches(label, batch_format="pyarrow")
+
+
+TOKEN_BUDGET_SQL = """
+WITH h AS (SELECT doc_id, n_chars,
+                  (doc_id * 2654435761) % 4294967296 AS hh
+           FROM documents),
+tot AS (SELECT (2 * SUM(n_chars) + 4) // 5 AS budget FROM h),
+cum AS (SELECT hh, SUM(n_chars) OVER (ORDER BY hh) AS c FROM h),
+cut AS (SELECT MIN(hh) AS hstar FROM cum
+        WHERE c >= (SELECT budget FROM tot))
+SELECT doc_id, hh <= (SELECT hstar FROM cut) AS kept FROM h
+"""
+
+QUERIES["token_budget_sample_docs"] = token_budget_sample_docs
+ORACLE["token_budget_sample_docs"] = TOKEN_BUDGET_SQL
+
+
+def length_buckets_docs(sf_dir: str):
+    """Equal-frequency length bucketing for length-grouped batching:
+    bucket docs by n_chars against EXACT global quartile cuts
+    (selection.exact_global_quantiles, value-threshold semantics — ties
+    at a cut all land in the earlier bucket, deterministic both sides).
+    GENUINE oracle: the integer-rank cut selection (rn·4 ≥ j·n idiom)
+    and the same CASE. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.selection import exact_global_quantiles
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    cuts = exact_global_quantiles(ds, "n_chars", qs=(0.25, 0.5, 0.75))
+    c1, c2, c3 = cuts[0.25], cuts[0.5], cuts[0.75]
+
+    def label(t: pa.Table) -> pa.Table:
+        v = t["n_chars"]
+        b = pc.if_else(
+            pc.less_equal(v, c1), pa.scalar("q1"),
+            pc.if_else(pc.less_equal(v, c2), pa.scalar("q2"),
+                       pc.if_else(pc.less_equal(v, c3),
+                                  pa.scalar("q3"), pa.scalar("q4"))))
+        return pa.table({"doc_id": t["doc_id"], "n_chars": v,
+                         "bucket": b})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+LENGTH_BUCKETS_SQL = """
+WITH o AS (SELECT n_chars,
+                  row_number() OVER (ORDER BY n_chars) AS rn,
+                  count(*) OVER () AS n
+           FROM documents),
+c1 AS (SELECT n_chars AS c FROM o
+       WHERE rn * 4 >= 1 * n AND (rn - 1) * 4 < 1 * n),
+c2 AS (SELECT n_chars AS c FROM o
+       WHERE rn * 4 >= 2 * n AND (rn - 1) * 4 < 2 * n),
+c3 AS (SELECT n_chars AS c FROM o
+       WHERE rn * 4 >= 3 * n AND (rn - 1) * 4 < 3 * n)
+SELECT doc_id, n_chars,
+       CASE WHEN n_chars <= (SELECT c FROM c1) THEN 'q1'
+            WHEN n_chars <= (SELECT c FROM c2) THEN 'q2'
+            WHEN n_chars <= (SELECT c FROM c3) THEN 'q3'
+            ELSE 'q4' END AS bucket
+FROM documents
+"""
+
+QUERIES["length_buckets_docs"] = length_buckets_docs
+ORACLE["length_buckets_docs"] = LENGTH_BUCKETS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

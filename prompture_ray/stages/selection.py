@@ -32,9 +32,10 @@ import pyarrow.compute as pc
 
 
 def _fold_histogram(vals, lo: int, hi: int, shift: int,
-                    n_buckets: int) -> np.ndarray:
+                    n_buckets: int, weighted: bool = False) -> np.ndarray:
     """One scan: per-block bincounts of ``(v - lo) >> shift`` for rows
-    in [lo, hi], folded on the driver while streaming."""
+    in [lo, hi] (weight-summed when ``weighted``, from column ``w``),
+    folded on the driver while streaming."""
 
     def per_batch(t: pa.Table) -> pa.Table:
         v = t["v"]
@@ -42,7 +43,16 @@ def _fold_histogram(vals, lo: int, hi: int, shift: int,
         arr = v.filter(keep).to_numpy(zero_copy_only=False)
         if len(arr):
             b = (arr - lo) >> shift
-            h = np.bincount(b, minlength=n_buckets).astype(np.int64)
+            if weighted:
+                # np.bincount(weights=...) sums in float64 — EXACT
+                # int64 accumulation instead (the >2^53 lesson)
+                w = t["w"].filter(keep).to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                h = np.zeros(n_buckets, dtype=np.int64)
+                np.add.at(h, b, w)
+            else:
+                h = np.bincount(b, minlength=n_buckets) \
+                    .astype(np.int64)
         else:
             h = np.zeros(n_buckets, dtype=np.int64)
         return pa.table({"h": pa.array([h.tobytes()],
@@ -71,6 +81,51 @@ def exact_kth_smallest(vals, k: int, lo: int, hi: int, n: int,
         shift = max(0, bits - log_nb)
         n_buckets = -(-width // (1 << shift))
         hist = _fold_histogram(vals, lo, hi, shift, n_buckets)
+        cum = np.cumsum(hist)
+        b = int(np.searchsorted(cum, target, side="left"))
+        below = int(cum[b - 1]) if b else 0
+        if shift == 0:
+            return lo + b
+        target -= below
+        lo, hi = lo + (b << shift), min(hi, lo + ((b + 1) << shift) - 1)
+
+
+def exact_weighted_threshold(ds, key_col: str, weight_col: str,
+                             budget: int, n_hist: int = 8192) -> int:
+    """Smallest key value ``h*`` such that the total ``weight_col`` of
+    all rows with ``key_col <= h*`` reaches ``budget`` — the
+    deterministic budget cut of a corpus ("keep hash-priority order
+    until ~N tokens"): keep = ``key <= h*``. Exactly SQL's
+    ``min(key) WHERE sum(weight) OVER (ORDER BY key) >= budget`` (the
+    default RANGE frame sums ALL peers of a tied key, matching the
+    bucket fold here). Same histogram-narrowing scan as
+    ``exact_kth_smallest`` with exact-int64 weight accumulation;
+    weights must be non-negative. Returns the max key when the total
+    weight never reaches ``budget`` (everything kept)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": t[key_col].combine_chunks().cast(pa.int64()),
+            "w": t[weight_col].combine_chunks().cast(pa.int64())})
+
+    vals = ds.map_batches(proj, batch_format="pyarrow").materialize()
+    agg = vals.aggregate(Min("v"), Max("v"), Sum("w"))
+    lo, hi = int(agg["min(v)"]), int(agg["max(v)"])
+    if int(agg["sum(w)"]) < budget:
+        return hi
+    log_nb = max(1, int(n_hist).bit_length() - 1)
+    target = budget
+    while True:
+        width = hi - lo + 1
+        bits = int(width - 1).bit_length() if width > 1 else 0
+        shift = max(0, bits - log_nb)
+        n_buckets = -(-width // (1 << shift))
+        hist = _fold_histogram(vals, lo, hi, shift, n_buckets,
+                               weighted=True)
         cum = np.cumsum(hist)
         b = int(np.searchsorted(cum, target, side="left"))
         below = int(cum[b - 1]) if b else 0

@@ -52,3 +52,20 @@ def test_negative_wide_range(ray_session):
     for k, want in enumerate(sorted(arr), start=1):
         assert exact_kth_smallest(vals, k, min(arr), max(arr),
                                   len(arr), n_hist=16) == want
+
+
+def test_weighted_threshold_hand_checked(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.selection import exact_weighted_threshold
+    ds = rd.from_arrow(pa.table({
+        "k": pa.array([1, 2, 2, 3, 10], type=pa.int64()),
+        "w": pa.array([5, 1, 1, 4, 7], type=pa.int64())})) \
+        .repartition(2)
+    # cum by key (ties fold together): 1->5, 2->7, 3->11, 10->18
+    cases = {1: 1, 5: 1, 6: 2, 7: 2, 8: 3, 11: 3, 12: 10, 18: 10,
+             19: 10}  # 19 > total -> everything kept (max key)
+    for budget, want in cases.items():
+        assert exact_weighted_threshold(ds, "k", "w", budget,
+                                        n_hist=4) == want
+    with pytest.raises(ValueError):
+        exact_weighted_threshold(ds, "k", "w", 0)
