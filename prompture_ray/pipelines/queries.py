@@ -6958,6 +6958,52 @@ QUERIES["length_buckets_docs"] = length_buckets_docs
 ORACLE["length_buckets_docs"] = LENGTH_BUCKETS_SQL
 
 
+def forward_fill_events(sf_dir: str):
+    """Forward fill / LOCF per user (analytic.forward_fill — the
+    sensor-gap repair primitive): value nulled for event_id%3==0, then
+    carried forward in (ts, event_id) order per user; leading nulls
+    stay null. GENUINE oracle: DuckDB last_value(IGNORE NULLS) window.
+    ONE hash(key) row shuffle; one vectorized pandas pass per
+    partition. OUTSIDE the full 50-slot window — locally oracle-PASSed
+    at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.analytic import forward_fill
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "value"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        eid = t["event_id"]
+        us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        k = pc.subtract(eid, pc.multiply(pc.divide(eid, 3), 3))
+        v = pc.if_else(pc.equal(k, 0),
+                       pa.scalar(None, type=pa.float64()),
+                       t["value"])
+        return pa.table({"event_id": eid, "user_id": t["user_id"],
+                         "us": us, "v": v})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    out = forward_fill(planted, "user_id", "us", "event_id", ["v"])
+    return out.map_batches(
+        lambda t: pa.table({"event_id": t["event_id"],
+                            "filled": t["v"]}),
+        batch_format="pyarrow")
+
+
+FORWARD_FILL_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS us,
+         CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+  FROM events)
+SELECT event_id,
+       last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+FROM p
+"""
+
+QUERIES["forward_fill_events"] = forward_fill_events
+ORACLE["forward_fill_events"] = FORWARD_FILL_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -429,3 +429,44 @@ def global_row_number(ds, order_col: str, out_col: str = "rownum",
         return b.drop(columns=["__k", "__ts", "__one", "running_sum"])
 
     return run.map_batches(finish, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# forward fill (LOCF) per key — SQL's last_value(x IGNORE NULLS) OVER
+# (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED PRECEDING)
+# ---------------------------------------------------------------------------
+def forward_fill(ds, key_col: str, ts_col: str, tie_col: str,
+                 value_cols: list, n_parts: int = 64):
+    """Last-observation-carried-forward per key: every null in
+    ``value_cols`` takes the most recent non-null value of the same key
+    in (``ts_col``, ``tie_col``) order; leading nulls stay null — the
+    sensor/stream gap-repair primitive.
+
+    Scale shape: ONE hash64(key) % n_parts row shuffle (every key lands
+    wholly in one partition — the userpath pattern), then one vectorized
+    sort + ``groupby.ffill`` pandas pass per partition; never a frame
+    per key, no driver state. Auto-size ``n_parts`` ≈ rows / 5M for
+    huge inputs. Int64 value columns travel as nullable Int64 inside
+    the partition pass (``types_mapper``), so hash-magnitude payloads
+    are NOT widened to float64 (the round-4 arrow-union lesson)."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    _int64 = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int64Dtype()}
+
+    def fill(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas(types_mapper=_int64.get)
+        df = df.sort_values([key_col, ts_col, tie_col],
+                            kind="mergesort")
+        df[value_cols] = df.groupby(key_col, sort=False)[value_cols] \
+            .ffill()
+        return df.drop(columns=["__pb"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(fill, batch_format="pyarrow")

@@ -69,3 +69,29 @@ def test_weighted_threshold_hand_checked(ray_session):
                                         n_hist=4) == want
     with pytest.raises(ValueError):
         exact_weighted_threshold(ds, "k", "w", 0)
+
+
+def test_forward_fill(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.analytic import forward_fill
+    t = pa.table({
+        "k": pa.array([1, 1, 1, 1, 2, 2], type=pa.int64()),
+        "ts": pa.array([10, 20, 30, 40, 10, 20], type=pa.int64()),
+        "tie": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        # leading null stays; later nulls carry forward PER KEY
+        "v": pa.array([None, 7, None, None, None, 9],
+                      type=pa.int64()),
+        "big": pa.array([2**62 + 1, None, None, 5, None, None],
+                        type=pa.int64())})
+    df = forward_fill(rd.from_arrow(t).repartition(3), "k", "ts",
+                      "tie", ["v", "big"]).to_pandas() \
+        .sort_values(["k", "ts"], ignore_index=True)
+    import pandas as pd
+
+    def vals(col):
+        return [None if pd.isna(x) else int(x) for x in df[col]]
+
+    assert vals("v") == [None, 7, 7, 7, None, 9]
+    # hash-magnitude int64 survives exactly (no float64 widening)
+    assert vals("big") == [2**62 + 1, 2**62 + 1, 2**62 + 1, 5,
+                           None, None]
