@@ -109,6 +109,43 @@ def main() -> int:
     timed("degree_table", lambda: degree_table(
         ds.map_batches(edges, batch_format="pyarrow")).count())
 
+    # 6. exact global quantiles — a handful of narrow histogram scans
+    from prompture_ray.stages.selection import (exact_global_quantiles,
+                                                exact_weighted_threshold)
+    timed("exact_global_quantiles", lambda: exact_global_quantiles(
+        ds.select_columns(["n_chars"]), "n_chars",
+        qs=(0.25, 0.5, 0.75)))
+
+    # 7. weighted budget threshold (token-budget sampling cut)
+    def keyed():
+        def key(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False) \
+                .astype(np.uint64)
+            h = ((d * np.uint64(2654435761)) % np.uint64(2 ** 32)) \
+                .astype(np.int64)
+            return pa.table({"h": pa.array(h, type=pa.int64()),
+                             "n_chars": t["n_chars"]})
+        return ds.map_batches(key, batch_format="pyarrow")
+
+    timed("weighted_threshold", lambda: exact_weighted_threshold(
+        keyed(), "h", "n_chars", budget=10 ** 9))
+
+    # 8. forward fill — one full row shuffle + per-partition ffill
+    from prompture_ray.stages.analytic import forward_fill
+
+    def gaps(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        v = t["n_chars"].to_numpy(zero_copy_only=False).astype(float)
+        v[d % 3 == 0] = np.nan
+        return pa.table({"host": t["host"],
+                         "ts": pa.array(d, type=pa.int64()),
+                         "tie": t["doc_id"],
+                         "v": pa.array(v, type=pa.float64())})
+
+    timed("forward_fill", lambda: forward_fill(
+        ds.map_batches(gaps, batch_format="pyarrow"),
+        "host", "ts", "tie", ["v"]).count())
+
     print(json.dumps(res))
     ray.shutdown()
     return 0
