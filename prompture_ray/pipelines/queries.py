@@ -7004,6 +7004,221 @@ QUERIES["forward_fill_events"] = forward_fill_events
 ORACLE["forward_fill_events"] = FORWARD_FILL_SQL
 
 
+def lag_gaps_events(sf_dir: str):
+    """Per-user inter-arrival gap + previous event type
+    (analytic.lag_shift — SQL's lag() OVER (PARTITION BY user ORDER BY
+    ts)): the "previous row per key" primitive behind sessionization,
+    recrawl detection and delta encoding. GENUINE oracle: DuckDB lag()
+    windows; the gap is exact int64 µs arithmetic, strings shift as-is.
+    ONE hash(key) row shuffle; one vectorized sort+shift pass per
+    partition. OUTSIDE the full 50-slot window — locally oracle-PASSed
+    at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.analytic import lag_shift
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    out = lag_shift(ds.map_batches(prep, batch_format="pyarrow"),
+                    "user_id", "ts_us", "event_id",
+                    ["ts_us", "event_type"], shifts=(1,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "gap_us": pc.subtract(t["ts_us"], t["ts_us_lag1"]),
+            "prev_type": t["event_type_lag1"]})
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+LAG_GAPS_SQL = """
+SELECT event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+       lag(event_type) OVER w AS prev_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+QUERIES["lag_gaps_events"] = lag_gaps_events
+ORACLE["lag_gaps_events"] = LAG_GAPS_SQL
+
+
+def burst_suppress_events(sf_dir: str):
+    """Recrawl/burst suppression (analytic.suppress_bursts): drop an
+    event when the SAME (user, event_type) fired less than 24 h
+    earlier; first occurrence always kept. The gap test is vs the
+    previous OCCURRENCE (SQL lag), exact int64 µs. The composite key
+    travels as ``user_id * 8 + type_code`` (codes from the fixed
+    5-value domain) — same partitions as SQL's PARTITION BY user_id,
+    event_type. GENUINE oracle. OUTSIDE the full 50-slot window —
+    locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.analytic import suppress_bursts
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+    domain = ["click", "error", "purchase", "signup", "view"]
+
+    def prep(t: pa.Table) -> pa.Table:
+        code = pc.index_in(t["event_type"],
+                           value_set=pa.array(domain)).cast(pa.int64())
+        key = pc.add(pc.multiply(t["user_id"], 8), code)
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "k": key})
+
+    out = suppress_bursts(ds.map_batches(prep, batch_format="pyarrow"),
+                          "k", "ts_us", "event_id",
+                          min_gap=86_400_000_000)
+    return out.map_batches(
+        lambda t: t.drop_columns(["k"]), batch_format="pyarrow")
+
+
+BURST_SUPPRESS_SQL = """
+WITH l AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+             PARTITION BY user_id, event_type
+             ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type, ts_us
+FROM l WHERE gap IS NULL OR gap >= 86400000000
+"""
+
+QUERIES["burst_suppress_events"] = burst_suppress_events
+ORACLE["burst_suppress_events"] = BURST_SUPPRESS_SQL
+
+
+def event_transitions(sf_dir: str):
+    """Session transition matrix (Markov pair counts): per-user
+    (previous event_type -> event_type) counts over the whole corpus —
+    lag_shift composed with one grouped Count of the (prev, cur) pairs.
+    GENUINE oracle: DuckDB lag() + GROUP BY. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.analytic import lag_shift
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    lagged = lag_shift(ds.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", "ts_us", "event_id",
+                       ["event_type"], shifts=(1,))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["event_type_lag1"]))
+        return pa.table({"prev_type": t["event_type_lag1"],
+                         "event_type": t["event_type"]})
+
+    return lagged.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["prev_type", "event_type"]) \
+        .aggregate(Count(alias_name="cnt"))
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH l AS (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM l WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+"""
+
+QUERIES["event_transitions"] = event_transitions
+ORACLE["event_transitions"] = EVENT_TRANSITIONS_SQL
+
+
+def grouped_outliers_events(sf_dir: str):
+    """Robust per-group outlier flags (groupstats.grouped_outliers —
+    median/MAD, the skew-proof z-score replacement). Planted heavy-tail
+    value v = 2^(event_id % 20) keyed by event_type; the flag is the
+    exact int64 comparison 2*|2v - m2| > 3*mad4 (no floats anywhere),
+    so DuckDB's interpolating median (doubled, cast back — exact in a
+    double for these ints) reproduces m2/mad4/flag bit-identically.
+    GENUINE-arithmetic oracle. OUTSIDE the full 50-slot window —
+    locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.groupstats import grouped_outliers
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False)
+        v = (np.int64(1) << (e % 20)).astype(np.int64)
+        return pa.table({"event_id": t["event_id"],
+                         "event_type": t["event_type"],
+                         "v": pa.array(v, type=pa.int64())})
+
+    return grouped_outliers(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "event_type", "v", k=3)
+
+
+GROUPED_OUTLIERS_SQL = """
+WITH t AS (
+  SELECT event_id, event_type,
+         CAST(power(2, event_id % 20) AS BIGINT) AS v
+  FROM events),
+ m AS (SELECT event_type, CAST(2 * median(v) AS BIGINT) AS m2
+       FROM t GROUP BY event_type),
+ d AS (SELECT t.*, m.m2, ABS(2 * v - m.m2) AS dd
+       FROM t JOIN m USING (event_type)),
+ md AS (SELECT event_type, CAST(2 * median(dd) AS BIGINT) AS mad4
+        FROM d GROUP BY event_type)
+SELECT d.event_id, d.event_type, d.v, d.m2, md.mad4,
+       2 * d.dd > 3 * md.mad4 AS is_outlier
+FROM d JOIN md USING (event_type)
+"""
+
+QUERIES["grouped_outliers_events"] = grouped_outliers_events
+ORACLE["grouped_outliers_events"] = GROUPED_OUTLIERS_SQL
+
+
+def pivot_types_events(sf_dir: str):
+    """Long -> wide pivot (rollup.pivot_counts): event-type count
+    crosstab per user bucket (user_id % 20) — SQL's conditional
+    aggregation. Per-batch partials, one narrow grouped Sum; rows never
+    shuffle. GENUINE oracle, exact int64. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.rollup import pivot_counts
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"], 20), 20))
+        return pa.table({"bucket": b.cast(pa.int64()),
+                         "event_type": t["event_type"]})
+
+    return pivot_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "bucket", "event_type",
+        ["click", "error", "purchase", "signup", "view"])
+
+
+PIVOT_TYPES_SQL = """
+SELECT user_id % 20 AS bucket,
+  CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+  CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+  CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+  CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY bucket
+"""
+
+QUERIES["pivot_types_events"] = pivot_types_events
+ORACLE["pivot_types_events"] = PIVOT_TYPES_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -436,7 +436,8 @@ def global_row_number(ds, order_col: str, out_col: str = "rownum",
 # (PARTITION BY key ORDER BY ts, tie ROWS UNBOUNDED PRECEDING)
 # ---------------------------------------------------------------------------
 def forward_fill(ds, key_col: str, ts_col: str, tie_col: str,
-                 value_cols: list, n_parts: int = 64):
+                 value_cols: list, n_parts: int = 64,
+                 shuffle_blocks: int = 128):
     """Last-observation-carried-forward per key: every null in
     ``value_cols`` takes the most recent non-null value of the same key
     in (``ts_col``, ``tie_col``) order; leading nulls stay null — the
@@ -448,7 +449,12 @@ def forward_fill(ds, key_col: str, ts_col: str, tie_col: str,
     per key, no driver state. Auto-size ``n_parts`` ≈ rows / 5M for
     huge inputs. Int64 value columns travel as nullable Int64 inside
     the partition pass (``types_mapper``), so hash-magnitude payloads
-    are NOT widened to float64 (the round-4 arrow-union lesson)."""
+    are NOT widened to float64 (the round-4 arrow-union lesson).
+
+    ``shuffle_blocks`` bounds the groupby's input block count (round-5
+    pathology: Ray groupby sort cost follows INPUT blocks — the
+    1500-fragment 9M-row rehearsal measured 128x superlinear before
+    this coalesce). Size ≈ rows / 500k beyond ~64M rows."""
     from prompture_ray.functions.sketches import hash64
 
     def tag(t: pa.Table) -> pa.Table:
@@ -469,4 +475,113 @@ def forward_fill(ds, key_col: str, ts_col: str, tie_col: str,
         return df.drop(columns=["__pb"])
 
     return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# generic per-key lag/lead shift — SQL's lag(col, k) / lead(col, k)
+# OVER (PARTITION BY key ORDER BY ts, tie)
+# ---------------------------------------------------------------------------
+def lag_shift(ds, key_col: str, ts_col: str, tie_col: str,
+              cols: list, shifts=(1,), n_parts: int = 64,
+              shuffle_blocks: int = 128):
+    """Append ``{col}_lag{k}`` (k > 0) / ``{col}_lead{k}`` (k < 0)
+    columns: the value of ``col`` k rows earlier/later within the same
+    ``key_col`` group in (``ts_col``, ``tie_col``) order; out-of-range
+    rows get null. Works for any column dtype (strings shift as
+    objects, ints travel as nullable Int64 so hash-magnitude payloads
+    never widen to float64 — the round-4 arrow-union lesson).
+
+    Reference analogue: the ordered accumulate walk of
+    prompture/extraction/streaming.py:215-306 carries the PREVIOUS
+    snapshot per stream to diff against — this is that "previous row
+    per key" primitive as a distributed analytic column.
+
+    Scale shape: ONE hash64(key) % n_parts row shuffle (every key lands
+    wholly in one partition — the userpath/forward_fill pattern), then
+    one vectorized sort + ``groupby.shift`` pandas pass per partition;
+    never a frame per key, no driver state. Auto-size ``n_parts`` ≈
+    rows / 5M for huge inputs; a single pathologically hot key bounds a
+    partition (use analytic_window_bucketed when one key's history
+    exceeds a worker). ``shuffle_blocks`` bounds the groupby's input
+    block count (round-5 pathology: groupby sort cost follows INPUT
+    blocks); size ≈ rows / 500k beyond ~64M rows."""
+    from prompture_ray.functions.sketches import hash64
+
+    shifts = tuple(int(k) for k in shifts)
+    if any(k == 0 for k in shifts):
+        raise ValueError("lag_shift: shift 0 is the identity")
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    _int64 = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int64Dtype()}
+
+    def shift_part(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas(types_mapper=_int64.get)
+        df = df.sort_values([key_col, ts_col, tie_col],
+                            kind="mergesort")
+        grp = df.groupby(key_col, sort=False)[list(cols)]
+        for k in shifts:
+            name = f"_lag{k}" if k > 0 else f"_lead{-k}"
+            shifted = grp.shift(k)
+            for c in cols:
+                df[f"{c}{name}"] = shifted[c]
+        return df.drop(columns=["__pb"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(shift_part, batch_format="pyarrow")
+
+
+def suppress_bursts(ds, key_col: str, ts_col: str, tie_col: str,
+                    min_gap: int, n_parts: int = 64,
+                    shuffle_blocks: int = 128):
+    """Burst / recrawl suppression: drop a row when the PREVIOUS row of
+    the same ``key_col`` (in ``ts_col``, ``tie_col`` order) is less than
+    ``min_gap`` ``ts_col`` units earlier — the crawl-staple "skip a
+    refetch of the same content hash within T" filter. The first row of
+    every key is always kept; the gap test is against the previous
+    OCCURRENCE (SQL's ``lag``), not the previous KEPT row, so the
+    semantics stay one-pass/vectorizable and SQL-expressible. ``ts_col``
+    must be integer (epoch-µs); comparisons are exact int64.
+
+    Scale shape: the lag_shift single-shuffle pattern (one
+    hash64(key) % n_parts row shuffle, one vectorized sort +
+    groupby.shift + int compare per partition); ``shuffle_blocks``
+    bounds the groupby's input block count (round-5 pathology)."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    _int64 = {pa.int64(): pd.Int64Dtype(), pa.int32(): pd.Int64Dtype()}
+
+    def keep_part(g: pa.Table) -> pd.DataFrame:
+        df = g.to_pandas(types_mapper=_int64.get)
+        df = df.sort_values([key_col, ts_col, tie_col],
+                            kind="mergesort")
+        prev = df.groupby(key_col, sort=False)[ts_col].shift(1)
+        ts = df[ts_col].to_numpy(dtype=np.int64)
+        pv = prev.to_numpy(dtype="float64", na_value=np.nan)
+        first = np.isnan(pv)
+        gap_ok = np.zeros(len(df), dtype=bool)
+        if (~first).any():
+            # ts values are epoch-µs (< 2^53): the float64 detour of
+            # the nullable shift is exact here
+            gap_ok[~first] = (ts[~first] - pv[~first].astype(np.int64)
+                              ) >= int(min_gap)
+        return df[first | gap_ok].drop(columns=["__pb"])
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(keep_part, batch_format="pyarrow")

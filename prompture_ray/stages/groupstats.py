@@ -160,3 +160,83 @@ def exact_nunique(ds, key_col: str, val_col: str,
 
     return pairs.map_batches(per_key_partial, batch_format="pyarrow") \
         .groupby(key_col).aggregate(Sum("__p", alias_name=out_col))
+
+
+def grouped_outliers(ds, key_col: str, val_col: str, k: int = 3,
+                     n_parts: int = 64, shuffle_blocks: int = 128):
+    """Robust per-group outlier flags via median / MAD (the
+    data-quality staple that survives the skew a mean/stddev z-score
+    drowns in). Appends to every row:
+
+    - ``m2``   = 2 x median of ``val_col`` within the key group (int64
+      exact: the sum of the two middle order statistics),
+    - ``mad4`` = 4 x MAD = 2 x median of ``|2*val - m2|`` (int64 exact),
+    - ``is_outlier`` = ``|val - med| > k * MAD``, evaluated as the exact
+      int64 comparison ``2 * |2*val - m2| > k * mad4`` — no floats
+      anywhere, so a SQL oracle using DuckDB's interpolating ``median``
+      (exact in a double for int inputs < 2^52, doubled and cast back)
+      is bit-identical by construction.
+
+    ``val_col`` must be integer. Scale shape: ONE hash64(key) % n_parts
+    row shuffle (every key whole in one partition — the
+    userpath/forward_fill pattern), then one vectorized numpy pass per
+    partition: lexsort by (key, val) -> middle order statistics per
+    group via offset arithmetic, second lexsort by (key, d) for the MAD
+    — never a frame per key, no driver state. ``shuffle_blocks`` bounds
+    the groupby's input block count (round-5 pathology: groupby sort
+    cost follows INPUT blocks); size ≈ rows / 500k beyond ~64M rows."""
+    from prompture_ray.functions.sketches import hash64
+
+    k = int(k)
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def flag_part(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["__pb"])
+        n = g.num_rows
+        if n == 0:
+            return g.append_column("m2", pa.array([], type=pa.int64())) \
+                .append_column("mad4", pa.array([], type=pa.int64())) \
+                .append_column("is_outlier", pa.array([], type=pa.bool_()))
+        kv = g[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            # dense integer codes for lexsort on string keys
+            _, codes = np.unique(np.asarray(kv, dtype=object),
+                                 return_inverse=True)
+        else:
+            codes = kv
+        v = g[val_col].to_numpy(zero_copy_only=False).astype(np.int64)
+
+        order = np.lexsort((v, codes))
+        cs, vs = codes[order], v[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        gidx = np.repeat(np.arange(len(starts)), sizes)
+        m2_g = vs[starts + (sizes - 1) // 2] + vs[starts + sizes // 2]
+
+        d = np.abs(2 * vs - m2_g[gidx])          # = 2*|v - med|, int64
+        order2 = np.lexsort((d, gidx))
+        d_s = d[order2]
+        mad4_g = d_s[starts + (sizes - 1) // 2] + d_s[starts + sizes // 2]
+
+        flag_sorted = 2 * d > k * mad4_g[gidx]
+
+        # scatter back to the incoming row order
+        m2 = np.empty(n, dtype=np.int64)
+        mad4 = np.empty(n, dtype=np.int64)
+        flag = np.empty(n, dtype=bool)
+        m2[order] = m2_g[gidx]
+        mad4[order] = mad4_g[gidx]
+        flag[order] = flag_sorted
+        return g.append_column("m2", pa.array(m2, type=pa.int64())) \
+            .append_column("mad4", pa.array(mad4, type=pa.int64())) \
+            .append_column("is_outlier", pa.array(flag, type=pa.bool_()))
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(flag_part, batch_format="pyarrow")

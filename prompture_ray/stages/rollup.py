@@ -63,6 +63,49 @@ def rollup_aggregate(ds, dims: list[str], value_col: str):
     return _grouping_set_aggregate(ds, dims, value_col, sets)
 
 
+def pivot_counts(ds, key_col: str, cat_col: str, categories: list[str],
+                 value_col: str | None = None, prefix: str = "n_",
+                 shuffle_blocks: int = 128):
+    """Long -> wide pivot: one output row per ``key_col`` value with an
+    int64 column ``{prefix}{cat}`` per category holding the row count
+    (or the exact int64 sum of ``value_col``) of that (key, category)
+    cell — SQL's conditional-aggregation ``SUM(CASE WHEN cat = 'x' THEN
+    ...)`` crosstab. Rows whose category is not in ``categories`` are
+    ignored (pass the full domain to keep everything). The category
+    domain must be caller-supplied and bounded: a pivot's output width
+    IS its category count, so an unbounded domain is a schema explosion
+    no engine should guess at.
+
+    Scale shape: per-batch pandas partial (one row per key per batch,
+    all category columns at once — the rollup sentinel discipline),
+    coalesced to ``shuffle_blocks`` blocks (round-5 pathology: groupby
+    sort cost follows input block count), then ONE grouped Sum over the
+    narrow partial rows. Rows never shuffle; the wide table never
+    materializes on the driver."""
+    from ray.data.aggregate import Sum
+
+    categories = list(categories)
+    names = [f"{prefix}{c}" for c in categories]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vals = b[value_col] if value_col is not None \
+            else pd.Series(1, index=b.index)
+        wide = pd.DataFrame({key_col: b[key_col]})
+        cat = b[cat_col]
+        for c, name in zip(categories, names):
+            m = (cat == c)
+            wide[name] = vals.where(m, 0)
+        g = wide.groupby(key_col, sort=False)[names].sum().reset_index()
+        for name in names:
+            g[name] = g[name].astype("int64")
+        return g
+
+    return ds.map_batches(partial, batch_format="pandas") \
+        .repartition(shuffle_blocks) \
+        .groupby(key_col).aggregate(
+            *[Sum(name, alias_name=name) for name in names])
+
+
 def cube_aggregate(ds, dims: list[str], value_col: str):
     """SQL ``GROUP BY CUBE`` — every subset of ``dims`` (2^d grouping
     sets). Same one-pass sentinel-keyed partial discipline as ROLLUP:

@@ -168,3 +168,81 @@ def test_global_row_number(ray_session):
         .sort_values("doc_id", ignore_index=True)
     assert list(out["rownum"]) == list(range(len(ids)))
     assert (out["p"] == out["doc_id"] % 17).all()
+
+
+# -------------------------------------------------- lag_shift / bursts
+
+
+def test_lag_shift_hand_values(ray_session):
+    from prompture_ray.stages.analytic import lag_shift
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 2, 2],
+        "ts": np.array([10, 20, 30, 5, 8], dtype="int64"),
+        "tie": np.array([0, 1, 2, 3, 4], dtype="int64"),
+        "v": np.array([2**62 + 3, 7, -2, 10, 3], dtype="int64"),
+        "s": ["a", "b", "c", "d", "e"],
+    })
+    out = lag_shift(_mk(df), "k", "ts", "tie", ["v", "s"],
+                    shifts=(1, -1)) \
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    lag = [None if pd.isna(x) else int(x) for x in out["v_lag1"]]
+    # hash-magnitude int64 survives the shift exactly (nullable Int64)
+    assert lag == [None, 2**62 + 3, 7, None, 10]
+    lead = [None if pd.isna(x) else int(x) for x in out["v_lead1"]]
+    assert lead == [7, -2, None, 3, None]
+    assert [x if isinstance(x, str) else None
+            for x in out["s_lag1"]] == [None, "a", "b", None, "d"]
+    with pytest.raises(ValueError):
+        lag_shift(_mk(df), "k", "ts", "tie", ["v"], shifts=(0,))
+
+
+def test_lag_shift_ties_break_on_tie_col(ray_session):
+    from prompture_ray.stages.analytic import lag_shift
+    df = pd.DataFrame({
+        "k": ["x", "x", "x"],
+        "ts": np.array([10, 10, 10], dtype="int64"),
+        "tie": np.array([2, 0, 1], dtype="int64"),
+        "v": np.array([20, 0, 10], dtype="int64")})
+    out = lag_shift(_mk(df), "k", "ts", "tie", ["v"]).to_pandas() \
+        .sort_values("tie").reset_index(drop=True)
+    lag = [None if pd.isna(x) else int(x) for x in out["v_lag1"]]
+    assert lag == [None, 0, 10]  # order 0,10,20 by tie
+
+
+def test_suppress_bursts_hand_values(ray_session):
+    from prompture_ray.stages.analytic import suppress_bursts
+    # key 1: 0 keep, 5 drop (gap 5 < 10), 15 keep (gap 10 >= 10),
+    #        18 drop (gap 3 vs PREVIOUS OCCURRENCE 15)
+    # key 2: single row always kept
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 2],
+        "ts": np.array([0, 5, 15, 18, 100], dtype="int64"),
+        "tie": np.array([0, 1, 2, 3, 4], dtype="int64")})
+    out = suppress_bursts(_mk(df), "k", "ts", "tie", min_gap=10) \
+        .to_pandas()
+    assert sorted(out["tie"].tolist()) == [0, 2, 4]
+
+
+def test_pivot_counts_matches_pandas(ray_session):
+    from prompture_ray.stages.rollup import pivot_counts
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "key": rng.integers(0, 9, 500),
+        "cat": np.array(["a", "b", "c"], dtype=object)[
+            rng.integers(0, 3, 500)],
+        "w": rng.integers(-3, 9, 500).astype("int64")})
+    out = pivot_counts(_mk(df), "key", "cat", ["a", "b"]) \
+        .to_pandas().set_index("key").sort_index()
+    want = df.pivot_table(index="key", columns="cat", values="w",
+                          aggfunc="count", fill_value=0)
+    assert (out["n_a"] == want["a"]).all()
+    assert (out["n_b"] == want["b"]).all()
+    assert "n_c" not in out.columns  # domain is caller-bounded
+    # sum mode, exact int64 with negatives
+    out2 = pivot_counts(_mk(df), "key", "cat", ["a", "b", "c"],
+                        value_col="w").to_pandas() \
+        .set_index("key").sort_index()
+    want2 = df.pivot_table(index="key", columns="cat", values="w",
+                           aggfunc="sum", fill_value=0)
+    for c in ["a", "b", "c"]:
+        assert (out2[f"n_{c}"] == want2[c]).all()

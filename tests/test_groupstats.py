@@ -179,3 +179,51 @@ def test_extract_anchor_texts(ray_session):
     assert list(df["href"]) == ["/rel", "https://x/", "https://y/"]
     # anchor text = run up to first '<', stripped; nested markup -> ""
     assert list(df["anchor"]) == ["r", "Click  here", ""]
+
+
+# -------------------------------------------------- grouped outliers
+
+
+def test_grouped_outliers_hand_values(ray_session):
+    from prompture_ray.stages.groupstats import grouped_outliers
+    import pandas as pd
+    # key "a": v = [1, 2, 3, 4, 100] -> med 3, m2=6; d=|2v-6| =
+    # [4,2,0,2,194] -> median 2, mad4=4 -> MAD=1; |v-med|>3*MAD flags
+    # only 100 (2*194 > 3*4). key "b": constant -> mad4=0, no flags.
+    ds = _ds({"k": pa.array(["a"] * 5 + ["b"] * 3),
+              "v": pa.array([1, 2, 3, 4, 100, 7, 7, 7],
+                            type=pa.int64())}, parallelism=3)
+    df = grouped_outliers(ds, "k", "v", k=3).to_pandas() \
+        .sort_values(["k", "v"], ignore_index=True)
+    a = df[df["k"] == "a"]
+    assert a["m2"].tolist() == [6] * 5
+    assert a["mad4"].tolist() == [4] * 5
+    assert a["is_outlier"].tolist() == [False] * 4 + [True]
+    b = df[df["k"] == "b"]
+    assert b["m2"].tolist() == [14] * 3
+    assert b["mad4"].tolist() == [0] * 3
+    assert b["is_outlier"].tolist() == [False] * 3
+
+
+def test_grouped_outliers_even_count_median(ray_session):
+    from prompture_ray.stages.groupstats import grouped_outliers
+    import numpy as np
+    import pandas as pd
+    # even group: median interpolates -> m2 = v[mid1] + v[mid2] exactly
+    rng = np.random.default_rng(3)
+    k = rng.integers(0, 7, 400)
+    v = rng.integers(-1000, 1000, 400).astype("int64")
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=5)
+    df = grouped_outliers(ds, "k", "v", k=2).to_pandas()
+    pdf = pd.DataFrame({"k": k, "v": v})
+    med = pdf.groupby("k")["v"].median()
+    for key, grp in pdf.groupby("k"):
+        m2_want = int(round(2 * med[key]))
+        got = df[df["k"] == key]
+        assert (got["m2"] == m2_want).all()
+        d = (2 * grp["v"] - m2_want).abs()
+        mad4_want = int(round(2 * d.median()))
+        assert (got["mad4"] == mad4_want).all()
+        dd = (2 * got["v"] - m2_want).abs()
+        assert (got["is_outlier"] == (2 * dd > 2 * mad4_want)).all()

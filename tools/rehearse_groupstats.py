@@ -146,6 +146,44 @@ def main() -> int:
         ds.map_batches(gaps, batch_format="pyarrow"),
         "host", "ts", "tie", ["v"]).count())
 
+    # 9. per-key lag shift — same single-shuffle shape
+    from prompture_ray.stages.analytic import lag_shift, suppress_bursts
+
+    def ordered(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"host": t["host"],
+                         "ts": pa.array(d, type=pa.int64()),
+                         "tie": t["doc_id"],
+                         "n_chars": t["n_chars"]})
+
+    timed("lag_shift", lambda: lag_shift(
+        ds.map_batches(ordered, batch_format="pyarrow"),
+        "host", "ts", "tie", ["n_chars"], shifts=(1,)).count())
+
+    # 10. burst suppression — lag + filter in the same pass
+    timed("suppress_bursts", lambda: suppress_bursts(
+        ds.map_batches(ordered, batch_format="pyarrow"),
+        "host", "ts", "tie", min_gap=2 ** 40).count())
+
+    # 11. grouped median/MAD outliers — two lexsorts per partition
+    from prompture_ray.stages.groupstats import grouped_outliers
+    timed("grouped_outliers", lambda: grouped_outliers(
+        ds.select_columns(["host", "doc_id", "n_chars"]),
+        "host", "n_chars", k=3).count())
+
+    # 12. long->wide pivot — per-batch partials, one narrow grouped Sum
+    from prompture_ray.stages.rollup import pivot_counts
+
+    def lang_col(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.array(["en", "de", "fr", "es", "it"], dtype=object)
+        return pa.table({"host": t["host"],
+                         "lang": pa.array(langs[d % 5])})
+
+    timed("pivot_counts", lambda: pivot_counts(
+        ds.map_batches(lang_col, batch_format="pyarrow"),
+        "host", "lang", ["en", "de", "fr", "es", "it"]).count())
+
     print(json.dumps(res))
     ray.shutdown()
     return 0
