@@ -7219,6 +7219,154 @@ QUERIES["pivot_types_events"] = pivot_types_events
 ORACLE["pivot_types_events"] = PIVOT_TYPES_SQL
 
 
+def hourly_unique_users(sf_dir: str):
+    """Exact distinct users per hour — the sliding-dashboard staple,
+    composed from hour truncation + groupstats.exact_nunique (the
+    exact complement of the HLL sketch path). GENUINE oracle:
+    count(DISTINCT). OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.groupstats import exact_nunique
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        hour = pc.divide(us, 3_600_000_000)
+        return pa.table({"hour": hour.cast(pa.int64()),
+                         "user_id": t["user_id"]})
+
+    return exact_nunique(ds.map_batches(prep, batch_format="pyarrow"),
+                         "hour", "user_id")
+
+
+HOURLY_UNIQUE_SQL = """
+SELECT epoch_us(ts) // 3600000000 AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM events GROUP BY hour
+"""
+
+QUERIES["hourly_unique_users"] = hourly_unique_users
+ORACLE["hourly_unique_users"] = HOURLY_UNIQUE_SQL
+
+
+def contingency_events(sf_dir: str):
+    """Contingency table with independence baseline: observed count per
+    (event_type, user bucket) cell plus the expected-under-independence
+    count — the drift/association audit primitive (chi-square's exact
+    integer core; the test statistic is one more vectorized map for a
+    consumer). ``expected = row_total * col_total / N`` is ONE
+    correctly-rounded double division of exact int64 products
+    (< 2^53 at any plausible cell scale), so engine and SQL doubles are
+    bit-identical — the tf/df precedent; no rounding anywhere. Grouped
+    counts are per-batch partials + one narrow Sum; the tiny marginal
+    tables broadcast inside one driver-side numpy pass (cells =
+    |types| x |buckets|, bounded by construction). GENUINE oracle.
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    import pandas as pd
+    from ray.data.aggregate import Count
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        b = pc.subtract(t["user_id"],
+                        pc.multiply(pc.divide(t["user_id"], 10), 10))
+        return pa.table({"event_type": t["event_type"],
+                         "bucket": b.cast(pa.int64())})
+
+    cells = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["event_type", "bucket"]) \
+        .aggregate(Count(alias_name="observed")).to_pandas()
+    # marginals: tiny (types x buckets cells) — a driver fold is the
+    # cell table's own bound, not a scale risk
+    rt = cells.groupby("event_type")["observed"].sum()
+    ct = cells.groupby("bucket")["observed"].sum()
+    n = int(cells["observed"].sum())
+    obs = cells["observed"].to_numpy().astype(np.int64)
+    num = (rt[cells["event_type"]].to_numpy().astype(np.int64)
+           * ct[cells["bucket"]].to_numpy().astype(np.int64))
+    out = pd.DataFrame({
+        "event_type": cells["event_type"],
+        "bucket": cells["bucket"].astype("int64"),
+        "observed": obs,
+        "expected": num / n})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+CONTINGENCY_SQL = """
+WITH c AS (
+  SELECT event_type, user_id % 10 AS bucket,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2),
+ r AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rt
+       FROM c GROUP BY event_type),
+ k AS (SELECT bucket, CAST(SUM(observed) AS BIGINT) AS ct
+       FROM c GROUP BY bucket),
+ n AS (SELECT CAST(SUM(observed) AS BIGINT) AS n FROM c)
+SELECT c.event_type, c.bucket, c.observed,
+       (r.rt * k.ct) / n.n AS expected
+FROM c JOIN r USING (event_type) JOIN k USING (bucket) CROSS JOIN n
+"""
+
+QUERIES["contingency_events"] = contingency_events
+ORACLE["contingency_events"] = CONTINGENCY_SQL
+
+
+def cdc_dedup_docs(sf_dir: str):
+    """Content-defined chunking dedup (stages/cdc_chunks.py — the
+    FastCDC/LBFS storage-dedup staple: equal byte runs chunk identically
+    regardless of position). PLANTED oracle: texts are 1024-byte sha-hex
+    expansions of doc_id (doc-unique by construction — distinct docs
+    can never share a chunk), with an exact twin planted at
+    doc_id + 10^7 for doc_id % 7 == 0. Every chunk of a twin duplicates
+    the original's, so dup_bytes = 1024 for twins and 0 otherwise —
+    closed-form in SQL with no knowledge of the boundary positions
+    (n_chunks is deliberately NOT emitted: boundary counts have no SQL
+    form; the boundary/invariance contract is pinned in
+    tests/test_cdc_chunks.py). OUTSIDE the full 50-slot window —
+    locally oracle-PASSed at sf0.01 AND sf0.1."""
+    import hashlib
+    from prompture_ray.stages.cdc_chunks import cdc_chunk_stats
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def synth_text(i: int) -> str:
+        out = []
+        for blk in range(16):
+            out.append(hashlib.sha256(
+                f"cdc:{i}:{blk}".encode()).hexdigest())
+        return "".join(out)  # 16 x 64 hex chars = 1024 bytes
+
+    def plant(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        twin_ids = ids[ids % 7 == 0] + 10_000_000
+        all_ids = np.concatenate([ids, twin_ids])
+        # twin text = the ORIGINAL id's text (exact copy)
+        src = np.concatenate([ids, twin_ids - 10_000_000])
+        texts = [synth_text(int(i)) for i in src]
+        return pa.table({
+            "doc_id": pa.array(all_ids, type=pa.int64()),
+            "text": pa.array(texts, type=pa.string())})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow")
+    stats = cdc_chunk_stats(planted, "text", "doc_id")
+    return stats.map_batches(
+        lambda t: t.drop_columns(["n_chunks"]), batch_format="pyarrow")
+
+
+CDC_DEDUP_SQL = """
+WITH twins AS (
+  SELECT doc_id + 10000000 AS doc_id, 1024 AS dup
+  FROM documents WHERE doc_id % 7 = 0),
+ alld AS (
+  SELECT doc_id, 0 AS dup FROM documents
+  UNION ALL SELECT doc_id, dup FROM twins)
+SELECT doc_id, CAST(1024 AS BIGINT) AS n_bytes,
+       CAST(dup AS BIGINT) AS dup_bytes
+FROM alld
+"""
+
+QUERIES["cdc_dedup_docs"] = cdc_dedup_docs
+ORACLE["cdc_dedup_docs"] = CDC_DEDUP_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

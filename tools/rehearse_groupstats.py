@@ -184,6 +184,12 @@ def main() -> int:
         ds.map_batches(lang_col, batch_format="pyarrow"),
         "host", "lang", ["en", "de", "fr", "es", "it"]).count())
 
+    # 13. CDC chunk dedup — one vectorized byte pass + narrow chunk rows
+    from prompture_ray.stages.cdc_chunks import cdc_chunk_stats
+    timed("cdc_chunk_stats", lambda: cdc_chunk_stats(
+        ds.select_columns(["doc_id", "text"]),
+        "text", "doc_id").count())
+
     print(json.dumps(res))
     ray.shutdown()
     return 0
