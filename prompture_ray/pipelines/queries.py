@@ -7367,6 +7367,107 @@ QUERIES["cdc_dedup_docs"] = cdc_dedup_docs
 ORACLE["cdc_dedup_docs"] = CDC_DEDUP_SQL
 
 
+def interval_coverage_events(sf_dir: str):
+    """Per-user interval-union coverage (stages/intervals.py — the
+    gaps-and-islands staple: session stitching / uptime accounting).
+    Intervals planted arithmetically: [ts, ts + (event_id % 1000 + 1)
+    seconds) — GENUINE-arithmetic oracle, SQL replays the same spans
+    through window-function islands (new island iff s > running max e
+    over preceding rows; touching merges — both sides implement the
+    identical strict-inequality rule, all int64 µs). Engine: one
+    hash64(user) % P shuffle of 32-byte rows, one vectorized
+    gaps-and-islands pass per partition. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.intervals import interval_coverage
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        dur = pc.add(pc.subtract(
+            t["event_id"],
+            pc.multiply(pc.divide(t["event_id"], 1000), 1000)), 1)
+        return pa.table({
+            "user_id": t["user_id"],
+            "s": us,
+            "e": pc.add(us, pc.multiply(dur.cast(pa.int64()),
+                                        1_000_000))})
+
+    return interval_coverage(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "user_id", "s", "e")
+
+
+INTERVAL_COVERAGE_SQL = """
+WITH iv AS (
+  SELECT user_id, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 1000 + 1) * 1000000 AS e
+  FROM events),
+ m AS (
+  SELECT user_id, s, e,
+         CASE WHEN s > COALESCE(max(e) OVER (
+                PARTITION BY user_id ORDER BY s, e
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              -9223372036854775807)
+              THEN 1 ELSE 0 END AS ni
+  FROM iv),
+ isl AS (
+  SELECT user_id, s, e,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY s, e
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+  FROM m),
+ agg AS (
+  SELECT user_id, iid, min(s) AS ms, max(e) AS me, count(*) AS cnt
+  FROM isl GROUP BY 1, 2)
+SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_intervals,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(me - ms) AS BIGINT) AS covered
+FROM agg GROUP BY user_id
+"""
+
+QUERIES["interval_coverage_events"] = interval_coverage_events
+ORACLE["interval_coverage_events"] = INTERVAL_COVERAGE_SQL
+
+
+def gap_fill_hours_events(sf_dir: str):
+    """Dense zero-filled hourly series per event type
+    (stages/intervals.py gap_fill — the dashboard/forecasting grid
+    primitive: every hour between a key's first and last activity gets
+    a row). GENUINE oracle: unnest(generate_series(min, max)) LEFT JOIN
+    observed counts. Engine: per-batch Arrow partials → ONE narrow
+    hash-partition shuffle → one vectorized repeat/arange expansion per
+    partition. OUTSIDE the full 50-slot window — locally oracle-PASSed
+    at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.intervals import gap_fill
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.divide(t["ts"].cast(pa.int64()), 3_600_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "hour": hour.cast(pa.int64())})
+
+    return gap_fill(ds.map_batches(prep, batch_format="pyarrow"),
+                    "event_type", "hour")
+
+
+GAP_FILL_HOURS_SQL = """
+WITH c AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+         count(*) AS n
+  FROM events GROUP BY 1, 2),
+ b AS (SELECT event_type, min(hour) AS mn, max(hour) AS mx
+       FROM c GROUP BY event_type),
+ g AS (SELECT event_type, unnest(generate_series(mn, mx)) AS hour
+       FROM b)
+SELECT g.event_type, g.hour,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM g LEFT JOIN c ON g.event_type = c.event_type
+                  AND g.hour = c.hour
+"""
+
+QUERIES["gap_fill_hours_events"] = gap_fill_hours_events
+ORACLE["gap_fill_hours_events"] = GAP_FILL_HOURS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
