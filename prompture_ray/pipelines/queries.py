@@ -7468,6 +7468,51 @@ QUERIES["gap_fill_hours_events"] = gap_fill_hours_events
 ORACLE["gap_fill_hours_events"] = GAP_FILL_HOURS_SQL
 
 
+def copurchase_pairs_events(sf_dir: str):
+    """Frequent item-pair mining (stages/itemsets.py frequent_pairs —
+    the market-basket / co-occurrence support counter, the k=2 core of
+    Apriori): baskets = user_id, items = event_type tagged with
+    day-of-week (35-item vocabulary -> up to 595 pairs), support >= 2.
+    GENUINE oracle: self-join on DISTINCT (basket, item) with binary
+    item_a < item_b collation (ASCII items: pandas code-point order ==
+    DuckDB byte order). Engine: per-batch distinct shrink, ONE
+    hash64(basket) % P shuffle, vectorized arithmetic pair expansion
+    per partition, grouped Sum fold bounded by the pair vocabulary.
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    from prompture_ray.stages.itemsets import frequent_pairs
+    ds = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        d7 = pc.subtract(day, pc.multiply(pc.divide(day, 7), 7))
+        item = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(d7, pa.string()), ":")
+        return pa.table({"user_id": t["user_id"], "item": item})
+
+    return frequent_pairs(ds.map_batches(prep, batch_format="pyarrow"),
+                          "user_id", "item", min_support=2)
+
+
+COPURCHASE_PAIRS_SQL = """
+WITH di AS (
+  SELECT DISTINCT user_id,
+         event_type || ':' ||
+         CAST((epoch_us(ts) // 86400000000) % 7 AS VARCHAR) AS item
+  FROM events)
+SELECT a.item AS item_a, b.item AS item_b,
+       CAST(count(*) AS BIGINT) AS support
+FROM di a JOIN di b
+  ON a.user_id = b.user_id AND a.item < b.item
+GROUP BY 1, 2
+HAVING count(*) >= 2
+"""
+
+QUERIES["copurchase_pairs_events"] = copurchase_pairs_events
+ORACLE["copurchase_pairs_events"] = COPURCHASE_PAIRS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
