@@ -7513,6 +7513,55 @@ QUERIES["copurchase_pairs_events"] = copurchase_pairs_events
 ORACLE["copurchase_pairs_events"] = COPURCHASE_PAIRS_SQL
 
 
+def triangles_docs(sf_dir: str):
+    """Exact triangle count (stages/graph.py triangle_count — the
+    degree-oriented wedge-counting MapReduce classic): edges planted
+    arithmetically on a 499-node space (x -> x+1, x -> x+2,
+    x -> 7x+3 mod 499 per doc; consecutive-pair families guarantee
+    ~499 triangles, the affine family adds interaction closures), so
+    the SQL replays the identical edge list and counts closures with
+    the canonical three-way self-join. Duplicate edges across docs
+    collapse in the distinct stage (tested). GENUINE-arithmetic
+    oracle, pure integers. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.graph import triangle_count
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        x = pc.subtract(did, pc.multiply(pc.divide(did, 499), 499))
+        x = x.combine_chunks().cast(pa.int64())
+        xn = x.to_numpy(zero_copy_only=False)
+        src = np.concatenate([xn, xn, xn])
+        dst = np.concatenate([(xn + 1) % 499, (xn + 2) % 499,
+                              (7 * xn + 3) % 499])
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = ds.map_batches(plant, batch_format="pyarrow")
+    return triangle_count(edges, "src", "dst")
+
+
+TRIANGLES_SQL = """
+WITH raw AS (
+  SELECT doc_id % 499 AS a, (doc_id % 499 + 1) % 499 AS b
+  FROM documents
+  UNION ALL
+  SELECT doc_id % 499, (doc_id % 499 + 2) % 499 FROM documents
+  UNION ALL
+  SELECT doc_id % 499, (7 * (doc_id % 499) + 3) % 499 FROM documents),
+e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+      FROM raw WHERE a <> b)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+"""
+
+QUERIES["triangles_docs"] = triangles_docs
+ORACLE["triangles_docs"] = TRIANGLES_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -242,3 +242,148 @@ def extract_anchor_texts(ds, html_col: str, id_col: str):
             "anchor": pa.array(anchors, type=pa.string())})
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def triangle_count(edges, a_col: str = "src", b_col: str = "dst", *,
+                   broadcast_max: int = 20_000_000,
+                   shuffle_blocks: int = 128):
+    """Exact triangle count of the UNDIRECTED graph induced by the
+    edge Dataset (self-loops dropped, duplicate/reverse edges collapse
+    to one) — the clustering-coefficient / community-density staple.
+    Returns a one-row Dataset ``(n_triangles,)``.
+
+    Algorithm (the MapReduce node-iterator: Suri & Vassilvitskii,
+    WWW'11): orient each canonical edge from lower to higher
+    (degree, id) rank — out-degrees then bound by O(sqrt(2m)) — emit a
+    wedge per out-neighbor pair of each source (itemsets'
+    pairs_within_sorted_groups, pure arithmetic), and count wedges
+    whose endpoints are themselves an edge. Each triangle is counted
+    exactly once: only its lowest-rank corner emits the closing wedge.
+
+    Scale shape: THREE row shuffles, none carrying payload wider than
+    16-24 bytes/row — (1) hash(u,v) partition for exact edge distinct,
+    (2) hash(source) partition for wedge expansion, (3) hash(u,v)
+    partition of wedges ∪ edges for the closing count (per-partition
+    one vectorized pandas groupby; partials fold with one tiny Sum).
+    Degree ranks ride a size-aware broadcast (sorted node/degree
+    arrays via ray.put) while the node table fits ``broadcast_max``;
+    beyond it the orientation falls back to id rank — still EXACT
+    (any total order is), only skew-slower; ``broadcast_max=0`` pins
+    the fallback for equality tests."""
+    import ray
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.itemsets import pairs_within_sorted_groups
+    from prompture_ray.functions.sketches import hash64
+
+    nparts = shuffle_blocks
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks().cast(pa.int64())
+        b = t[b_col].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        u = pc.min_element_wise(a, b)
+        v = pc.max_element_wise(a, b)
+        g = pa.table({"u": u, "v": v}).group_by(["u", "v"]).aggregate([])
+        un = g["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vn = g["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((hash64(un) * np.uint64(0x9E3779B97F4A7C15) + hash64(vn))
+              % np.uint64(nparts)).astype(np.int64)
+        return g.append_column("__pb", pa.array(pb))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    ded = edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(distinct, batch_format="pandas") \
+        .materialize()
+
+    # total degree per node (partial counts -> one narrow grouped Sum)
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["u"].combine_chunks(),
+                                 t["v"].combine_chunks()])
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "d": g["count_all"].cast(pa.int64())})
+
+    degs = ded.map_batches(deg_partial, batch_format="pyarrow") \
+        .repartition(min(shuffle_blocks, max(1, ded.num_blocks()))) \
+        .groupby("node").aggregate(Sum("d", alias_name="d")) \
+        .materialize()
+
+    rank_ref = None
+    if degs.count() <= broadcast_max:
+        dt = degs.to_pandas()
+        nodes = dt["node"].to_numpy().astype(np.int64)
+        dg = dt["d"].to_numpy().astype(np.int64)
+        order = np.argsort(nodes, kind="mergesort")
+        rank_ref = ray.put((nodes[order], dg[order]))
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = t["u"].to_numpy(zero_copy_only=False)
+        v = t["v"].to_numpy(zero_copy_only=False)
+        if rank_ref is not None:
+            nodes, dg = ray.get(rank_ref)
+            du = dg[np.searchsorted(nodes, u)]
+            dv = dg[np.searchsorted(nodes, v)]
+            swap = (dv < du) | ((dv == du) & (v < u))
+        else:
+            swap = np.zeros(len(u), dtype=bool)  # canonical u<v already
+        s = np.where(swap, v, u)
+        d = np.where(swap, u, v)
+        pb = (hash64(s.astype(np.uint64)) % np.uint64(nparts)) \
+            .astype(np.int64)
+        return pa.table({"s": pa.array(s, type=pa.int64()),
+                         "t": pa.array(d, type=pa.int64()),
+                         "__pb": pa.array(pb)})
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["s", "t"], kind="mergesort")
+        s = g["s"].to_numpy()
+        t = g["t"].to_numpy()
+        first = np.flatnonzero(np.r_[True, s[1:] != s[:-1]]) \
+            if len(s) else np.empty(0, dtype=np.int64)
+        sizes = np.diff(np.r_[first, len(s)]) if len(s) \
+            else np.empty(0, dtype=np.int64)
+        li, ri = pairs_within_sorted_groups(sizes)
+        x, y = t[li], t[ri]
+        return pd.DataFrame({"u": np.minimum(x, y),
+                             "v": np.maximum(x, y),
+                             "w": np.ones(len(x), dtype=np.int64),
+                             "e": np.zeros(len(x), dtype=np.int64)})
+
+    wedge_ds = ded.map_batches(orient, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(wedges, batch_format="pandas")
+
+    def edge_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table({"u": t["u"], "v": t["v"],
+                         "w": pa.array(np.zeros(n, dtype=np.int64)),
+                         "e": pa.array(np.ones(n, dtype=np.int64))})
+
+    def pb_tag(t: pa.Table) -> pa.Table:
+        un = t["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vn = t["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((hash64(un) * np.uint64(0x9E3779B97F4A7C15) + hash64(vn))
+              % np.uint64(nparts)).astype(np.int64)
+        return t.append_column("__pb2", pa.array(pb))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["u", "v"], sort=False).agg(
+            w=("w", "sum"), e=("e", "max"))
+        n = int((agg["w"] * agg["e"]).sum())
+        return pd.DataFrame({"n": np.array([n], dtype=np.int64)})
+
+    unioned = wedge_ds.union(ded.map_batches(edge_tag,
+                                             batch_format="pyarrow")) \
+        .map_batches(pb_tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks)
+    partials = unioned.groupby("__pb2").map_groups(
+        close, batch_format="pandas")
+    total = partials.aggregate(Sum("n", alias_name="n_triangles"))
+    val = int(total["n_triangles"]) \
+        if total and total.get("n_triangles") is not None else 0
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "n_triangles": pa.array([val], type=pa.int64())}))

@@ -66,3 +66,62 @@ def test_extract_links(ray_session):
     got = sorted(zip(df["src"], df["href"]))
     assert got == [(0, "b.html"), (0, "http://a.com/x"),
                    (2, "http://a.com/x"), (2, "style.css")]
+
+
+# ---------------------------------------------------------- triangles
+
+
+def _tri_brute(pairs):
+    es = set()
+    for a, b in pairs:
+        if a != b:
+            es.add((min(a, b), max(a, b)))
+    adj = {}
+    for u, v in es:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    # each triangle a<b<c counted once: edge (a,b) with common nbr c>b
+    return sum(1 for u, v in es for w in (adj[u] & adj[v]) if w > v)
+
+
+def test_triangle_count_hand(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.graph import triangle_count
+
+    def run(pairs, **kw):
+        t = pa.table({"src": pa.array([p[0] for p in pairs],
+                                      type=pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs],
+                                      type=pa.int64())})
+        ds = rd.from_arrow(t).repartition(3)
+        return int(triangle_count(ds, **kw).to_pandas()
+                   ["n_triangles"][0])
+
+    # one triangle, with a duplicate + reversed edge + self loop
+    assert run([(1, 2), (2, 3), (3, 1), (2, 1), (1, 2), (5, 5)]) == 1
+    # square: no triangle
+    assert run([(1, 2), (2, 3), (3, 4), (4, 1)]) == 0
+    # K4: 4 triangles
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert run(k4) == 4
+    # chain: 0
+    assert run([(i, i + 1) for i in range(10)]) == 0
+
+
+def test_triangle_count_brute_and_fallback(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from prompture_ray.stages.graph import triangle_count
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 30, size=400)
+    b = rng.integers(0, 30, size=400)
+    expect = _tri_brute(list(zip(a.tolist(), b.tolist())))
+    t = pa.table({"src": pa.array(a, type=pa.int64()),
+                  "dst": pa.array(b, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    got = int(triangle_count(ds).to_pandas()["n_triangles"][0])
+    assert got == expect
+    # id-orientation fallback (broadcast_max=0) must agree exactly
+    got0 = int(triangle_count(ds, broadcast_max=0).to_pandas()
+               ["n_triangles"][0])
+    assert got0 == expect
