@@ -7562,6 +7562,165 @@ QUERIES["triangles_docs"] = triangles_docs
 ORACLE["triangles_docs"] = TRIANGLES_SQL
 
 
+def source_diversity_docs(sf_dir: str):
+    """Simpson/Gini source diversity per language
+    (groupstats.group_diversity — 1 − Herfindahl concentration over
+    the per-lang source counts). GENUINE oracle on the REAL columns:
+    n/s2/n_distinct are exact int64 folds; gini = (n²−s2)/n² is ONE
+    correctly-rounded double division of exact ints on both sides (the
+    tf/df precedent — no rounding anywhere). OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.groupstats import group_diversity
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return group_diversity(ds, "lang", "source")
+
+
+SOURCE_DIVERSITY_SQL = """
+WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1, 2),
+a AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * c) AS BIGINT) AS s2,
+             CAST(count(*) AS BIGINT) AS n_distinct
+      FROM c GROUP BY lang)
+SELECT lang, n, n_distinct, s2,
+       CAST(n * n - s2 AS DOUBLE) / CAST(n * n AS DOUBLE) AS gini
+FROM a
+"""
+
+QUERIES["source_diversity_docs"] = source_diversity_docs
+ORACLE["source_diversity_docs"] = SOURCE_DIVERSITY_SQL
+
+
+def _auc_planted(sf_dir: str):
+    """Shared planted scored-corpus: score = event_id % 97 (quantized
+    — the operator contract), label correlated with the score so the
+    AUC is non-trivial; both derived arithmetically so SQL replays
+    them exactly."""
+    ds = _read(sf_dir, "events", ["event_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        s = pc.subtract(e, pc.multiply(pc.divide(e, 97), 97))
+        m = pc.subtract(e, pc.multiply(pc.divide(e, 193), 193))
+        y = pc.if_else(pc.less(pc.multiply(m, 3), pc.multiply(s, 5)),
+                       pa.scalar(1, type=pa.int64()),
+                       pa.scalar(0, type=pa.int64()))
+        return pa.table({"s": s.cast(pa.int64()), "y": y})
+
+    return ds.map_batches(plant, batch_format="pyarrow")
+
+
+def auc_events(sf_dir: str):
+    """Exact distributed ROC AUC (stages/evalmetrics.py auc_exact —
+    Mann-Whitney U in exact integer units over the per-score-value
+    count table; midrank ties). u2/n_pos/n_neg are exact int64; auc =
+    u2 / (2·n_pos·n_neg) is ONE correctly-rounded double division on
+    both sides — bit-identical, no rounding. GENUINE-arithmetic
+    oracle (SQL window cumulative fold over the same planted scores).
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    from prompture_ray.stages.evalmetrics import auc_exact
+    return auc_exact(_auc_planted(sf_dir), "s", "y")
+
+
+AUC_EVENTS_SQL = """
+WITH t AS (SELECT event_id % 97 AS s,
+                  CASE WHEN (event_id % 193) * 3 < (event_id % 97) * 5
+                       THEN 1 ELSE 0 END AS y
+           FROM events),
+c AS (SELECT s, CAST(SUM(y) AS BIGINT) AS np,
+             CAST(count(*) - SUM(y) AS BIGINT) AS nn
+      FROM t GROUP BY s),
+w AS (SELECT s, np, nn,
+             CAST(COALESCE(SUM(nn) OVER (ORDER BY s
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS cum
+      FROM c),
+a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(nn) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * cum + nn)) AS BIGINT) AS u2
+      FROM w)
+SELECT n_pos, n_neg, u2,
+       CAST(u2 AS DOUBLE) / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+FROM a
+"""
+
+QUERIES["auc_events"] = auc_events
+ORACLE["auc_events"] = AUC_EVENTS_SQL
+
+
+def confusion_events(sf_dir: str):
+    """Confusion matrix at a fixed threshold
+    (evalmetrics.confusion_at_threshold, rule score >= 48) over the
+    same planted scored corpus as auc_events — per-batch partial sums,
+    one tiny fold, rows never shuffle. GENUINE-arithmetic oracle,
+    exact int64. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.evalmetrics import confusion_at_threshold
+    return confusion_at_threshold(_auc_planted(sf_dir), "s", "y", 48)
+
+
+CONFUSION_EVENTS_SQL = """
+WITH t AS (SELECT event_id % 97 AS s,
+                  CASE WHEN (event_id % 193) * 3 < (event_id % 97) * 5
+                       THEN 1 ELSE 0 END AS y
+           FROM events)
+SELECT CAST(SUM(CASE WHEN s >= 48 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(SUM(CASE WHEN s >= 48 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(SUM(CASE WHEN s < 48 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(SUM(CASE WHEN s < 48 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+FROM t
+"""
+
+QUERIES["confusion_events"] = confusion_events
+ORACLE["confusion_events"] = CONFUSION_EVENTS_SQL
+
+
+def twa_events(sf_dir: str):
+    """Time-weighted average value per user
+    (analytic.time_weighted_avg — each value held until the user's
+    next event; zero-span keys dropped, mirroring HAVING max>min).
+    Planted integer value event_id % 100 so num = Σ v·dt and den =
+    span are exact int64 and twa is ONE correctly-rounded double
+    division on both sides. GENUINE oracle: DuckDB lead() window +
+    grouped sums. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.analytic import time_weighted_avg
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 100), 100))
+        return pa.table({"user_id": t["user_id"],
+                         "t_us": t["ts"].cast(pa.int64()),
+                         "event_id": e,
+                         "v": v.cast(pa.int64())})
+
+    return time_weighted_avg(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "user_id", "t_us", "event_id", "v")
+
+
+TWA_EVENTS_SQL = """
+WITH p AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+                  event_id % 100 AS v
+           FROM events),
+l AS (SELECT user_id, v,
+             lead(t) OVER (PARTITION BY user_id
+                           ORDER BY t, event_id) - t AS dt,
+             t
+      FROM p),
+a AS (SELECT user_id, CAST(SUM(v * dt) AS BIGINT) AS num,
+             CAST(MAX(t) - MIN(t) AS BIGINT) AS den
+      FROM l GROUP BY user_id)
+SELECT user_id, num, den, CAST(num AS DOUBLE) / den AS twa
+FROM a WHERE den > 0
+"""
+
+QUERIES["twa_events"] = twa_events
+ORACLE["twa_events"] = TWA_EVENTS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -585,3 +585,56 @@ def suppress_bursts(ds, key_col: str, ts_col: str, tie_col: str,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(keep_part, batch_format="pyarrow")
+
+
+def time_weighted_avg(ds, key_col: str, ts_col: str, tie_col: str,
+                      val_col: str, n_parts: int = 64,
+                      shuffle_blocks: int = 128):
+    """Time-weighted average per key — each value weighted by how long
+    it held (until the key's next event; the last event holds for zero
+    time): ``twa = Σ v_i·(t_{i+1}−t_i) / (t_last − t_first)`` — the
+    metering / sensor / price-feed aggregation primitive. Returns
+    ``(key, num, den, twa)``; keys whose span is zero (single event or
+    all-equal timestamps) are dropped, mirroring SQL ``HAVING
+    max(t) > min(t)``.
+
+    Exactness: with integer values and int64 µs timestamps, ``num``
+    and ``den`` are exact int64 (caller's bound: Σ v·dt < 2^63) and
+    ``twa`` is ONE correctly-rounded double division — a SQL replay
+    (lead() window + SUM) is bit-identical with no rounding.
+
+    Scale shape: the lag_shift pattern — ONE hash64(key) % n_parts row
+    shuffle, one vectorized sort + boundary-masked diff pass per
+    partition; never a frame per key, no driver state."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        t = g[ts_col].to_numpy().astype(np.int64)
+        v = g[val_col].to_numpy().astype(np.int64)
+        if not len(k):
+            return pd.DataFrame({key_col: k, "num": t, "den": t,
+                                 "twa": np.empty(0)})
+        same = np.r_[k[1:] == k[:-1], False]   # row has a successor
+        dt = np.where(same, np.r_[t[1:], np.int64(0)] - t, np.int64(0))
+        part = pd.DataFrame({key_col: k, "__vd": v * dt, "__t": t})
+        agg = part.groupby(key_col, sort=False).agg(
+            num=("__vd", "sum"), mn=("__t", "min"), mx=("__t", "max"))
+        agg = agg[agg["mx"] > agg["mn"]]
+        den = (agg["mx"] - agg["mn"]).to_numpy().astype(np.int64)
+        num = agg["num"].to_numpy().astype(np.int64)
+        return pd.DataFrame({key_col: agg.index.to_numpy(),
+                             "num": num, "den": den,
+                             "twa": num / den})
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from prompture_ray.functions.sketches import hash_arrow_column
 
@@ -240,3 +241,64 @@ def grouped_outliers(ds, key_col: str, val_col: str, k: int = 3,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(flag_part, batch_format="pyarrow")
+
+
+def group_diversity(ds, key_col: str, val_col: str,
+                    shuffle_blocks: int = 128):
+    """Simpson/Gini diversity per key: ``(key, n, n_distinct, s2,
+    gini)`` where ``s2 = Σ c_v²`` over the per-key value counts and
+    ``gini = (n² − s2) / n²`` — the probability two rows of the key
+    drawn with replacement disagree on ``val_col``; the
+    audience-diversity / source-concentration audit (1 − Herfindahl
+    index).
+
+    Exactness: n, s2 are exact int64; gini is ONE correctly-rounded
+    double division of exactly-representable ints (n² < 2^53 while a
+    key holds < ~94M rows — document at the call site beyond that), so
+    a SQL replay is bit-identical with no rounding. Scale shape: the
+    exact_nunique pattern — per-batch distinct-pair count partials,
+    ONE grouped Sum bounded by the (key, value) vocabulary, then
+    per-key partial folds of the squared counts (narrow rows only)."""
+    from ray.data.aggregate import Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = t.select([key_col, val_col]).group_by(
+            [key_col, val_col]).aggregate([([], "count_all")])
+        return pa.table({key_col: g[key_col], val_col: g[val_col],
+                         "__c": g["count_all"].cast(pa.int64())})
+
+    counts = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby([key_col, val_col]).aggregate(Sum("__c",
+                                               alias_name="__c"))
+
+    def key_partial(t: pa.Table) -> pa.Table:
+        c = t["__c"].combine_chunks()
+        g = pa.table({
+            key_col: t[key_col], "__n": c,
+            "__s2": pc.multiply(c, c),
+            "__d": pa.array(np.ones(len(t), dtype=np.int64)),
+        }).group_by(key_col).aggregate(
+            [("__n", "sum"), ("__s2", "sum"), ("__d", "sum")])
+        return pa.table({key_col: g[key_col],
+                         "n": g["__n_sum"].cast(pa.int64()),
+                         "s2": g["__s2_sum"].cast(pa.int64()),
+                         "n_distinct": g["__d_sum"].cast(pa.int64())})
+
+    folded = counts.map_batches(key_partial, batch_format="pyarrow") \
+        .groupby(key_col).aggregate(Sum("n", alias_name="n"),
+                                    Sum("s2", alias_name="s2"),
+                                    Sum("n_distinct",
+                                        alias_name="n_distinct"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = t["s2"].to_numpy(zero_copy_only=False).astype(np.int64)
+        n2 = n * n
+        gini = (n2 - s2) / n2
+        return pa.table({key_col: t[key_col], "n": t["n"],
+                         "n_distinct": t["n_distinct"],
+                         "s2": t["s2"],
+                         "gini": pa.array(gini, type=pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,146 @@
+"""Exact AUC / confusion matrix (stages/evalmetrics.py), Simpson
+diversity (groupstats.group_diversity), time-weighted average
+(analytic.time_weighted_avg): hand-checked values + brute force."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from prompture_ray.stages.evalmetrics import (auc_exact,
+                                              confusion_at_threshold)
+
+
+def _ds(tbl: dict, parallelism: int = 3):
+    import ray.data as rd
+    return rd.from_arrow(pa.table(tbl)).repartition(parallelism)
+
+
+def _brute_u2(s, y):
+    pos = [a for a, b in zip(s, y) if b == 1]
+    neg = [a for a, b in zip(s, y) if b == 0]
+    return sum(2 * (p > n) + (p == n) for p in pos for n in neg)
+
+
+def test_auc_hand_checked(ray_session):
+    ds = _ds({"s": pa.array([3, 2, 1, 2], type=pa.int64()),
+              "y": pa.array([1, 1, 0, 0], type=pa.int64())})
+    df = auc_exact(ds, "s", "y").to_pandas()
+    # pos {3,2} vs neg {1,2}: U2 = 2+2 + 2+1 = 7, auc = 7/8
+    assert df["u2"][0] == 7 and df["n_pos"][0] == 2
+    assert df["auc"][0] == 7 / 8
+
+
+def test_auc_brute_force(ray_session):
+    rng = np.random.default_rng(3)
+    s = rng.integers(0, 15, size=500)
+    y = rng.integers(0, 2, size=500)
+    ds = _ds({"s": pa.array(s, type=pa.int64()),
+              "y": pa.array(y, type=pa.int64())}, parallelism=5)
+    df = auc_exact(ds, "s", "y").to_pandas()
+    u2 = _brute_u2(s.tolist(), y.tolist())
+    assert df["u2"][0] == u2
+    npos, nneg = int(y.sum()), int((1 - y).sum())
+    assert df["auc"][0] == u2 / (2 * npos * nneg)
+
+
+def test_auc_distinct_guard(ray_session):
+    ds = _ds({"s": pa.array(range(100), type=pa.int64()),
+              "y": pa.array([i % 2 for i in range(100)],
+                            type=pa.int64())})
+    with pytest.raises(ValueError, match="distinct score values"):
+        auc_exact(ds, "s", "y", max_distinct=10)
+
+
+def test_confusion_hand_checked(ray_session):
+    ds = _ds({"s": pa.array([5, 3, 1, 4, 2], type=pa.int64()),
+              "y": pa.array([1, 0, 0, 1, 1], type=pa.int64())})
+    df = confusion_at_threshold(ds, "s", "y", 3).to_pandas()
+    # pred = s>=3 -> [1,1,0,1,0]; y = [1,0,0,1,1]
+    assert (df["tp"][0], df["fp"][0], df["tn"][0], df["fn"][0]) \
+        == (2, 1, 1, 1)
+
+
+# ------------------------------------------------- group_diversity
+
+
+def test_group_diversity_hand(ray_session):
+    from prompture_ray.stages.groupstats import group_diversity
+    ds = _ds({"k": ["a", "a", "a", "b", "b"],
+              "v": ["x", "x", "y", "z", "z"]})
+    df = group_diversity(ds, "k", "v").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert list(df["n"]) == [3, 2]
+    assert list(df["s2"]) == [5, 4]          # 2²+1², 2²
+    assert list(df["n_distinct"]) == [2, 1]
+    assert df["gini"][0] == (9 - 5) / 9 and df["gini"][1] == 0.0
+
+
+def test_group_diversity_brute(ray_session):
+    import pandas as pd
+    from prompture_ray.stages.groupstats import group_diversity
+    rng = np.random.default_rng(9)
+    k = rng.integers(0, 12, size=800)
+    v = rng.integers(0, 6, size=800)
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=6)
+    df = group_diversity(ds, "k", "v").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "v": v}).groupby("k")["v"] \
+        .agg(n="size", n_distinct="nunique",
+             s2=lambda x: int((x.value_counts() ** 2).sum()))
+    assert list(df["n"]) == list(ref["n"])
+    assert list(df["s2"]) == list(ref["s2"])
+    assert list(df["n_distinct"]) == list(ref["n_distinct"])
+    got = df["gini"].to_numpy()
+    want = (ref["n"].to_numpy() ** 2 - ref["s2"].to_numpy()) \
+        / ref["n"].to_numpy() ** 2
+    assert (got == want).all()
+
+
+# ------------------------------------------------- time_weighted_avg
+
+
+def test_twa_hand_checked(ray_session):
+    from prompture_ray.stages.analytic import time_weighted_avg
+    ds = _ds({"k": pa.array([1, 1, 1, 2, 3, 3], type=pa.int64()),
+              "t": pa.array([0, 5, 15, 7, 4, 4], type=pa.int64()),
+              "o": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+              "v": pa.array([10, 20, 99, 5, 1, 2], type=pa.int64())})
+    df = time_weighted_avg(ds, "k", "t", "o", "v").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    # key 1: 10*5 + 20*10 = 250 over span 15; key 2 single -> dropped;
+    # key 3 zero span -> dropped
+    assert list(df["k"]) == [1]
+    assert df["num"][0] == 250 and df["den"][0] == 15
+    assert df["twa"][0] == 250 / 15
+
+
+def test_twa_brute(ray_session):
+    import pandas as pd
+    from prompture_ray.stages.analytic import time_weighted_avg
+    rng = np.random.default_rng(21)
+    n = 600
+    k = rng.integers(0, 25, size=n)
+    t = rng.integers(0, 10_000, size=n)
+    v = rng.integers(-50, 50, size=n)
+    o = np.arange(n)
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "t": pa.array(t, type=pa.int64()),
+              "o": pa.array(o, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=5)
+    df = time_weighted_avg(ds, "k", "t", "o", "v").to_pandas() \
+        .sort_values("k", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "t": t, "v": v, "o": o}) \
+        .sort_values(["k", "t", "o"])
+    rows = {}
+    for kk, g in ref.groupby("k"):
+        tt = g["t"].to_numpy()
+        vv = g["v"].to_numpy()
+        den = int(tt[-1] - tt[0])
+        if den > 0:
+            num = int((vv[:-1] * np.diff(tt)).sum())
+            rows[kk] = (num, den)
+    assert list(df["k"]) == sorted(rows)
+    for _, r in df.iterrows():
+        num, den = rows[r["k"]]
+        assert r["num"] == num and r["den"] == den
+        assert r["twa"] == num / den
