@@ -7721,6 +7721,89 @@ QUERIES["twa_events"] = twa_events
 ORACLE["twa_events"] = TWA_EVENTS_SQL
 
 
+def vocab_jaccard_docs(sf_dir: str):
+    """Cross-language vocabulary Jaccard overlap (tfidf.vocab_jaccard
+    — ONE token-partitioned shuffle; per-token group sets expand
+    through the itemsets pair kernel; sizes and intersections fold in
+    the same pass). GENUINE oracle over the REAL text: SQL self-joins
+    distinct (lang, token); jaccard is one exact-int division on both
+    sides. OUTSIDE the full 50-slot window — locally oracle-PASSed at
+    sf0.01 AND sf0.1."""
+    from prompture_ray.stages.tfidf import vocab_jaccard
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return vocab_jaccard(ds, "lang", "text")
+
+
+VOCAB_JACCARD_SQL = """
+WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents WHERE length(text) > 0),
+dt AS (SELECT DISTINCT lang, tok FROM tk),
+s AS (SELECT lang, CAST(count(*) AS BIGINT) AS sz FROM dt
+      GROUP BY lang),
+i AS (SELECT a.lang AS group_a, b.lang AS group_b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM dt a JOIN dt b ON a.tok = b.tok AND a.lang < b.lang
+      GROUP BY 1, 2)
+SELECT group_a, group_b, inter, sa.sz AS size_a, sb.sz AS size_b,
+       CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+FROM i JOIN s sa ON sa.lang = i.group_a
+       JOIN s sb ON sb.lang = i.group_b
+"""
+
+QUERIES["vocab_jaccard_docs"] = vocab_jaccard_docs
+ORACLE["vocab_jaccard_docs"] = VOCAB_JACCARD_SQL
+
+
+def event_trigrams(sf_dir: str):
+    """Per-user event-type trigram mining (analytic.lag_shift with
+    shifts=(1,2) + one grouped Count — the order-3 extension of the
+    Markov transition matrix; the sequence-pattern staple for
+    funnel/journey analysis). GENUINE oracle: two DuckDB lag()
+    windows + GROUP BY. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.analytic import lag_shift
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"event_id": t["event_id"],
+                         "user_id": t["user_id"],
+                         "event_type": t["event_type"],
+                         "ts_us": t["ts"].cast(pa.int64())})
+
+    lagged = lag_shift(ds.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", "ts_us", "event_id",
+                       ["event_type"], shifts=(1, 2))
+
+    def trips(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.is_valid(t["event_type_lag1"]),
+                     pc.is_valid(t["event_type_lag2"]))
+        t = t.filter(ok)
+        return pa.table({"t1": t["event_type_lag2"],
+                         "t2": t["event_type_lag1"],
+                         "t3": t["event_type"]})
+
+    return lagged.map_batches(trips, batch_format="pyarrow") \
+        .groupby(["t1", "t2", "t3"]).aggregate(Count(alias_name="cnt"))
+
+
+EVENT_TRIGRAMS_SQL = """
+WITH l AS (
+  SELECT event_type AS t3,
+         lag(event_type) OVER w AS t2,
+         lag(event_type, 2) OVER w AS t1
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS cnt
+FROM l WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+GROUP BY t1, t2, t3
+"""
+
+QUERIES["event_trigrams"] = event_trigrams
+ORACLE["event_trigrams"] = EVENT_TRIGRAMS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -296,3 +296,101 @@ def vocab_coverage(ds, text_col: str = "text", id_col: str = "doc_id",
             no[keep] / nt[keep], type=pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def vocab_jaccard(ds, group_col: str, text_col: str = "text",
+                  n_parts: int = 64, shuffle_blocks: int = 128):
+    """Pairwise vocabulary Jaccard overlap between groups — "how much
+    do the corpora of two languages / domains share a lexicon", the
+    corpus-similarity audit behind domain-mixing decisions. Returns
+    ``(group_a, group_b, inter, size_a, size_b, jaccard)`` for every
+    group pair sharing at least one token (group_a < group_b, binary
+    collation).
+
+    Exactness: inter/size are exact int64 set cardinalities over
+    distinct (group, token-hash) pairs (8-byte token hashes shuffle,
+    never strings — the tfidf df-count precedent, |V|²/2^64 collision
+    odds accepted); jaccard = inter / (size_a + size_b − inter) is ONE
+    correctly-rounded double division of exact ints on both sides.
+
+    Scale shape: ONE hash64(token) % n_parts shuffle of 16-byte rows —
+    partitioning BY TOKEN makes the per-partition drop_duplicates a
+    GLOBAL distinct, and every token's group set lands whole, so one
+    vectorized run-boundary pass (itemsets' pair-expansion kernel)
+    emits intersection partials and per-group size partials together;
+    the fold is a grouped Sum bounded by groups², and only that tiny
+    pair table reaches the driver for the final division."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.itemsets import pairs_within_sorted_groups
+    from prompture_ray.functions import limit_arrow_threads
+
+    def pairs_partial(t: pa.Table) -> pa.Table:
+        limit_arrow_threads(1)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(col, "")))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        row_len = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gv = np.asarray(t[group_col].to_pylist(), dtype=object)
+        flat = lists.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        th = hash64(toks).astype(np.int64)
+        g = np.repeat(gv, row_len)[keep]
+        df = pd.DataFrame({"g": g, "th": th}).drop_duplicates()
+        pb = (df["th"].to_numpy().astype(np.uint64)
+              % np.uint64(n_parts)).astype(np.int64)
+        return pa.table({"g": pa.array(df["g"].to_numpy(),
+                                       type=pa.string()),
+                         "th": pa.array(df["th"].to_numpy(),
+                                        type=pa.int64()),
+                         "__pb": pa.array(pb)})
+
+    def per_token(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["g", "th"]) \
+            .sort_values(["th", "g"], kind="mergesort")
+        th = d["th"].to_numpy()
+        g = d["g"].to_numpy()
+        if len(th):
+            first = np.flatnonzero(np.r_[True, th[1:] != th[:-1]])
+            sizes = np.diff(np.r_[first, len(th)])
+        else:
+            sizes = np.empty(0, dtype=np.int64)
+        li, ri = pairs_within_sorted_groups(sizes)
+        inter = pd.DataFrame({"ga": g[li], "gb": g[ri]}) \
+            .groupby(["ga", "gb"], sort=False).size() \
+            .rename("c").reset_index()
+        sz = pd.DataFrame({"ga": g}).groupby("ga", sort=False) \
+            .size().rename("c").reset_index()
+        sz["gb"] = ""            # sentinel: per-group vocab size row
+        out = pd.concat([inter, sz[["ga", "gb", "c"]]],
+                        ignore_index=True)
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    folded = ds.map_batches(pairs_partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(per_token, batch_format="pandas") \
+        .groupby(["ga", "gb"]).aggregate(Sum("c", alias_name="c")) \
+        .to_pandas()          # bounded by groups² rows — the contract
+
+    sizes = folded[folded["gb"] == ""].set_index("ga")["c"]
+    pairs = folded[folded["gb"] != ""].reset_index(drop=True)
+    sa = sizes[pairs["ga"]].to_numpy().astype(np.int64)
+    sb = sizes[pairs["gb"]].to_numpy().astype(np.int64)
+    inter = pairs["c"].to_numpy().astype(np.int64)
+    out = pa.table({
+        "group_a": pa.array(pairs["ga"].to_numpy(), type=pa.string()),
+        "group_b": pa.array(pairs["gb"].to_numpy(), type=pa.string()),
+        "inter": pa.array(inter, type=pa.int64()),
+        "size_a": pa.array(sa, type=pa.int64()),
+        "size_b": pa.array(sb, type=pa.int64()),
+        "jaccard": pa.array(inter / (sa + sb - inter),
+                            type=pa.float64())})
+    import ray.data as rd
+    return rd.from_arrow(out)

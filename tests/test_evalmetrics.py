@@ -144,3 +144,53 @@ def test_twa_brute(ray_session):
         num, den = rows[r["k"]]
         assert r["num"] == num and r["den"] == den
         assert r["twa"] == num / den
+
+
+# ------------------------------------------------- vocab_jaccard
+
+
+def test_vocab_jaccard_hand(ray_session):
+    from prompture_ray.stages.tfidf import vocab_jaccard
+    ds = _ds({"g": ["en", "en", "fr", "de"],
+              "text": ["a b c", "c d", "b c x", "zz"]})
+    df = vocab_jaccard(ds, "g", "text").to_pandas() \
+        .sort_values(["group_a", "group_b"], ignore_index=True)
+    # en={a,b,c,d}, fr={b,c,x}, de={zz}: en∩fr={b,c} -> 2/(4+3-2)
+    assert list(df["group_a"]) == ["en"]
+    assert list(df["group_b"]) == ["fr"]
+    assert df["inter"][0] == 2
+    assert df["size_a"][0] == 4 and df["size_b"][0] == 3
+    assert df["jaccard"][0] == 2 / 5
+
+
+def test_vocab_jaccard_brute(ray_session):
+    from prompture_ray.stages.tfidf import vocab_jaccard
+    rng = np.random.default_rng(5)
+    groups = ["g1", "g2", "g3", "g4"]
+    texts, gs = [], []
+    for _ in range(200):
+        g = groups[rng.integers(0, 4)]
+        toks = [f"w{rng.integers(0, 40):02d}"
+                for _ in range(rng.integers(1, 8))]
+        gs.append(g)
+        texts.append(" ".join(toks))
+    vocab = {}
+    for g, t in zip(gs, texts):
+        vocab.setdefault(g, set()).update(t.split())
+    ds = _ds({"g": gs, "text": texts}, parallelism=5)
+    df = vocab_jaccard(ds, "g", "text").to_pandas()
+    got = {(r.group_a, r.group_b):
+           (r.inter, r.size_a, r.size_b, r.jaccard)
+           for r in df.itertuples()}
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            inter = len(vocab[a] & vocab[b])
+            if inter:
+                sa, sb = len(vocab[a]), len(vocab[b])
+                assert got[(a, b)] == (inter, sa, sb,
+                                       inter / (sa + sb - inter))
+            else:
+                assert (a, b) not in got
+    assert len(got) == sum(
+        1 for i, a in enumerate(groups) for b in groups[i + 1:]
+        if vocab[a] & vocab[b])
