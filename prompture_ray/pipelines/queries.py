@@ -7804,6 +7804,95 @@ QUERIES["event_trigrams"] = event_trigrams
 ORACLE["event_trigrams"] = EVENT_TRIGRAMS_SQL
 
 
+def kcore_docs(sf_dir: str):
+    """k-core decomposition (graph.k_core — iterative peeling, one
+    degree fold + one size-aware membership filter per round). PLANTED
+    closed-form graph: K5 cliques on nodes 5c..5c+4 (two affine edge
+    families cover all 10 pairs) + a two-hop pendant chain x→1000+x→
+    2000+x per node; the 3-core peels both pendant tiers in round 1
+    and stabilizes on the cliques — kept set = the covered residues
+    with in-core degree exactly 4. Closed form holds because doc_ids
+    are contiguous from 0 and doc counts (50/500/5000 per SF) are
+    multiples of 5, so every covered clique is COMPLETE. OUTSIDE the
+    full 50-slot window — locally oracle-PASSed at sf0.01 AND
+    sf0.1."""
+    from prompture_ray.stages.graph import k_core
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        x = did % 1000
+        c5 = (x // 5) * 5
+        r = x % 5
+        src = np.concatenate([x, x, x, 1000 + x])
+        dst = np.concatenate([c5 + (r + 1) % 5, c5 + (r + 2) % 5,
+                              1000 + x, 2000 + x])
+        return pa.table({"src": pa.array(src, type=pa.int64()),
+                         "dst": pa.array(dst, type=pa.int64())})
+
+    edges = ds.map_batches(plant, batch_format="pyarrow")
+    return k_core(edges, 3)
+
+
+KCORE_SQL = """
+SELECT DISTINCT doc_id % 1000 AS node, CAST(4 AS BIGINT) AS deg
+FROM documents
+"""
+
+QUERIES["kcore_docs"] = kcore_docs
+ORACLE["kcore_docs"] = KCORE_SQL
+
+
+def rolling_anomaly_events(sf_dir: str):
+    """Rolling z-score anomaly per user WITHOUT floats
+    (analytic.rolling_anomaly): over the trailing 8-row window in
+    (ts, event_id) order, flag (n·x−s)² > k²·(n·s2−s²) with k=2,
+    min_n=4 — every quantity exact int64 (planted v = event_id %
+    256). GENUINE oracle: DuckDB ROWS window frame replays n/s/s2 and
+    the integer inequality bit-for-bit (no float anywhere). OUTSIDE
+    the full 50-slot window — locally oracle-PASSed at sf0.01 AND
+    sf0.1."""
+    from prompture_ray.stages.analytic import rolling_anomaly
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 256), 256))
+        return pa.table({"event_id": e, "user_id": t["user_id"],
+                         "ts_us": t["ts"].cast(pa.int64()),
+                         "v": v.cast(pa.int64())})
+
+    out = rolling_anomaly(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "user_id", "ts_us", "event_id", "v",
+        window=8, k=2, min_n=4)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "n_win", "s_win", "s2_win",
+                            "is_anomaly"]), batch_format="pyarrow")
+
+
+ROLLING_ANOMALY_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                  event_id % 256 AS v
+           FROM events),
+w AS (SELECT event_id, v,
+             CAST(count(*) OVER win AS BIGINT) AS n_win,
+             CAST(SUM(v) OVER win AS BIGINT) AS s_win,
+             CAST(SUM(v * v) OVER win AS BIGINT) AS s2_win
+      FROM p
+      WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW))
+SELECT event_id, n_win, s_win, s2_win,
+       n_win >= 4 AND
+       (n_win * v - s_win) * (n_win * v - s_win)
+           > 4 * (n_win * s2_win - s_win * s_win) AS is_anomaly
+FROM w
+"""
+
+QUERIES["rolling_anomaly_events"] = rolling_anomaly_events
+ORACLE["rolling_anomaly_events"] = ROLLING_ANOMALY_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -638,3 +638,62 @@ def time_weighted_avg(ds, key_col: str, ts_col: str, tie_col: str,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def rolling_anomaly(ds, key_col: str, ts_col: str, tie_col: str,
+                    val_col: str, window: int, k: int,
+                    min_n: int = 2, n_parts: int = 64,
+                    shuffle_blocks: int = 128):
+    """Rolling z-score anomaly flags per key WITHOUT floats: over the
+    trailing window of ``window`` rows (current row + window−1
+    preceding, per key in (ts, tie) order), flag
+    ``|x − mean| > k·std`` via the cross-multiplied ALL-INTEGER test
+
+        (n·x − s)² > k²·(n·s2 − s²)
+
+    (n = actual window row count, s = Σv, s2 = Σv² — population std;
+    rows with n < ``min_n`` are never flagged). Appends ``n_win``,
+    ``s_win``, ``s2_win``, ``is_anomaly``. Exactness bound (caller
+    contract): window·|v|² < 2^53 (pandas rolling sums are float64
+    internally) and (n·|x|+s)² < 2^63 for the comparison — quantized
+    telemetry/score columns satisfy both by miles; a SQL window-frame
+    replay is then bit-identical with NO float anywhere.
+
+    Scale shape: the lag_shift pattern — ONE hash64(key) % n_parts row
+    shuffle, one vectorized sort + groupby-rolling pass per
+    partition."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        v = g[val_col].to_numpy().astype(np.int64)
+        grp = g.groupby(key_col, sort=False)[val_col]
+        roll = grp.rolling(window=window, min_periods=1)
+        s = roll.sum().reset_index(level=0, drop=True) \
+            .sort_index().to_numpy().astype(np.int64)
+        n = roll.count().reset_index(level=0, drop=True) \
+            .sort_index().to_numpy().astype(np.int64)
+        g2 = g.assign(__v2=v * v).groupby(key_col, sort=False)["__v2"]
+        s2 = g2.rolling(window=window, min_periods=1).sum() \
+            .reset_index(level=0, drop=True) \
+            .sort_index().to_numpy().astype(np.int64)
+        lhs = n * v - s
+        flag = (lhs * lhs > k * k * (n * s2 - s * s)) & (n >= min_n)
+        out = g.drop(columns=["__pb"])
+        out["n_win"] = n
+        out["s_win"] = s
+        out["s2_win"] = s2
+        out["is_anomaly"] = flag
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

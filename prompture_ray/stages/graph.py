@@ -244,6 +244,37 @@ def extract_anchor_texts(ds, html_col: str, id_col: str):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def canonical_edges(edges, a_col: str = "src", b_col: str = "dst",
+                    n_parts: int = 128):
+    """Globally-distinct canonical undirected edges ``(u, v)`` with
+    ``u < v`` (self-loops dropped, duplicate/reverse edges collapsed):
+    per-batch canonicalize + Arrow-distinct shrink, then ONE
+    hash(u, v) % n_parts row shuffle where the per-partition
+    drop_duplicates is a global distinct (a pair always lands whole).
+    Shared by triangle_count / k_core."""
+    from prompture_ray.functions.sketches import hash64
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = t[a_col].combine_chunks().cast(pa.int64())
+        b = t[b_col].combine_chunks().cast(pa.int64())
+        keep = pc.invert(pc.equal(a, b))
+        a, b = a.filter(keep), b.filter(keep)
+        u = pc.min_element_wise(a, b)
+        v = pc.max_element_wise(a, b)
+        g = pa.table({"u": u, "v": v}).group_by(["u", "v"]).aggregate([])
+        un = g["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        vn = g["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        pb = ((hash64(un) * np.uint64(0x9E3779B97F4A7C15) + hash64(vn))
+              % np.uint64(n_parts)).astype(np.int64)
+        return g.append_column("__pb", pa.array(pb))
+
+    def distinct(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(["u", "v"])[["u", "v"]]
+
+    return edges.map_batches(canon, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(distinct, batch_format="pandas")
+
+
 def triangle_count(edges, a_col: str = "src", b_col: str = "dst", *,
                    broadcast_max: int = 20_000_000,
                    shuffle_blocks: int = 128):
@@ -276,27 +307,8 @@ def triangle_count(edges, a_col: str = "src", b_col: str = "dst", *,
     from prompture_ray.functions.sketches import hash64
 
     nparts = shuffle_blocks
-
-    def canon(t: pa.Table) -> pa.Table:
-        a = t[a_col].combine_chunks().cast(pa.int64())
-        b = t[b_col].combine_chunks().cast(pa.int64())
-        keep = pc.invert(pc.equal(a, b))
-        a, b = a.filter(keep), b.filter(keep)
-        u = pc.min_element_wise(a, b)
-        v = pc.max_element_wise(a, b)
-        g = pa.table({"u": u, "v": v}).group_by(["u", "v"]).aggregate([])
-        un = g["u"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        vn = g["v"].to_numpy(zero_copy_only=False).astype(np.uint64)
-        pb = ((hash64(un) * np.uint64(0x9E3779B97F4A7C15) + hash64(vn))
-              % np.uint64(nparts)).astype(np.int64)
-        return g.append_column("__pb", pa.array(pb))
-
-    def distinct(g: pd.DataFrame) -> pd.DataFrame:
-        return g.drop_duplicates(["u", "v"])[["u", "v"]]
-
-    ded = edges.map_batches(canon, batch_format="pyarrow") \
-        .groupby("__pb").map_groups(distinct, batch_format="pandas") \
-        .materialize()
+    ded = canonical_edges(edges, a_col, b_col,
+                          n_parts=nparts).materialize()
 
     # total degree per node (partial counts -> one narrow grouped Sum)
     def deg_partial(t: pa.Table) -> pa.Table:
@@ -387,3 +399,103 @@ def triangle_count(edges, a_col: str = "src", b_col: str = "dst", *,
     import ray.data as rd
     return rd.from_arrow(pa.table({
         "n_triangles": pa.array([val], type=pa.int64())}))
+
+
+def k_core(edges, k: int, a_col: str = "src", b_col: str = "dst", *,
+           broadcast_max: int = 20_000_000, max_rounds: int = 100,
+           n_buckets: int = 32, shuffle_blocks: int = 128):
+    """k-core decomposition — iteratively peel nodes of degree < k
+    until the remaining subgraph is stable; returns the surviving
+    nodes with their IN-CORE degree as a Dataset ``(node, deg)``
+    (empty when the graph has no k-core). The density/community
+    filter of web-graph curation (Batagelj-Zaveršnik peeling).
+
+    Scale shape: each round = one degree fold (per-batch partials +
+    grouped Sum, the degree_table pattern) and one edge filter by
+    alive-node membership — size-aware: alive ids broadcast as ONE
+    sorted array via ``ray.put`` + per-batch searchsorted while they
+    fit ``broadcast_max``, else two hash-bucketed equi-joins (the
+    100-TB path; equality-tested via ``broadcast_max=0``). Rounds ≤
+    peeling depth (data-dependent, bounded by ``max_rounds``); the
+    driver holds only per-round counts, never node sets (in the
+    broadcast regime the sorted id array is object-store-resident)."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    if k < 1:
+        raise ValueError("k_core: k must be >= 1")
+
+    ded = canonical_edges(edges, a_col, b_col,
+                          n_parts=shuffle_blocks).materialize()
+    empty = rd.from_arrow(pa.table({
+        "node": pa.array([], type=pa.int64()),
+        "deg": pa.array([], type=pa.int64())}))
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        node = pa.concat_arrays([t["u"].combine_chunks(),
+                                 t["v"].combine_chunks()])
+        g = pa.table({"node": node}).group_by("node").aggregate(
+            [([], "count_all")])
+        return pa.table({"node": g["node"],
+                         "d": g["count_all"].cast(pa.int64())})
+
+    for _ in range(max_rounds):
+        if ded.count() == 0:
+            return empty
+        degs = ded.map_batches(deg_partial, batch_format="pyarrow") \
+            .repartition(min(shuffle_blocks,
+                             max(1, ded.num_blocks()))) \
+            .groupby("node").aggregate(Sum("d", alias_name="deg")) \
+            .materialize()
+        alive = degs.filter(expr=f"deg >= {int(k)}").materialize()
+        n_alive, n_nodes = alive.count(), degs.count()
+        if n_alive == n_nodes:
+            return degs
+        if n_alive == 0:
+            return empty
+
+        if n_alive <= broadcast_max:
+            ids = np.sort(np.concatenate([
+                t["node"].to_numpy(zero_copy_only=False)
+                for t in alive.iter_batches(batch_format="pyarrow")]))
+            ref = ray.put(ids)
+
+            def keep_edges(t: pa.Table) -> pa.Table:
+                a = ray.get(ref)
+                u = t["u"].to_numpy(zero_copy_only=False)
+                v = t["v"].to_numpy(zero_copy_only=False)
+                iu = np.searchsorted(a, u)
+                iv = np.searchsorted(a, v)
+                ok = ((iu < len(a)) & (a[np.minimum(iu, len(a) - 1)]
+                                       == u)) \
+                    & ((iv < len(a)) & (a[np.minimum(iv, len(a) - 1)]
+                                        == v))
+                return t.filter(pa.array(ok))
+
+            ded = ded.map_batches(keep_edges,
+                                  batch_format="pyarrow").materialize()
+        else:
+            alive_u = alive.map_batches(
+                lambda t: pa.table({"node": t["node"]}),
+                batch_format="pyarrow")
+            j1 = bucketed_equi_join(ded, alive_u, key="u",
+                                    right_key="node",
+                                    n_buckets=n_buckets,
+                                    left_cols=["u", "v"],
+                                    right_cols=["node"])
+            j1 = j1.map_batches(
+                lambda b: b[["u", "v"]], batch_format="pandas")
+            j2 = bucketed_equi_join(j1, alive_u, key="v",
+                                    right_key="node",
+                                    n_buckets=n_buckets,
+                                    left_cols=["u", "v"],
+                                    right_cols=["node"])
+            ded = j2.map_batches(
+                lambda b: b[["u", "v"]],
+                batch_format="pandas").materialize()
+    raise RuntimeError(
+        f"k_core: no fixpoint within max_rounds={max_rounds} "
+        "(raise the cap; peeling depth equals the graph's "
+        "degeneracy ordering depth)")

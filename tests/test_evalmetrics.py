@@ -194,3 +194,57 @@ def test_vocab_jaccard_brute(ray_session):
     assert len(got) == sum(
         1 for i, a in enumerate(groups) for b in groups[i + 1:]
         if vocab[a] & vocab[b])
+
+
+# ------------------------------------------------- rolling_anomaly
+
+
+def test_rolling_anomaly_brute(ray_session):
+    import pandas as pd
+    from prompture_ray.stages.analytic import rolling_anomaly
+    rng = np.random.default_rng(31)
+    n = 500
+    k = rng.integers(0, 8, size=n)
+    t = rng.integers(0, 100_000, size=n)
+    v = rng.integers(-30, 30, size=n)
+    o = np.arange(n)
+    w, kk, mn = 5, 3, 3
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "t": pa.array(t, type=pa.int64()),
+              "o": pa.array(o, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=4)
+    df = rolling_anomaly(ds, "k", "t", "o", "v", window=w, k=kk,
+                         min_n=mn).to_pandas() \
+        .sort_values("o", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "t": t, "v": v, "o": o}) \
+        .sort_values(["k", "t", "o"])
+    exp = {}
+    for key, g in ref.groupby("k"):
+        vals = g["v"].tolist()
+        for i, oid in enumerate(g["o"]):
+            win = vals[max(0, i - w + 1):i + 1]
+            nw, s, s2 = len(win), sum(win), sum(x * x for x in win)
+            x = vals[i]
+            flag = (nw >= mn) and \
+                (nw * x - s) ** 2 > kk * kk * (nw * s2 - s * s)
+            exp[oid] = (nw, s, s2, flag)
+    for r in df.itertuples():
+        assert (r.n_win, r.s_win, r.s2_win, r.is_anomaly) == exp[r.o]
+
+
+def test_rolling_anomaly_hand(ray_session):
+    from prompture_ray.stages.analytic import rolling_anomaly
+    # constant run then a spike: variance 0 -> any deviation flags
+    ds = _ds({"k": pa.array([1] * 5, type=pa.int64()),
+              "t": pa.array(range(5), type=pa.int64()),
+              "o": pa.array(range(5), type=pa.int64()),
+              "v": pa.array([7, 7, 7, 7, 100], type=pa.int64())},
+             parallelism=1)
+    # k=1: the spike itself inflates the window variance, so pick a
+    # threshold the inflated std still clears
+    df = rolling_anomaly(ds, "k", "t", "o", "v", window=4, k=1,
+                         min_n=2).to_pandas() \
+        .sort_values("o", ignore_index=True)
+    assert list(df["is_anomaly"]) == [False, False, False, False, True]
+    # constant windows never flag (0 > 0 is false)
+    assert df["s_win"][3] == 28 and df["s2_win"][3] == 4 * 49

@@ -125,3 +125,75 @@ def test_triangle_count_brute_and_fallback(ray_session):
     got0 = int(triangle_count(ds, broadcast_max=0).to_pandas()
                ["n_triangles"][0])
     assert got0 == expect
+
+
+# ------------------------------------------------------------ k-core
+
+
+def test_k_core_hand(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.graph import k_core
+
+    def run(pairs, k, **kw):
+        t = pa.table({"src": pa.array([p[0] for p in pairs],
+                                      type=pa.int64()),
+                      "dst": pa.array([p[1] for p in pairs],
+                                      type=pa.int64())})
+        df = k_core(rd.from_arrow(t).repartition(3), k, **kw) \
+            .to_pandas()
+        if df.empty:        # Ray drops column names on 0-row pandas
+            return []
+        df = df.sort_values("node", ignore_index=True)
+        return list(zip(df["node"], df["deg"]))
+
+    # K4 with a pendant chain 3-10-11-12: 3-core = K4 (deg 3 each);
+    # peeling cascades: 12 (deg1) -> 11 -> 10
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    g = k4 + [(3, 10), (10, 11), (11, 12)]
+    assert run(g, 3) == [(0, 3), (1, 3), (2, 3), (3, 3)]
+    # 2-core of a triangle with tail = the triangle
+    tri = [(1, 2), (2, 3), (3, 1), (3, 9)]
+    assert run(tri, 2) == [(1, 2), (2, 2), (3, 2)]
+    # no 4-core anywhere -> empty
+    assert run(g, 4) == []
+    # k=1 drops nothing on a connected graph (isolated nodes can't
+    # exist in an edge list)
+    assert run(tri, 1) == [(1, 2), (2, 2), (3, 3), (9, 1)]
+    # join fallback path must agree
+    assert run(g, 3, broadcast_max=0) == [(0, 3), (1, 3), (2, 3),
+                                          (3, 3)]
+
+
+def test_k_core_brute(ray_session):
+    import numpy as np
+    import ray.data as rd
+    from prompture_ray.stages.graph import k_core
+    rng = np.random.default_rng(17)
+    a = rng.integers(0, 40, size=300)
+    b = rng.integers(0, 40, size=300)
+    es = {(min(x, y), max(x, y)) for x, y in zip(a.tolist(), b.tolist())
+          if x != y}
+
+    def brute(k):
+        cur = set(es)
+        while True:
+            deg = {}
+            for u, v in cur:
+                deg[u] = deg.get(u, 0) + 1
+                deg[v] = deg.get(v, 0) + 1
+            alive = {n for n, d in deg.items() if d >= k}
+            nxt = {(u, v) for u, v in cur
+                   if u in alive and v in alive}
+            if nxt == cur:
+                return sorted(deg.items())
+            cur = nxt
+            if not cur:
+                return []
+
+    t = pa.table({"src": pa.array(a, type=pa.int64()),
+                  "dst": pa.array(b, type=pa.int64())})
+    ds = rd.from_arrow(t).repartition(4)
+    for k in (3, 5, 8):
+        df = k_core(ds, k).to_pandas() \
+            .sort_values("node", ignore_index=True)
+        assert list(zip(df["node"], df["deg"])) == brute(k)
