@@ -7893,6 +7893,55 @@ QUERIES["rolling_anomaly_events"] = rolling_anomaly_events
 ORACLE["rolling_anomaly_events"] = ROLLING_ANOMALY_SQL
 
 
+def ols_trend_events(sf_dir: str):
+    """Per-type least-squares trend line (stages/regression.py
+    grouped_ols — exact int64 moment folds; slope/intercept are each
+    ONE correctly-rounded double division of exact ints, so the SQL
+    replay is bit-identical with no rounding). x = day-of-trace % 64,
+    y = event_id % 256 keep every product < 2^53 at any SF here
+    (documented caller bound). GENUINE-arithmetic oracle. OUTSIDE the
+    full 50-slot window — locally oracle-PASSed at sf0.01 AND
+    sf0.1."""
+    from prompture_ray.stages.regression import grouped_ols
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64())
+        day = pc.divide(us, 86_400_000_000)
+        x = pc.subtract(day, pc.multiply(pc.divide(day, 64), 64))
+        e = t["event_id"]
+        y = pc.subtract(e, pc.multiply(pc.divide(e, 256), 256))
+        return pa.table({"event_type": t["event_type"],
+                         "x": x.cast(pa.int64()),
+                         "y": y.cast(pa.int64())})
+
+    return grouped_ols(ds.map_batches(plant, batch_format="pyarrow"),
+                       "event_type", "x", "y")
+
+
+OLS_TREND_SQL = """
+WITH p AS (SELECT event_type,
+                  (epoch_us(ts) // 86400000000) % 64 AS x,
+                  event_id % 256 AS y
+           FROM events),
+a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM p GROUP BY event_type)
+SELECT event_type, n, sx, sy, sxy, sxx,
+       CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)
+           AS slope,
+       CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx)
+           AS intercept
+FROM a WHERE n * sxx - sx * sx <> 0
+"""
+
+QUERIES["ols_trend_events"] = ols_trend_events
+ORACLE["ols_trend_events"] = OLS_TREND_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
