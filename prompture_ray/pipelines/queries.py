@@ -7942,6 +7942,102 @@ QUERIES["ols_trend_events"] = ols_trend_events
 ORACLE["ols_trend_events"] = OLS_TREND_SQL
 
 
+def distinctive_terms_docs(sf_dir: str):
+    """Top-10 distinctive terms per language by lift
+    (tfidf.distinctive_terms — P(t|g)/P(t) as one exact-int-product
+    double division, the collocations PMI precedent; tie order lift
+    desc / term asc is a deterministic total order computed on
+    identical doubles both sides; corpus text is pure ASCII so numpy
+    object-string order == DuckDB binary collation). GENUINE oracle
+    over the REAL text. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.tfidf import distinctive_terms
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    return distinctive_terms(ds, "lang", "text", k=10)
+
+
+DISTINCTIVE_TERMS_SQL = """
+WITH tk AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+            FROM documents WHERE length(text) > 0),
+c AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS c_tg
+      FROM tk GROUP BY 1, 2),
+ct AS (SELECT term, CAST(SUM(c_tg) AS BIGINT) AS ct
+       FROM c GROUP BY term),
+ng AS (SELECT lang, CAST(SUM(c_tg) AS BIGINT) AS ng
+       FROM c GROUP BY lang),
+n AS (SELECT CAST(SUM(c_tg) AS BIGINT) AS n FROM c),
+l AS (SELECT c.lang AS "group", c.term, c.c_tg,
+             CAST(c.c_tg * n.n AS DOUBLE) / (ng.ng * ct.ct) AS lift
+      FROM c JOIN ct USING (term) JOIN ng USING (lang) CROSS JOIN n),
+r AS (SELECT *, row_number() OVER (PARTITION BY "group"
+                                   ORDER BY lift DESC, term) AS rk
+      FROM l)
+SELECT "group", term, c_tg, lift, CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 10
+"""
+
+QUERIES["distinctive_terms_docs"] = distinctive_terms_docs
+ORACLE["distinctive_terms_docs"] = DISTINCTIVE_TERMS_SQL
+
+
+def attribution_events(sf_dir: str):
+    """Last-touch attribution: for every 'purchase', the most recent
+    preceding 'click' of the same user (same-timestamp clicks with a
+    LOWER event_id count — the (ts, event_id) total order both sides
+    share). Composition: null-out non-click ids → analytic.forward_fill
+    carries the last click id/time forward → filter purchases. GENUINE
+    oracle: last_value(... IGNORE NULLS) window. OUTSIDE the full
+    50-slot window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.analytic import forward_fill
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_click = pc.equal(t["event_type"], "click")
+        eid = t["event_id"]
+        us = t["ts"].cast(pa.int64())
+        return pa.table({
+            "event_id": eid, "user_id": t["user_id"],
+            "ts_us": us, "event_type": t["event_type"],
+            "click_eid": pc.if_else(is_click, eid,
+                                    pa.scalar(None, type=pa.int64())),
+            "click_ts": pc.if_else(is_click, us,
+                                   pa.scalar(None, type=pa.int64()))})
+
+    filled = forward_fill(ds.map_batches(prep, batch_format="pyarrow"),
+                          "user_id", "ts_us", "event_id",
+                          ["click_eid", "click_ts"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["event_type"], "purchase"))
+        return pa.table({"event_id": t["event_id"],
+                         "click_eid": t["click_eid"],
+                         "click_ts": t["click_ts"]})
+
+    return filled.map_batches(finish, batch_format="pyarrow")
+
+
+ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type = 'click' THEN event_id END AS ce,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS ct
+  FROM events),
+f AS (
+  SELECT event_id, event_type,
+         last_value(ce IGNORE NULLS) OVER w AS click_eid,
+         last_value(ct IGNORE NULLS) OVER w AS click_ts
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, click_eid, click_ts
+FROM f WHERE event_type = 'purchase'
+"""
+
+QUERIES["attribution_events"] = attribution_events
+ORACLE["attribution_events"] = ATTRIBUTION_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

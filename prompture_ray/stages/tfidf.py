@@ -394,3 +394,112 @@ def vocab_jaccard(ds, group_col: str, text_col: str = "text",
                             type=pa.float64())})
     import ray.data as rd
     return rd.from_arrow(out)
+
+
+def distinctive_terms(ds, group_col: str, text_col: str = "text",
+                      k: int = 10, broadcast_max: int = 20_000_000,
+                      shuffle_blocks: int = 128):
+    """Top-k distinctive terms per group by LIFT —
+    ``lift(t, g) = P(t|g) / P(t) = (c_tg · N) / (n_g · c_t)`` over raw
+    token occurrence counts — the per-language / per-domain vocabulary
+    profiling staple (what does THIS slice over-use). Returns
+    ``(group, term, c_tg, lift, rk)``, k rows per group, ordered lift
+    desc with term-asc tie-break (identical doubles on both sides: the
+    lift is ONE correctly-rounded double division of exact int64
+    products — caller bound c_tg·N < 2^53, the collocations PMI
+    precedent — so the total order is deterministic and a SQL replay
+    is bit-identical).
+
+    Scale shape: per-batch (group, term) count partials → ONE grouped
+    Sum shuffle bounded by groups × lexicon (Heaps-small); term totals
+    fold from that table (narrow), group totals are a tiny fold; term
+    totals map back via size-aware broadcast (sorted hash64 arrays,
+    the tfidf df pattern) with the hash-bucketed join fallback beyond
+    ``broadcast_max`` (equality-tested via ``broadcast_max=0``); the
+    final cut is analytic.top_k_per_group (partial top-k per block)."""
+    import ray
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.analytic import top_k_per_group
+    from prompture_ray.functions import limit_arrow_threads
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        limit_arrow_threads(1)
+        col = t[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lists = pc.utf8_split_whitespace(
+            pc.utf8_trim_whitespace(pc.fill_null(col, "")))
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        row_len = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        gv = np.asarray(t[group_col].to_pylist(), dtype=object)
+        flat = lists.flatten()
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        toks = np.asarray(flat.to_pylist(), dtype=object)[keep]
+        g = np.repeat(gv, row_len)[keep]
+        df = pd.DataFrame({"g": g, "term": toks}) \
+            .groupby(["g", "term"], sort=False).size() \
+            .rename("c").reset_index()
+        return pa.table({"g": pa.array(df["g"].to_numpy(),
+                                       type=pa.string()),
+                         "term": pa.array(df["term"].to_numpy(),
+                                          type=pa.string()),
+                         "c": pa.array(df["c"].to_numpy()
+                                       .astype(np.int64))})
+
+    counts = ds.map_batches(count_partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby(["g", "term"]).aggregate(Sum("c", alias_name="c")) \
+        .materialize()
+
+    term_tot = counts.groupby("term") \
+        .aggregate(Sum("c", alias_name="ct")).materialize()
+    gt = counts.groupby("g").aggregate(Sum("c", alias_name="ng")) \
+        .to_pandas()                       # tiny: one row per group
+    ng_map = dict(zip(gt["g"], gt["ng"].astype(np.int64)))
+    big_n = int(gt["ng"].sum())
+
+    def lift_cols(t: pa.Table, ct: np.ndarray) -> pa.Table:
+        c_tg = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ng = np.asarray([ng_map[g] for g in t["g"].to_pylist()],
+                        dtype=np.int64)
+        lift = (c_tg * big_n) / (ng * ct)
+        return pa.table({"group": t["g"], "term": t["term"],
+                         "c_tg": pa.array(c_tg, type=pa.int64()),
+                         "lift": pa.array(lift, type=pa.float64())})
+
+    if term_tot.count() <= broadcast_max:
+        hs, cs = [], []
+        for b in term_tot.iter_batches(batch_format="pyarrow"):
+            hs.append(hash64(np.asarray(b["term"].to_pylist(),
+                                        dtype=object)))
+            cs.append(b["ct"].to_numpy(zero_copy_only=False)
+                      .astype(np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        cv = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+        order = np.argsort(h)
+        ref = ray.put((h[order], cv[order]))
+
+        def annotate(t: pa.Table) -> pa.Table:
+            hk, ck = ray.get(ref)
+            th = hash64(np.asarray(t["term"].to_pylist(),
+                                   dtype=object))
+            ct = ck[np.searchsorted(hk, th)]
+            return lift_cols(t, ct)
+
+        lifted = counts.map_batches(annotate, batch_format="pyarrow")
+    else:
+        from prompture_ray.stages.joins import bucketed_equi_join
+        joined = bucketed_equi_join(counts, term_tot, key="term")
+
+        def from_join(b: pd.DataFrame) -> pa.Table:
+            t = pa.Table.from_pandas(b[["g", "term", "c"]],
+                                     preserve_index=False)
+            return lift_cols(t, b["ct"].to_numpy().astype(np.int64))
+
+        lifted = joined.map_batches(from_join, batch_format="pandas")
+
+    return top_k_per_group(lifted, "group", "lift", k,
+                           tie_col="term")

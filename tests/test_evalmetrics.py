@@ -248,3 +248,50 @@ def test_rolling_anomaly_hand(ray_session):
     assert list(df["is_anomaly"]) == [False, False, False, False, True]
     # constant windows never flag (0 > 0 is false)
     assert df["s_win"][3] == 28 and df["s2_win"][3] == 4 * 49
+
+
+# ------------------------------------------------- distinctive_terms
+
+
+def test_distinctive_terms_brute(ray_session):
+    import pandas as pd
+    from prompture_ray.stages.tfidf import distinctive_terms
+    rng = np.random.default_rng(41)
+    groups = ["en", "fr", "de"]
+    gs, texts = [], []
+    for _ in range(150):
+        g = groups[rng.integers(0, 3)]
+        toks = [f"{g}w{rng.integers(0, 6)}" if rng.random() < 0.5
+                else f"c{rng.integers(0, 10)}"
+                for _ in range(rng.integers(2, 9))]
+        gs.append(g)
+        texts.append(" ".join(toks))
+    ds = _ds({"g": gs, "text": texts}, parallelism=4)
+    df = distinctive_terms(ds, "g", "text", k=5).to_pandas() \
+        .sort_values(["group", "rk"], ignore_index=True)
+
+    rows = []
+    for g, t in zip(gs, texts):
+        for tok in t.split():
+            rows.append((g, tok))
+    ref = pd.DataFrame(rows, columns=["g", "term"])
+    cnt = ref.groupby(["g", "term"]).size().rename("c").reset_index()
+    ct = cnt.groupby("term")["c"].sum()
+    ng = cnt.groupby("g")["c"].sum()
+    n = int(cnt["c"].sum())
+    cnt["lift"] = (cnt["c"].to_numpy().astype(np.int64) * n) / (
+        ng[cnt["g"]].to_numpy().astype(np.int64)
+        * ct[cnt["term"]].to_numpy().astype(np.int64))
+    for g in groups:
+        sub = cnt[cnt["g"] == g].sort_values(
+            ["lift", "term"], ascending=[False, True]).head(5)
+        got = df[df["group"] == g]
+        assert list(got["term"]) == list(sub["term"])
+        assert (got["lift"].to_numpy()
+                == sub["lift"].to_numpy()).all()
+        assert list(got["rk"]) == [1, 2, 3, 4, 5]
+    # join fallback path must agree exactly
+    df0 = distinctive_terms(ds, "g", "text", k=5, broadcast_max=0) \
+        .to_pandas().sort_values(["group", "rk"], ignore_index=True)
+    assert (df0[["group", "term", "c_tg", "lift"]].to_numpy()
+            == df[["group", "term", "c_tg", "lift"]].to_numpy()).all()
