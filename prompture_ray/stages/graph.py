@@ -271,7 +271,11 @@ def canonical_edges(edges, a_col: str = "src", b_col: str = "dst",
     def distinct(g: pd.DataFrame) -> pd.DataFrame:
         return g.drop_duplicates(["u", "v"])[["u", "v"]]
 
+    # bound the groupby's input block count (round-5 pathology:
+    # groupby sort cost follows INPUT blocks — a 1500-fragment corpus
+    # pays superlinearly without this coalesce)
     return edges.map_batches(canon, batch_format="pyarrow") \
+        .repartition(n_parts) \
         .groupby("__pb").map_groups(distinct, batch_format="pandas")
 
 

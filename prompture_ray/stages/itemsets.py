@@ -103,7 +103,10 @@ def frequent_pairs(ds, basket_col: str, item_col: str, *,
         out["support"] = out["support"].astype("int64")
         return out
 
+    # repartition bounds the groupby's input block count (round-5
+    # pathology: groupby sort cost follows INPUT blocks)
     partials = ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(min(128, nparts)) \
         .groupby("__pb").map_groups(mine, batch_format="pandas")
     folded = partials.groupby(["item_a", "item_b"]) \
         .aggregate(Sum("support", alias_name="support"))
