@@ -8038,6 +8038,84 @@ QUERIES["attribution_events"] = attribution_events
 ORACLE["attribution_events"] = ATTRIBUTION_SQL
 
 
+def grouped_quantiles_events(sf_dir: str):
+    """EXACT per-key discrete quantiles (groupstats.grouped_quantiles
+    — value at rank ceil(q·n) per key, pure integer rank arithmetic;
+    ONE hash(key) row shuffle, vectorized multi-q selection per
+    partition). Planted v = event_id % 10007. GENUINE oracle: the
+    round-3 integer-rank idiom per PARTITION (rn·den ≥ num·n), ties
+    in v harmless (the value at a rank is tie-order invariant).
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    from prompture_ray.stages.groupstats import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 10007), 10007))
+        return pa.table({"event_type": t["event_type"],
+                         "v": v.cast(pa.int64())})
+
+    return grouped_quantiles(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "event_type", "v", qs=(0.25, 0.5, 0.9))
+
+
+GROUPED_QUANTILES_SQL = """
+WITH t AS (SELECT event_type, event_id % 10007 AS v FROM events),
+o AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM t)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN rn * 4 >= n AND (rn - 1) * 4 < n
+                THEN v END) AS BIGINT) AS q_25,
+  CAST(MIN(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+                THEN v END) AS BIGINT) AS q_50,
+  CAST(MIN(CASE WHEN rn * 10 >= 9 * n AND (rn - 1) * 10 < 9 * n
+                THEN v END) AS BIGINT) AS q_90
+FROM o GROUP BY event_type
+"""
+
+QUERIES["grouped_quantiles_events"] = grouped_quantiles_events
+ORACLE["grouped_quantiles_events"] = GROUPED_QUANTILES_SQL
+
+
+def mode_per_user_events(sf_dir: str):
+    """Most-frequent event type per user (grouped mode, ties → lowest
+    type in binary collation): per-(user, type) grouped Count +
+    analytic.top_k_per_group k=1 (partial top-k bounds the shuffle to
+    ≤ 1 row per (user, batch)). GENUINE oracle: row_number() OVER
+    (ORDER BY cnt DESC, type). OUTSIDE the full 50-slot window —
+    locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.analytic import top_k_per_group
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    counts = ds.groupby(["user_id", "event_type"]) \
+        .aggregate(Count(alias_name="cnt"))
+    top = top_k_per_group(counts, "user_id", "cnt", 1,
+                          tie_col="event_type")
+    return top.map_batches(
+        lambda t: t.select(["user_id", "event_type", "cnt"]),
+        batch_format="pyarrow")
+
+
+MODE_PER_USER_SQL = """
+WITH c AS (SELECT user_id, event_type,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM events GROUP BY 1, 2),
+r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY cnt DESC, event_type)
+          AS rk
+      FROM c)
+SELECT user_id, event_type, cnt FROM r WHERE rk = 1
+"""
+
+QUERIES["mode_per_user_events"] = mode_per_user_events
+ORACLE["mode_per_user_events"] = MODE_PER_USER_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

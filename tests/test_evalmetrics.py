@@ -295,3 +295,45 @@ def test_distinctive_terms_brute(ray_session):
         .to_pandas().sort_values(["group", "rk"], ignore_index=True)
     assert (df0[["group", "term", "c_tg", "lift"]].to_numpy()
             == df[["group", "term", "c_tg", "lift"]].to_numpy()).all()
+
+
+# ------------------------------------------------- grouped_quantiles
+
+
+def test_grouped_quantiles_brute(ray_session):
+    import math
+    import pandas as pd
+    from prompture_ray.stages.groupstats import grouped_quantiles
+    rng = np.random.default_rng(29)
+    n = 900
+    k = rng.integers(0, 15, size=n)
+    v = rng.integers(-500, 500, size=n)
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=5)
+    qs = (0.25, 0.5, 0.9)
+    df = grouped_quantiles(ds, "k", "v", qs=qs).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "v": v})
+    for r in df.itertuples():
+        vals = np.sort(ref[ref["k"] == r.k]["v"].to_numpy())
+        assert r.n == len(vals)
+        for q, nm in zip(qs, ("q_25", "q_50", "q_90")):
+            rank = math.ceil(q * len(vals))     # 1-based
+            assert getattr(r, nm) == vals[rank - 1]
+    assert set(df["k"]) == set(np.unique(k))
+
+
+def test_grouped_quantiles_edges(ray_session):
+    import pytest as _pt
+    from prompture_ray.stages.groupstats import grouped_quantiles
+    # singleton key: every quantile = the single value
+    ds = _ds({"k": pa.array([1, 2, 2], type=pa.int64()),
+              "v": pa.array([42, 5, 9], type=pa.int64())},
+             parallelism=1)
+    df = grouped_quantiles(ds, "k", "v", qs=(0.5, 0.99)).to_pandas() \
+        .sort_values("k", ignore_index=True)
+    assert df.loc[0, "q_50"] == 42 and df.loc[0, "q_99"] == 42
+    # n=2, q=0.5 -> rank ceil(1.0)=1 -> lower value; q=0.99 -> rank 2
+    assert df.loc[1, "q_50"] == 5 and df.loc[1, "q_99"] == 9
+    with _pt.raises(ValueError, match="exact rational"):
+        grouped_quantiles(ds, "k", "v", qs=(np.pi / 4,))
