@@ -8116,6 +8116,53 @@ QUERIES["mode_per_user_events"] = mode_per_user_events
 ORACLE["mode_per_user_events"] = MODE_PER_USER_SQL
 
 
+def winsorized_events(sf_dir: str):
+    """Per-type winsorization (groupstats.winsorize_by_key — clamp to
+    the key's exact [p10, p90] rank-selected bounds; size-aware
+    broadcast map-back, rows never shuffle). Planted v = event_id %
+    10007; pure integer clamp both sides. GENUINE oracle: rank-idiom
+    bounds per partition + LEAST/GREATEST. OUTSIDE the full 50-slot
+    window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.groupstats import winsorize_by_key
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 10007), 10007))
+        return pa.table({"event_id": e,
+                         "event_type": t["event_type"],
+                         "v": v.cast(pa.int64())})
+
+    out = winsorize_by_key(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "event_type", "v", lo_q=0.1, hi_q=0.9)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "v", "v_wins"]),
+        batch_format="pyarrow")
+
+
+WINSORIZED_SQL = """
+WITH t AS (SELECT event_id, event_type, event_id % 10007 AS v
+           FROM events),
+o AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM t),
+b AS (SELECT event_type,
+  CAST(MIN(CASE WHEN rn * 10 >= n AND (rn - 1) * 10 < n
+                THEN v END) AS BIGINT) AS lo,
+  CAST(MIN(CASE WHEN rn * 10 >= 9 * n AND (rn - 1) * 10 < 9 * n
+                THEN v END) AS BIGINT) AS hi
+      FROM o GROUP BY event_type)
+SELECT t.event_id, t.v, LEAST(GREATEST(t.v, b.lo), b.hi) AS v_wins
+FROM t JOIN b USING (event_type)
+"""
+
+QUERIES["winsorized_events"] = winsorized_events
+ORACLE["winsorized_events"] = WINSORIZED_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

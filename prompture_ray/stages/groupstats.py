@@ -365,3 +365,80 @@ def grouped_quantiles(ds, key_col: str, val_col: str,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def winsorize_by_key(ds, key_col: str, val_col: str,
+                     lo_q: float = 0.05, hi_q: float = 0.95,
+                     out_col: str | None = None, n_parts: int = 64,
+                     shuffle_blocks: int = 128,
+                     broadcast_max: int = 20_000_000):
+    """Clamp ``val_col`` to its key's exact [ceil(lo_q·n), ceil(hi_q·n)]
+    discrete quantile bounds (grouped_quantiles) — per-domain outlier
+    capping before averaging/training. Appends ``out_col`` (default
+    ``{val_col}_wins``); pure integer clamp, so a SQL replay
+    (LEAST/GREATEST against the same rank-selected bounds) is
+    bit-identical.
+
+    Scale shape: one grouped_quantiles pass for the bounds table
+    (bounded by keys), then size-aware map-back — the group_prior
+    pattern: up to ``broadcast_max`` keys the sorted (hash64(key),
+    lo, hi) arrays ship once via ray.put and each batch pays one
+    searchsorted (rows never shuffle); beyond that the rows × bounds
+    table go through the hash-bucketed equi-join (equality-tested via
+    ``broadcast_max=0``)."""
+    import ray
+    from prompture_ray.stages.joins import bucketed_equi_join
+
+    out_col = out_col or f"{val_col}_wins"
+    lo_name = f"q_{int(round(lo_q * 100))}"
+    hi_name = f"q_{int(round(hi_q * 100))}"
+    bounds = grouped_quantiles(ds, key_col, val_col,
+                               qs=(lo_q, hi_q), n_parts=n_parts,
+                               shuffle_blocks=shuffle_blocks) \
+        .materialize()
+
+    def clamp(t: pa.Table, lo: np.ndarray,
+              hi: np.ndarray) -> pa.Table:
+        v = t[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = np.minimum(np.maximum(v, lo), hi)
+        return t.append_column(out_col, pa.array(w, type=pa.int64()))
+
+    if bounds.count() <= broadcast_max:
+        hs, los, his = [], [], []
+        for b in bounds.iter_batches(batch_format="pyarrow"):
+            hs.append(hash_arrow_column(b[key_col]))
+            los.append(b[lo_name].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+            his.append(b[hi_name].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        lo = np.concatenate(los) if los \
+            else np.empty(0, dtype=np.int64)
+        hi = np.concatenate(his) if his \
+            else np.empty(0, dtype=np.int64)
+        order = np.argsort(h)
+        ref = ray.put((h[order], lo[order], hi[order]))
+
+        def lookup(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return clamp(t, np.empty(0, dtype=np.int64),
+                             np.empty(0, dtype=np.int64))
+            hk, lk, uk = ray.get(ref)
+            g = hash_arrow_column(t[key_col])
+            idx = np.searchsorted(hk, g)   # every key exists
+            return clamp(t, lk[idx], uk[idx])
+
+        return ds.map_batches(lookup, batch_format="pyarrow")
+
+    joined = bucketed_equi_join(
+        ds, bounds, key=key_col, n_buckets=32,
+        right_cols=[key_col, lo_name, hi_name])
+
+    def from_join(b: pd.DataFrame) -> pa.Table:
+        t = pa.Table.from_pandas(
+            b.drop(columns=[lo_name, hi_name]), preserve_index=False)
+        return clamp(t, b[lo_name].to_numpy().astype(np.int64),
+                     b[hi_name].to_numpy().astype(np.int64))
+
+    return joined.map_batches(from_join, batch_format="pandas")

@@ -337,3 +337,37 @@ def test_grouped_quantiles_edges(ray_session):
     assert df.loc[1, "q_50"] == 5 and df.loc[1, "q_99"] == 9
     with _pt.raises(ValueError, match="exact rational"):
         grouped_quantiles(ds, "k", "v", qs=(np.pi / 4,))
+
+
+# ------------------------------------------------- winsorize_by_key
+
+
+def test_winsorize_brute(ray_session):
+    import math
+    import pandas as pd
+    from prompture_ray.stages.groupstats import winsorize_by_key
+    rng = np.random.default_rng(37)
+    n = 800
+    k = rng.integers(0, 10, size=n)
+    v = rng.integers(-1000, 1000, size=n)
+    o = np.arange(n)
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "o": pa.array(o, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64())}, parallelism=4)
+    df = winsorize_by_key(ds, "k", "v", lo_q=0.1, hi_q=0.9) \
+        .to_pandas().sort_values("o", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "v": v})
+    bounds = {}
+    for kk, g in ref.groupby("k"):
+        vals = np.sort(g["v"].to_numpy())
+        lo = vals[math.ceil(0.1 * len(vals)) - 1]
+        hi = vals[math.ceil(0.9 * len(vals)) - 1]
+        bounds[kk] = (lo, hi)
+    for r in df.itertuples():
+        lo, hi = bounds[r.k]
+        assert r.v_wins == min(max(r.v, lo), hi)
+    # join fallback must agree exactly
+    df0 = winsorize_by_key(ds, "k", "v", lo_q=0.1, hi_q=0.9,
+                           broadcast_max=0).to_pandas() \
+        .sort_values("o", ignore_index=True)
+    assert (df0["v_wins"].to_numpy() == df["v_wins"].to_numpy()).all()
