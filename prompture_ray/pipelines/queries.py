@@ -8163,6 +8163,92 @@ QUERIES["winsorized_events"] = winsorized_events
 ORACLE["winsorized_events"] = WINSORIZED_SQL
 
 
+def weighted_median_docs(sf_dir: str):
+    """Byte-weighted length percentiles per language
+    (groupstats.grouped_weighted_quantiles — the doc length at/below
+    which half / 90% of the BYTES live; value = weight = n_chars).
+    GENUINE oracle over the REAL columns: cumulative-weight window
+    with the default RANGE frame (ties fold together on both sides —
+    the token_budget precedent), selection = MIN over the monotone
+    integer condition cw·den ≥ num·W. All exact int64. OUTSIDE the
+    full 50-slot window — locally oracle-PASSed at sf0.01 AND
+    sf0.1."""
+    from prompture_ray.stages.groupstats import \
+        grouped_weighted_quantiles
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_weighted_quantiles(ds, "lang", "n_chars",
+                                      "n_chars", qs=(0.5, 0.9))
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH g AS (SELECT lang, n_chars AS v,
+                  CAST(SUM(n_chars) AS BIGINT) AS w
+           FROM documents GROUP BY 1, 2),
+c AS (SELECT lang, v, w,
+             CAST(SUM(w) OVER (PARTITION BY lang ORDER BY v)
+                  AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS wt
+      FROM g)
+SELECT lang, CAST(MAX(wt) AS BIGINT) AS w_total,
+       CAST(MIN(CASE WHEN cw * 2 >= wt THEN v END) AS BIGINT)
+           AS q_50,
+       CAST(MIN(CASE WHEN cw * 10 >= 9 * wt THEN v END) AS BIGINT)
+           AS q_90
+FROM c GROUP BY lang
+"""
+
+QUERIES["weighted_median_docs"] = weighted_median_docs
+ORACLE["weighted_median_docs"] = WEIGHTED_MEDIAN_SQL
+
+
+def hourly_delta_events(sf_dir: str):
+    """Hour-over-hour volume delta per event type (window-over-
+    aggregate composition: hourly grouped Count → analytic.lag_shift
+    keyed by type, ordered by hour → exact int64 difference; first
+    hour of a type keeps a null delta). GENUINE oracle: lag() over
+    the grouped CTE. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Count
+    from prompture_ray.stages.analytic import lag_shift
+    ds = _read(sf_dir, "events", ["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.divide(t["ts"].cast(pa.int64()), 3_600_000_000)
+        return pa.table({"event_type": t["event_type"],
+                         "hour": hour.cast(pa.int64())})
+
+    hourly = ds.map_batches(prep, batch_format="pyarrow") \
+        .groupby(["event_type", "hour"]) \
+        .aggregate(Count(alias_name="n"))
+    lagged = lag_shift(hourly, "event_type", "hour", "hour",
+                       ["n"], shifts=(1,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"], "hour": t["hour"],
+            "n": t["n"].combine_chunks().cast(pa.int64()),
+            "delta": pc.subtract(
+                t["n"].combine_chunks().cast(pa.int64()),
+                t["n_lag1"].combine_chunks().cast(pa.int64()))})
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+HOURLY_DELTA_SQL = """
+WITH c AS (SELECT event_type,
+                  epoch_us(ts) // 3600000000 AS hour,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, hour, n,
+       n - lag(n) OVER (PARTITION BY event_type ORDER BY hour)
+           AS delta
+FROM c
+"""
+
+QUERIES["hourly_delta_events"] = hourly_delta_events
+ORACLE["hourly_delta_events"] = HOURLY_DELTA_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

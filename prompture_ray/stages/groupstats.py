@@ -442,3 +442,86 @@ def winsorize_by_key(ds, key_col: str, val_col: str,
                      b[hi_name].to_numpy().astype(np.int64))
 
     return joined.map_batches(from_join, batch_format="pandas")
+
+
+def grouped_weighted_quantiles(ds, key_col: str, val_col: str,
+                               weight_col: str, qs=(0.5,),
+                               n_parts: int = 64,
+                               shuffle_blocks: int = 128):
+    """EXACT weighted discrete quantiles per key: the smallest value v
+    of the key whose cumulative weight (in ascending value order,
+    ties folded together) satisfies ``cumw·den ≥ num·W`` for
+    q = num/den and W = the key's total weight — byte-weighted length
+    percentiles, cost-weighted latency medians. Returns
+    ``(key, w_total, q_<percent>, ...)``.
+
+    All arithmetic is exact int64 (weights must be non-negative ints;
+    caller bound Σw·den < 2^63), so a SQL cumulative-window replay is
+    bit-identical. Scale shape: per-batch (key, value) weight-sum
+    partials → ONE grouped Sum shuffle bounded by the (key, value)
+    vocabulary → per-key vectorized cumulative selection inside
+    hash(key) partitions (the grouped_quantiles pattern)."""
+    from fractions import Fraction
+    from ray.data.aggregate import Sum
+    from prompture_ray.functions.sketches import hash64
+
+    fr = [Fraction(q).limit_denominator(10_000) for q in qs]
+    for q, f in zip(qs, fr):
+        if float(f) != float(q):
+            raise ValueError(f"grouped_weighted_quantiles: q={q} is "
+                             "not a small exact rational")
+    names = [f"q_{int(round(float(q) * 100))}" for q in qs]
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            key_col: t[key_col],
+            val_col: t[val_col].combine_chunks().cast(pa.int64()),
+            "__w": t[weight_col].combine_chunks().cast(pa.int64()),
+        }).group_by([key_col, val_col]).aggregate([("__w", "sum")])
+        return pa.table({key_col: g[key_col], val_col: g[val_col],
+                         "__w": g["__w_sum"].cast(pa.int64())})
+
+    pairs = ds.map_batches(pair_partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby([key_col, val_col]).aggregate(Sum("__w",
+                                               alias_name="__w"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, val_col], kind="mergesort")
+        k = g[key_col].to_numpy()
+        v = g[val_col].to_numpy().astype(np.int64)
+        w = g["__w"].to_numpy().astype(np.int64)
+        if not len(k):
+            cols = {key_col: k, "w_total": w}
+            cols.update({nm: v for nm in names})
+            return pd.DataFrame(cols)
+        first = np.flatnonzero(np.r_[True, k[1:] != k[:-1]])
+        kidx = np.repeat(np.arange(len(first)),
+                         np.diff(np.r_[first, len(k)]))
+        cw = np.cumsum(w)
+        base = np.r_[np.int64(0), cw[first[1:] - 1]] \
+            if len(first) > 1 else np.zeros(1, dtype=np.int64)
+        cumw = cw - base[kidx]               # per-key cumulative
+        wtot = np.diff(np.r_[base, cw[-1]])  # per-key totals
+        out = {key_col: k[first], "w_total": wtot}
+        for f, nm in zip(fr, names):
+            num, den = int(f.numerator), int(f.denominator)
+            ok = cumw * den >= num * wtot[kidx]
+            # vectorized first-True per key (ok is monotone within a
+            # key): reverse-pass assignment keeps the EARLIEST index
+            idx_global = np.flatnonzero(ok)
+            key_of_ok = kidx[idx_global]
+            first_ok = np.full(len(first), -1, dtype=np.int64)
+            first_ok[key_of_ok[::-1]] = idx_global[::-1]
+            out[nm] = v[first_ok]
+        return pd.DataFrame(out)
+
+    return pairs.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

@@ -371,3 +371,53 @@ def test_winsorize_brute(ray_session):
                            broadcast_max=0).to_pandas() \
         .sort_values("o", ignore_index=True)
     assert (df0["v_wins"].to_numpy() == df["v_wins"].to_numpy()).all()
+
+
+# ------------------------------------------- grouped_weighted_quantiles
+
+
+def test_weighted_quantiles_brute(ray_session):
+    import pandas as pd
+    from prompture_ray.stages.groupstats import \
+        grouped_weighted_quantiles
+    rng = np.random.default_rng(43)
+    n = 700
+    k = rng.integers(0, 12, size=n)
+    v = rng.integers(-50, 50, size=n)
+    w = rng.integers(0, 20, size=n)
+    ds = _ds({"k": pa.array(k, type=pa.int64()),
+              "v": pa.array(v, type=pa.int64()),
+              "w": pa.array(w, type=pa.int64())}, parallelism=5)
+    qs = (0.25, 0.5, 0.9)
+    df = grouped_weighted_quantiles(ds, "k", "v", "w", qs=qs) \
+        .to_pandas().sort_values("k", ignore_index=True)
+    ref = pd.DataFrame({"k": k, "v": v, "w": w})
+    from fractions import Fraction
+    for r in df.itertuples():
+        g = ref[ref["k"] == r.k].groupby("v")["w"].sum().sort_index()
+        W = int(g.sum())
+        assert r.w_total == W
+        cum = g.cumsum()
+        for q, nm in zip(qs, ("q_25", "q_50", "q_90")):
+            f = Fraction(q).limit_denominator(10_000)
+            want = None
+            for val, c in cum.items():
+                if int(c) * f.denominator >= f.numerator * W:
+                    want = val
+                    break
+            assert getattr(r, nm) == want
+    assert set(df["k"]) == set(np.unique(k))
+
+
+def test_weighted_quantiles_hand(ray_session):
+    from prompture_ray.stages.groupstats import \
+        grouped_weighted_quantiles
+    # key 1: values 1 (w=1), 2 (w=1), 10 (w=8): median = 10
+    # (cum at 2 is 2/10 < 5/10); unweighted median would be 2
+    ds = _ds({"k": pa.array([1, 1, 1], type=pa.int64()),
+              "v": pa.array([1, 2, 10], type=pa.int64()),
+              "w": pa.array([1, 1, 8], type=pa.int64())},
+             parallelism=1)
+    df = grouped_weighted_quantiles(ds, "k", "v", "w", qs=(0.5,)) \
+        .to_pandas()
+    assert df["q_50"][0] == 10 and df["w_total"][0] == 10
