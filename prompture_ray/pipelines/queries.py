@@ -8249,6 +8249,128 @@ QUERIES["hourly_delta_events"] = hourly_delta_events
 ORACLE["hourly_delta_events"] = HOURLY_DELTA_SQL
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3-style shipping-priority top-10: revenue per open order
+    of one market segment inside a date window — the canonical
+    selective multi-join (customer ⋉ orders ⋈ lineitem-rollup). Money
+    runs in exact integer revenue units ep_cents·(100−disc_pct) (the
+    q1 cents precedent — no float sums anywhere); top-10 order is
+    (rev_units desc, orderkey asc), a deterministic integer total
+    order. Pipeline: segment custkeys broadcast as a sorted array
+    (semi-join, rows never shuffle); lineitem pre-aggregates revenue
+    per orderkey map-side before its ONE grouped Sum; the order
+    dimension joins back size-aware (broadcast under 20M filtered
+    rows, hash-bucketed equi-join beyond); global top-10 via
+    constant-key partial top-k. GENUINE oracle. OUTSIDE the full
+    50-slot window — locally oracle-PASSed at sf0.01 AND sf0.1."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.analytic import top_k_per_group
+    from prompture_ray.stages.joins import (broadcast_join,
+                                            broadcast_semi_join,
+                                            bucketed_equi_join)
+    cutoff = np.datetime64("1998-06-01", "us")
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = cust.filter(
+        lambda r: r["c_mktsegment"] == "BUILDING").to_pandas()
+    # segment custkeys are dimension-bounded (1/5 of customers) —
+    # broadcast as ONE sorted array; at true scale this stays in the
+    # object store via ray.put inside broadcast_semi_join
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_prep(t: pa.Table) -> pa.Table:
+        keep = pc.less(t["o_orderdate"], pa.scalar(cutoff))
+        t = t.filter(keep)
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "o_date_us": t["o_orderdate"].cast(pa.int64())})
+
+    orders_f = broadcast_semi_join(
+        orders.map_batches(o_prep, batch_format="pyarrow"),
+        ckeys["c_custkey"].to_numpy(), on="o_custkey").materialize()
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+
+    def l_prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cutoff)))
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                          pa.scalar(100.0))),
+                     pa.int64())
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                          pa.scalar(100.0))),
+                     pa.int64())
+        ru = pc.multiply(ep, pc.subtract(pa.scalar(100,
+                                                   type=pa.int64()),
+                                         dc))
+        g = pa.table({"l_orderkey": t["l_orderkey"], "__r": ru}) \
+            .group_by("l_orderkey").aggregate([("__r", "sum")])
+        return pa.table({"l_orderkey": g["l_orderkey"],
+                         "__r": g["__r_sum"].cast(pa.int64())})
+
+    rev = line.map_batches(l_prep, batch_format="pyarrow") \
+        .repartition(128) \
+        .groupby("l_orderkey").aggregate(Sum("__r",
+                                             alias_name="rev_units"))
+
+    if orders_f.count() <= 20_000_000:
+        odf = orders_f.to_pandas()[["o_orderkey", "o_date_us"]]
+        joined = broadcast_join(rev, odf, on="l_orderkey",
+                                right_on="o_orderkey")
+        joined = joined.map_batches(
+            lambda b: b[["l_orderkey", "rev_units", "o_date_us"]],
+            batch_format="pandas")
+    else:
+        joined = bucketed_equi_join(
+            rev, orders_f, key="l_orderkey", right_key="o_orderkey",
+            right_cols=["o_orderkey", "o_date_us"]).map_batches(
+            lambda b: b[["l_orderkey", "rev_units", "o_date_us"]],
+            batch_format="pandas")
+
+    def const(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__one"] = np.int64(0)
+        return b
+
+    top = top_k_per_group(joined.map_batches(const,
+                                             batch_format="pandas"),
+                          "__one", "rev_units", 10,
+                          tie_col="l_orderkey")
+    return top.map_batches(
+        lambda b: b[["l_orderkey", "rev_units", "o_date_us", "rk"]],
+        batch_format="pandas")
+
+
+Q3_SQL = """
+WITH l AS (SELECT l_orderkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS ru
+           FROM lineitem
+           WHERE l_shipdate > TIMESTAMP '1998-06-01'),
+r AS (SELECT l_orderkey, CAST(SUM(ru) AS BIGINT) AS rev_units
+      FROM l GROUP BY l_orderkey),
+o AS (SELECT o_orderkey, epoch_us(o_orderdate) AS o_date_us
+      FROM orders
+      WHERE o_orderdate < TIMESTAMP '1998-06-01'
+        AND o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'BUILDING')),
+j AS (SELECT r.l_orderkey, r.rev_units, o.o_date_us
+      FROM r JOIN o ON r.l_orderkey = o.o_orderkey),
+rk AS (SELECT *, row_number() OVER (ORDER BY rev_units DESC,
+                                    l_orderkey) AS rk
+       FROM j)
+SELECT l_orderkey, rev_units, o_date_us, CAST(rk AS BIGINT) AS rk
+FROM rk WHERE rk <= 10
+"""
+
+QUERIES["q3_shipping_priority"] = q3_shipping_priority
+ORACLE["q3_shipping_priority"] = Q3_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
