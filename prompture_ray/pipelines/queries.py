@@ -8371,6 +8371,84 @@ QUERIES["q3_shipping_priority"] = q3_shipping_priority
 ORACLE["q3_shipping_priority"] = Q3_SQL
 
 
+def region_acctbal_rollup(sf_dir: str):
+    """Snowflake dimension-chain rollup: customer → nation → region
+    denormalized via ONE pre-composed broadcast lookup (the two tiny
+    dimensions merge driver-side into a nationkey→region map shipped
+    once — never two sequential joins over the fact table), then an
+    exact-cents account-balance rollup per region (the q1 cents
+    precedent; avg = one exact-int division). GENUINE oracle.
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.joins import broadcast_join
+    nation = _read(sf_dir, "nation",
+                   ["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _read(sf_dir, "region",
+                   ["r_regionkey", "r_name"]).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]]
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey",
+                                      "c_acctbal"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bal_c = pc.cast(pc.round(pc.multiply(
+            t["c_acctbal"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "c_nationkey": t["c_nationkey"].combine_chunks()
+            .cast(pa.int64()),
+            "bal_c": bal_c})
+
+    dim = dim.rename(columns={"n_nationkey": "c_nationkey"})
+    dim["c_nationkey"] = dim["c_nationkey"].astype("int64")
+    joined = broadcast_join(
+        cust.map_batches(prep, batch_format="pyarrow"), dim,
+        on="c_nationkey")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby("r_name", sort=False).agg(
+            n=("bal_c", "size"), sum_bal_c=("bal_c", "sum"))
+        g = g.reset_index()
+        g["n"] = g["n"].astype("int64")
+        g["sum_bal_c"] = g["sum_bal_c"].astype("int64")
+        return g
+
+    folded = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("r_name").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_bal_c", alias_name="sum_bal_c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        s = t["sum_bal_c"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"r_name": t["r_name"],
+                         "n": pa.array(n, type=pa.int64()),
+                         "sum_bal_c": pa.array(s, type=pa.int64()),
+                         "avg_bal_c": pa.array(s / n,
+                                               type=pa.float64())})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+REGION_ACCTBAL_SQL = """
+SELECT r.r_name, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))
+            AS BIGINT) AS sum_bal_c,
+       CAST(SUM(CAST(round(c.c_acctbal * 100) AS BIGINT))
+            AS DOUBLE) / count(*) AS avg_bal_c
+FROM customer c
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+GROUP BY r.r_name
+"""
+
+QUERIES["region_acctbal_rollup"] = region_acctbal_rollup
+ORACLE["region_acctbal_rollup"] = REGION_ACCTBAL_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
