@@ -8449,6 +8449,80 @@ QUERIES["region_acctbal_rollup"] = region_acctbal_rollup
 ORACLE["region_acctbal_rollup"] = REGION_ACCTBAL_SQL
 
 
+def brand_revenue_lineitem(sf_dir: str):
+    """Fact-to-dimension revenue rollup (TPC-H Q14 family): lineitem
+    revenue per part BRAND — the part dimension broadcasts ONCE as a
+    sorted (partkey → brand-code) array (searchsorted per batch, rows
+    never shuffle); per-batch brand partials fold through one tiny
+    grouped Sum. Revenue in exact integer units (q1 cents precedent).
+    GENUINE oracle. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    import ray
+    from ray.data.aggregate import Sum
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"]).to_pandas()
+    brands = np.sort(part["p_brand"].unique())
+    bcode = {b: i for i, b in enumerate(brands)}
+    pk = part["p_partkey"].to_numpy().astype(np.int64)
+    pc_arr = part["p_brand"].map(bcode).to_numpy().astype(np.int64)
+    order = np.argsort(pk)
+    ref = ray.put((pk[order], pc_arr[order], brands))
+
+    line = _read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, codes, bnames = ray.get(ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, lp)     # FK integrity: all hit
+        code = codes[idx]
+        ep = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                          pa.scalar(100.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        dc = pc.cast(pc.round(pc.multiply(t["l_discount"],
+                                          pa.scalar(100.0))),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        ru = ep * (100 - dc)
+        n = np.bincount(code, minlength=len(bnames)).astype(np.int64)
+        # weighted bincount would sum in float64 — keep the revenue
+        # fold exact int64 via sort + reduceat
+        o = np.argsort(code, kind="mergesort")
+        cs = code[o]
+        rs = ru[o]
+        firsts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        sums = np.add.reduceat(rs, firsts) if len(rs) else \
+            np.empty(0, dtype=np.int64)
+        s_exact = np.zeros(len(bnames), dtype=np.int64)
+        if len(rs):
+            s_exact[cs[firsts]] = sums
+        present = n > 0
+        return pa.table({
+            "p_brand": pa.array(bnames[present], type=pa.string()),
+            "n": pa.array(n[present], type=pa.int64()),
+            "rev_units": pa.array(s_exact[present],
+                                  type=pa.int64())})
+
+    return line.map_batches(partial, batch_format="pyarrow") \
+        .groupby("p_brand").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("rev_units", alias_name="rev_units"))
+
+
+BRAND_REVENUE_SQL = """
+WITH l AS (SELECT l_partkey,
+                  CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                      AS ru
+           FROM lineitem)
+SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(l.ru) AS BIGINT) AS rev_units
+FROM l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY p.p_brand
+"""
+
+QUERIES["brand_revenue_lineitem"] = brand_revenue_lineitem
+ORACLE["brand_revenue_lineitem"] = BRAND_REVENUE_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
