@@ -8523,6 +8523,105 @@ QUERIES["brand_revenue_lineitem"] = brand_revenue_lineitem
 ORACLE["brand_revenue_lineitem"] = BRAND_REVENUE_SQL
 
 
+def fk_audit_all(sf_dir: str):
+    """Whole-schema FK-integrity audit in one report row: orphan
+    counts for lineitem→orders, lineitem→part, orders→customer,
+    customer→nation (the warehouse onboarding check; generalizes the
+    flagship's url-ref check to the relational schema). Each
+    dimension keyset broadcasts ONCE as a sorted array
+    (broadcast_semi_join anti=True — rows never shuffle); beyond
+    ~20M-key dimensions the partitioned referential fallback in
+    validate_pipeline is the documented path. GENUINE oracle (NOT
+    EXISTS counts — all zero on this generator, and the oracle
+    proves exactly that). OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.joins import broadcast_semi_join
+
+    def keyset(table: str, col: str) -> np.ndarray:
+        return _read(sf_dir, table, [col]).to_pandas()[col] \
+            .to_numpy()
+
+    def orphans(fact: str, fk: str, dim: str, pk: str) -> int:
+        ds = _read(sf_dir, fact, [fk])
+        miss = broadcast_semi_join(ds, keyset(dim, pk), on=fk,
+                                   anti=True)
+        return miss.count()
+
+    vals = {
+        "orph_line_orders": orphans("lineitem", "l_orderkey",
+                                    "orders", "o_orderkey"),
+        "orph_line_part": orphans("lineitem", "l_partkey",
+                                  "part", "p_partkey"),
+        "orph_orders_cust": orphans("orders", "o_custkey",
+                                    "customer", "c_custkey"),
+        "orph_cust_nation": orphans("customer", "c_nationkey",
+                                    "nation", "n_nationkey"),
+    }
+    return pa.table({k: pa.array([v], type=pa.int64())
+                     for k, v in vals.items()})
+
+
+FK_AUDIT_SQL = """
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_orderkey = l.l_orderkey))
+      AS orph_line_orders,
+  (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+   WHERE NOT EXISTS (SELECT 1 FROM part p
+                     WHERE p.p_partkey = l.l_partkey))
+      AS orph_line_part,
+  (SELECT CAST(count(*) AS BIGINT) FROM orders o
+   WHERE NOT EXISTS (SELECT 1 FROM customer c
+                     WHERE c.c_custkey = o.o_custkey))
+      AS orph_orders_cust,
+  (SELECT CAST(count(*) AS BIGINT) FROM customer c
+   WHERE NOT EXISTS (SELECT 1 FROM nation n
+                     WHERE n.n_nationkey = c.c_nationkey))
+      AS orph_cust_nation
+"""
+
+QUERIES["fk_audit_all"] = fk_audit_all
+ORACLE["fk_audit_all"] = FK_AUDIT_SQL
+
+
+def hopping_unique_users(sf_dir: str):
+    """Exact distinct users per HOPPING window (2 h window, 1 h hop —
+    each event expands to its two covering windows map-side, then
+    groupstats.exact_nunique; the sliding-dashboard exact-uniques
+    composition). GENUINE oracle: UNION ALL of the two shifted hours
+    + count(DISTINCT). OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.groupstats import exact_nunique
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def expand(t: pa.Table) -> pa.Table:
+        h = pc.divide(t["ts"].cast(pa.int64()), 3_600_000_000) \
+            .to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        w = np.concatenate([h - 1, h])
+        return pa.table({"w": pa.array(w, type=pa.int64()),
+                         "user_id": pa.array(np.concatenate([u, u]),
+                                             type=pa.int64())})
+
+    return exact_nunique(
+        ds.map_batches(expand, batch_format="pyarrow"),
+        "w", "user_id")
+
+
+HOPPING_UNIQUE_SQL = """
+WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id
+           FROM events),
+x AS (SELECT h - 1 AS w, user_id FROM e
+      UNION ALL SELECT h, user_id FROM e)
+SELECT w, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+FROM x GROUP BY w
+"""
+
+QUERIES["hopping_unique_users"] = hopping_unique_users
+ORACLE["hopping_unique_users"] = HOPPING_UNIQUE_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
