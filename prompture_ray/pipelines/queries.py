@@ -8622,6 +8622,69 @@ QUERIES["hopping_unique_users"] = hopping_unique_users
 ORACLE["hopping_unique_users"] = HOPPING_UNIQUE_SQL
 
 
+def path_hierarchy_docs(sf_dir: str):
+    """Site-structure rollup: page counts per (host, first path
+    segment) — the sitemap/crawl-frontier audit (urlnorm.extract_hosts
+    + ONE Arrow regex segment extraction; per-batch partials, one tiny
+    grouped Sum; rows never shuffle). Planted URLs from doc_id
+    (host h{id%7}, section s{id%3}, page p{id}); root pages (id%5==0)
+    carry NO section and roll up under ''. GENUINE-arithmetic oracle.
+    OUTSIDE the full 50-slot window — locally oracle-PASSed at sf0.01
+    AND sf0.1."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.functions.urlnorm import extract_hosts
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        did = t["doc_id"]
+        h = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 7), 7)), pa.string())
+        s3 = pc.cast(pc.subtract(did, pc.multiply(
+            pc.divide(did, 3), 3)), pa.string())
+        p = pc.cast(did, pa.string())
+        k5 = pc.subtract(did, pc.multiply(pc.divide(did, 5), 5))
+        join = pc.binary_join_element_wise
+        url = join("https://h", h, ".example/s", s3, "/p", p, "")
+        url = pc.if_else(pc.equal(k5, 0),
+                         join("https://h", h, ".example/p", p, ""),
+                         url)
+        return pa.table({"url": url})
+
+    def rollup(t: pa.Table) -> pa.Table:
+        host = extract_hosts(t["url"].combine_chunks())
+        seg = pc.extract_regex(
+            t["url"].combine_chunks(),
+            r"^[a-z]+://[^/]+/(?P<seg>[^/]*)/")
+        seg_s = pc.if_else(
+            pc.is_valid(seg),
+            pc.struct_field(seg, "seg"),
+            pa.scalar("", type=pa.string()))
+        g = pa.table({"host": host, "section": seg_s}) \
+            .group_by(["host", "section"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"host": g["host"], "section": g["section"],
+                         "n": g["count_all"].cast(pa.int64())})
+
+    return ds.map_batches(plant, batch_format="pyarrow") \
+        .map_batches(rollup, batch_format="pyarrow") \
+        .groupby(["host", "section"]).aggregate(Sum("n",
+                                                alias_name="n"))
+
+
+PATH_HIERARCHY_SQL = """
+WITH u AS (
+  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              ELSE 's' || CAST(doc_id % 3 AS VARCHAR) END AS section
+  FROM documents)
+SELECT host, section, CAST(count(*) AS BIGINT) AS n
+FROM u GROUP BY host, section
+"""
+
+QUERIES["path_hierarchy_docs"] = path_hierarchy_docs
+ORACLE["path_hierarchy_docs"] = PATH_HIERARCHY_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
