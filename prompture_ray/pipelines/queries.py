@@ -8685,6 +8685,35 @@ QUERIES["path_hierarchy_docs"] = path_hierarchy_docs
 ORACLE["path_hierarchy_docs"] = PATH_HIERARCHY_SQL
 
 
+def skipgram_docs(sf_dir: str):
+    """Skip-gram co-occurrence counts over the REAL text
+    (lm.skipgram_counts, window=3, min_count=20 — word2vec-window
+    corpus statistics; ZERO shuffle before the lexicon-bounded count
+    fold). GENUINE oracle: DuckDB position-zip self-join (the
+    round-3 unnest zip idiom) with the same distance band. Pure
+    integer counting. OUTSIDE the full 50-slot window — locally
+    oracle-PASSed at sf0.01 AND sf0.1."""
+    from prompture_ray.stages.lm import skipgram_counts
+    ds = _read(sf_dir, "documents", ["text"])
+    return skipgram_counts(ds, "text", window=3, min_count=20)
+
+
+SKIPGRAM_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE length(text) > 0),
+pos AS (SELECT doc_id, unnest(t) AS w,
+               unnest(generate_series(1, len(t))) AS i
+        FROM toks)
+SELECT a.w AS w1, b.w AS w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pos a JOIN pos b
+  ON a.doc_id = b.doc_id AND b.i - a.i BETWEEN 1 AND 3
+GROUP BY 1, 2 HAVING count(*) >= 20
+"""
+
+QUERIES["skipgram_docs"] = skipgram_docs
+ORACLE["skipgram_docs"] = SKIPGRAM_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -30,6 +30,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from prompture_ray.functions.sketches import hash64
 from prompture_ray.stages.classify import _flat_tokens
@@ -377,3 +378,57 @@ def top_collocations(ds, text_col: str = "text", k: int = 20,
     folded.insert(0, "rank", np.arange(1, len(folded) + 1,
                                        dtype=np.int64))
     return folded
+
+
+def skipgram_counts(ds, text_col: str = "text", window: int = 4,
+                    min_count: int = 1, normalize: bool = False,
+                    shuffle_blocks: int = 128):
+    """Ordered skip-gram co-occurrence counts ``(w1, w2, cnt)`` —
+    every within-doc token pair at distance 1..``window`` (the
+    word2vec-window corpus statistic; collocations' adjacent bigram is
+    the window=1 special case). Keeps pairs with ``cnt >=
+    min_count``; plain integer counting, SQL replays it with the
+    position-zip self-join idiom.
+
+    Scale shape: ZERO shuffle until the count fold — per batch, the
+    window offsets are ``window`` vectorized shifted-zip passes over
+    the flattened token stream (doc boundaries masked by a cumulative
+    ends test, the bigram kernel generalized), combined into batch
+    partials; the grouped Sum is bounded by the pair lexicon (Heaps ×
+    window). min_count filters AFTER the fold, distributed."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        t, lens, flat = _flat_tokens(t, text_col, normalize)
+        total = len(flat)
+        doc_id = np.repeat(np.arange(len(lens)), lens)
+        lefts, rights = [], []
+        for d in range(1, window + 1):
+            if total <= d:
+                break
+            same = doc_id[:-d] == doc_id[d:]
+            lefts.append(flat[:-d][same])
+            rights.append(flat[d:][same])
+        if lefts:
+            a = np.concatenate(lefts)
+            b = np.concatenate(rights)
+            g = pd.DataFrame({"a": a, "b": b}) \
+                .groupby(["a", "b"], sort=False).size().reset_index()
+            w1 = g["a"].to_numpy()
+            w2 = g["b"].to_numpy()
+            c = g[0].to_numpy().astype(np.int64)
+        else:
+            w1 = w2 = np.empty(0, dtype=object)
+            c = np.empty(0, dtype=np.int64)
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string()),
+                         "cnt": pa.array(c)})
+
+    folded = ds.map_batches(partial, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby(["w1", "w2"]).aggregate(Sum("cnt", alias_name="cnt"))
+    if min_count <= 1:
+        return folded
+    return folded.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)),
+        batch_format="pyarrow")

@@ -192,3 +192,49 @@ def test_top_collocations(ray_session):
     # scores are the exact integer-ratio division
     for _, r in out.iterrows():
         assert r["score"] == r["cnt"] * n / (uni[r["w1"]] * uni[r["w2"]])
+
+
+# ---------------------------------------------------------- skipgrams
+
+
+def test_skipgram_counts_brute(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from collections import Counter
+    from prompture_ray.stages.lm import skipgram_counts
+    rng = np.random.default_rng(47)
+    texts = []
+    for _ in range(120):
+        texts.append(" ".join(
+            f"t{rng.integers(0, 12)}"
+            for _ in range(rng.integers(1, 10))))
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(4)
+    w = 3
+    df = skipgram_counts(ds, "text", window=w).to_pandas()
+    got = {(r.w1, r.w2): r.cnt for r in df.itertuples()}
+    ref = Counter()
+    for t in texts:
+        toks = t.split()
+        for i in range(len(toks)):
+            for j in range(i + 1, min(i + w + 1, len(toks))):
+                ref[(toks[i], toks[j])] += 1
+    assert got == dict(ref)
+    # min_count filter
+    df2 = skipgram_counts(ds, "text", window=w, min_count=5) \
+        .to_pandas()
+    got2 = {(r.w1, r.w2): r.cnt for r in df2.itertuples()}
+    assert got2 == {k: v for k, v in ref.items() if v >= 5}
+
+
+def test_skipgram_window1_equals_bigrams(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+    from prompture_ray.stages.lm import bigram_counts, skipgram_counts
+    texts = ["a b c a b", "c c c", "x"]
+    ds = rd.from_arrow(pa.table({"text": texts})).repartition(2)
+    sg = skipgram_counts(ds, "text", window=1).to_pandas()
+    bg = bigram_counts(ds, "text").to_pandas()
+    a = {(r.w1, r.w2): r.cnt for r in sg.itertuples()}
+    b = {(r.w1, r.w2): r.cnt for r in bg.itertuples()}
+    assert a == b
