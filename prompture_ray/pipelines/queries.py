@@ -8714,6 +8714,130 @@ QUERIES["skipgram_docs"] = skipgram_docs
 ORACLE["skipgram_docs"] = SKIPGRAM_SQL
 
 
+def cusum_events(sf_dir: str):
+    """CUSUM change-point flags per event type (analytic.cusum_flags —
+    Page's test S_t = max(0, S_{t-1} + v − k) via the exact
+    prefix-sum/prefix-min closed form; ONE row shuffle, vectorized
+    cumsum+cummin per partition). Planted v = event_id % 10007,
+    target k = 5003, threshold h = 100000 — all integer-exact both
+    sides. GENUINE oracle: cumulative SUM / MIN window replay."""
+    from prompture_ray.stages.analytic import cusum_flags
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 10007), 10007))
+        tsu = pc.divide(t["ts"].cast(pa.int64()), 1)
+        return pa.table({"event_id": e, "event_type": t["event_type"],
+                         "tsu": tsu.cast(pa.int64()),
+                         "v": v.cast(pa.int64())})
+
+    out = cusum_flags(ds.map_batches(plant, batch_format="pyarrow"),
+                      "event_type", "tsu", "event_id", "v",
+                      target_k=5003, threshold_h=100000)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "cusum", "is_shift"]),
+        batch_format="pyarrow")
+
+
+CUSUM_SQL = """
+WITH t AS (SELECT event_id, event_type, epoch_us(ts) AS tsu,
+                  event_id % 10007 - 5003 AS d
+           FROM events),
+w AS (SELECT event_id, event_type, tsu,
+             CAST(SUM(d) OVER (PARTITION BY event_type
+                               ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS p
+      FROM t),
+m AS (SELECT event_id,
+             p - LEAST(CAST(MIN(p) OVER (PARTITION BY event_type
+                                         ORDER BY tsu, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                            AS BIGINT), 0) AS s
+      FROM w)
+SELECT event_id, CAST(s AS BIGINT) AS cusum, s > 100000 AS is_shift
+FROM m
+"""
+
+QUERIES["cusum_events"] = cusum_events
+ORACLE["cusum_events"] = CUSUM_SQL
+
+
+def fir_smooth_events(sf_dir: str):
+    """Dyadic FIR smoothing per event type (analytic.fir_smooth, 8
+    taps): EWMA-shaped trailing kernel with power-of-two weights so
+    every partial sum is an exact double and the SQL lag() replay is
+    BIT-IDENTICAL with no rounding anywhere (weights sum to exactly 1;
+    the recursive EWMA would accumulate unbounded fractional bits and
+    stop being oracle-checkable). Planted v = event_id % 10007.
+    GENUINE oracle: 7 lag() terms with the same dyadic constants."""
+    from prompture_ray.stages.analytic import fir_smooth
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 10007), 10007))
+        return pa.table({"event_id": e, "event_type": t["event_type"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "v": v.cast(pa.int64())})
+
+    out = fir_smooth(ds.map_batches(plant, batch_format="pyarrow"),
+                     "event_type", "tsu", "event_id", "v", taps=8)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "v", "fir"]),
+        batch_format="pyarrow")
+
+
+FIR_SMOOTH_SQL = """
+WITH t AS (SELECT event_id, event_type, epoch_us(ts) AS tsu,
+                  event_id % 10007 AS v
+           FROM events),
+l AS (SELECT event_id, v,
+             lag(v, 1) OVER w AS l1, lag(v, 2) OVER w AS l2,
+             lag(v, 3) OVER w AS l3, lag(v, 4) OVER w AS l4,
+             lag(v, 5) OVER w AS l5, lag(v, 6) OVER w AS l6,
+             lag(v, 7) OVER w AS l7
+      FROM t
+      WINDOW w AS (PARTITION BY event_type ORDER BY tsu, event_id))
+SELECT event_id, CAST(v AS BIGINT) AS v,
+       CASE WHEN l7 IS NULL THEN NULL
+            ELSE v * 0.5 + l1 * 0.25 + l2 * 0.125 + l3 * 0.0625
+                 + l4 * 0.03125 + l5 * 0.015625 + l6 * 0.0078125
+                 + l7 * 0.0078125 END AS fir
+FROM l
+"""
+
+QUERIES["fir_smooth_events"] = fir_smooth_events
+ORACLE["fir_smooth_events"] = FIR_SMOOTH_SQL
+
+
+def ntile_events(sf_dir: str):
+    """NTILE(7) per event type over the unique event_id order
+    (analytic.ntile_by_key — ANSI fill: first n mod k tiles take one
+    extra row; assignment is the exact integer formula, one row
+    shuffle). Unique order values by construction (event_id) so the
+    result is tie-order-free. GENUINE oracle: DuckDB ntile(7) —
+    verified to use the standard fill."""
+    from prompture_ray.stages.analytic import ntile_by_key
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+    out = ntile_by_key(ds, "event_type", "event_id", 7)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "tile"]),
+        batch_format="pyarrow")
+
+
+NTILE_SQL = """
+SELECT event_id,
+       CAST(ntile(7) OVER (PARTITION BY event_type ORDER BY event_id)
+            AS BIGINT) AS tile
+FROM events
+"""
+
+QUERIES["ntile_events"] = ntile_events
+ORACLE["ntile_events"] = NTILE_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -697,3 +697,160 @@ def rolling_anomaly(ds, key_col: str, ts_col: str, tie_col: str,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def cusum_flags(ds, key_col: str, ts_col: str, tie_col: str,
+                val_col: str, target_k: int, threshold_h: int,
+                n_parts: int = 64, shuffle_blocks: int = 128):
+    """One-sided CUSUM change-point detection per key WITHOUT floats:
+    the classic recursive statistic ``S_t = max(0, S_{t-1} + v_t − k)``
+    (Page's test; S_0 = 0) flags a sustained upward shift of the series
+    above target ``k`` when ``S_t > h``. The recursion is NOT a prefix
+    sum, but it has an exact closed form over prefix sums
+
+        S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} (v_i − k)
+
+    so the per-partition pass is one ``cumsum`` + one ``cummin`` —
+    fully vectorized, integer-exact (caller contract: Σ|v−k| per key
+    < 2^63), and bit-identically replayable in SQL as
+    ``SUM(v−k) OVER (...)`` and ``MIN(P) OVER (...)``. Appends ``cusum``
+    (= S_t) and ``is_shift`` (S_t > h).
+
+    Reference analogue: the carried-accumulator walk of
+    prompture/extraction/streaming.py:215-306 (running state per
+    stream); this is that walk as a distributed analytic with the
+    max-recursion algebraically removed.
+
+    Scale shape: the lag_shift pattern — ONE hash64(key) % n_parts row
+    shuffle (a key's whole history lands in one partition), one
+    vectorized sort + grouped cumsum/cummin pandas pass per partition;
+    ``shuffle_blocks`` bounds the groupby's input block count."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        d = g[val_col].to_numpy().astype(np.int64) - int(target_k)
+        grp = g.assign(__d=d).groupby(key_col, sort=False)["__d"]
+        p = grp.cumsum().to_numpy().astype(np.int64)
+        m = g.assign(__p=p).groupby(key_col, sort=False)["__p"] \
+            .cummin().to_numpy().astype(np.int64)
+        s = p - np.minimum(m, 0)
+        out = g.drop(columns=["__pb"])
+        out["cusum"] = s
+        out["is_shift"] = s > int(threshold_h)
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def fir_smooth(ds, key_col: str, ts_col: str, tie_col: str,
+               val_col: str, taps: int = 8, n_parts: int = 64,
+               shuffle_blocks: int = 128):
+    """Exponentially-shaped FIR smoothing per key with DYADIC weights —
+    the exactness-preserving stand-in for a recursive EWMA (whose state
+    accumulates unbounded fractional bits and stops being
+    SQL-replayable): the smoothed value over the trailing ``taps`` rows
+    is
+
+        y_t = v_t/2 + v_{t−1}/4 + … + v_{t−taps+2}/2^{taps−1}
+              + v_{t−taps+1}/2^{taps−1}
+
+    (last weight repeated so the kernel sums to EXACTLY 1). Every term
+    is an exact dyadic double (weights are powers of two; integer
+    values keep < 53 significant bits for |v| < 2^{53−taps}), so every
+    intermediate partial sum is exact and the result is bit-identical
+    to a SQL ``lag()`` replay in ANY association order. Rows with fewer
+    than ``taps−1`` predecessors in their key get a null ``fir``.
+    Appends ``fir``.
+
+    Built on :func:`lag_shift` (one row shuffle, vectorized grouped
+    shift per partition); the weighted combine is a pure numpy pass."""
+    if taps < 2:
+        raise ValueError("fir_smooth: taps must be >= 2")
+    shifts = tuple(range(1, taps))
+    lagged = lag_shift(ds, key_col, ts_col, tie_col, [val_col],
+                       shifts=shifts, n_parts=n_parts,
+                       shuffle_blocks=shuffle_blocks)
+
+    def finish(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        v = t[val_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        y = v * 0.5
+        ok = np.ones(n, dtype=bool)
+        for j in shifts:
+            col = t[f"{val_col}_lag{j}"].combine_chunks()
+            valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+            ok &= valid
+            lv = col.to_numpy(zero_copy_only=False)
+            w = 2.0 ** -(j + 1) if j < taps - 1 else 2.0 ** -(taps - 1)
+            lvf = np.where(valid, lv, 0).astype(np.float64)
+            y = y + lvf * w
+        drop = [f"{val_col}_lag{j}" for j in shifts]
+        out = t.drop_columns(drop)
+        return out.append_column(
+            "fir", pa.array(np.where(ok, y, np.nan), type=pa.float64(),
+                            mask=~ok))
+
+    return lagged.map_batches(finish, batch_format="pyarrow")
+
+
+def ntile_by_key(ds, key_col: str, order_col: str, n_tiles: int,
+                 n_parts: int = 64, shuffle_blocks: int = 128):
+    """SQL ``NTILE(n)`` per key: rows of each key are ranked by
+    ``order_col`` and dealt into ``n_tiles`` buckets, the first
+    ``n mod k`` buckets taking one extra row (the ANSI fill). With
+    ``q = n // k`` and ``r = n mod k`` the bucket of 1-based row-number
+    ``rn`` is the exact integer formula
+
+        rn ≤ r·(q+1)  →  (rn−1) // (q+1) + 1
+        otherwise     →  r + (rn−1−r·(q+1)) // q + 1
+
+    Caller contract: ``order_col`` values are DISTINCT within a key
+    (plant a unique tie-breaker otherwise) — NTILE over ties is
+    tie-order-dependent and not oracle-checkable. Appends ``tile``.
+
+    Scale shape: the lag_shift pattern — one hash64(key) % n_parts row
+    shuffle, one vectorized sort + grouped cumcount/size pass per
+    partition."""
+    from prompture_ray.functions.sketches import hash64
+    k = int(n_tiles)
+    if k < 1:
+        raise ValueError("ntile_by_key: n_tiles must be >= 1")
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, order_col],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False)
+        rn = grp.cumcount().to_numpy().astype(np.int64) + 1
+        n = grp[order_col].transform("size").to_numpy() \
+            .astype(np.int64)
+        q, r = n // k, n % k
+        head = rn <= r * (q + 1)
+        tile = np.where(
+            head, (rn - 1) // np.maximum(q + 1, 1) + 1,
+            r + (rn - 1 - r * (q + 1)) // np.maximum(q, 1) + 1)
+        out = g.drop(columns=["__pb"])
+        out["tile"] = tile.astype(np.int64)
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

@@ -246,3 +246,71 @@ def test_pivot_counts_matches_pandas(ray_session):
                            aggfunc="sum", fill_value=0)
     for c in ["a", "b", "c"]:
         assert (out2[f"n_{c}"] == want2[c]).all()
+
+
+def test_cusum_matches_bruteforce(ray_session):
+    from prompture_ray.stages.analytic import cusum_flags
+    rng = np.random.default_rng(7)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 17, n),
+        "ts": rng.integers(0, 10**6, n),
+        "tie": np.arange(n, dtype="int64"),
+        "v": rng.integers(0, 100, n).astype("int64"),
+    })
+    out = cusum_flags(_mk(df), "k", "ts", "tie", "v",
+                      target_k=50, threshold_h=200) \
+        .to_pandas().sort_values(["k", "ts", "tie"]) \
+        .reset_index(drop=True)
+    # brute-force recursive replay
+    got = out["cusum"].tolist()
+    brute = []
+    for k, g in df.sort_values(["k", "ts", "tie"]).groupby("k"):
+        s = 0
+        for v in g["v"]:
+            s = max(0, s + int(v) - 50)
+            brute.append(s)
+    # out is sorted (k, ts, tie) and groupby("k") iterates sorted keys
+    assert got == brute
+    assert out["is_shift"].tolist() == [s > 200 for s in brute]
+
+
+def test_fir_smooth_hand_values(ray_session):
+    from prompture_ray.stages.analytic import fir_smooth
+    df = pd.DataFrame({
+        "k": [1] * 5 + [2] * 2,
+        "ts": list(range(5)) + [0, 1],
+        "tie": list(range(7)),
+        "v": np.array([8, 16, 24, 32, 40, 4, 8], dtype="int64"),
+    })
+    out = fir_smooth(_mk(df), "k", "ts", "tie", "v", taps=4) \
+        .to_pandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    fir = out["fir"].tolist()
+    # taps=4 weights: 1/2, 1/4, 1/8, 1/8 — first 3 rows of k=1 null
+    assert all(np.isnan(x) for x in fir[:3])
+    assert fir[3] == 32 / 2 + 24 / 4 + 16 / 8 + 8 / 8
+    assert fir[4] == 40 / 2 + 32 / 4 + 24 / 8 + 16 / 8
+    assert all(np.isnan(x) for x in fir[5:])
+
+
+def test_ntile_matches_standard_fill(ray_session):
+    from prompture_ray.stages.analytic import ntile_by_key
+    rng = np.random.default_rng(11)
+    rows = []
+    for k, n in [(1, 10), (2, 7), (3, 3), (4, 1), (5, 4)]:
+        vs = rng.permutation(1000 + np.arange(n))
+        rows += [(k, int(v)) for v in vs]
+    df = pd.DataFrame(rows, columns=["k", "v"])
+    out = ntile_by_key(_mk(df), "k", "v", 4) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+
+    def std_ntile(n, k):
+        q, r = divmod(n, k)
+        tiles = []
+        for b in range(1, k + 1):
+            tiles += [b] * (q + (1 if b <= r else 0))
+        return tiles
+
+    for k, n in [(1, 10), (2, 7), (3, 3), (4, 1), (5, 4)]:
+        got = out[out["k"] == k]["tile"].tolist()
+        assert got == std_ntile(n, 4), (k, got)
