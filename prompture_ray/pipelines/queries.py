@@ -8838,6 +8838,109 @@ QUERIES["ntile_events"] = ntile_events
 ORACLE["ntile_events"] = NTILE_SQL
 
 
+def rake_keywords_docs(sf_dir: str):
+    """Corpus RAKE keyword table (stages/keywords.py — phrases are
+    maximal non-stopword runs; freq/deg are integer grouped sums,
+    score = deg/freq is ONE exact-int division, bit-identical to SQL).
+    GENUINE oracle over the REAL text column: gaps-and-islands phrase
+    segmentation (i − row_number() among non-stopwords) + plen window
+    count."""
+    from prompture_ray.stages.keywords import rake_word_scores
+    ds = _read(sf_dir, "documents", ["text"])
+    return rake_word_scores(ds, "text", stopwords=("the", "a"),
+                            min_freq=5)
+
+
+RAKE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE length(text) > 0),
+pos AS (SELECT doc_id, unnest(t) AS w,
+               unnest(generate_series(1, len(t))) AS i
+        FROM toks),
+ns AS (SELECT doc_id, w, i,
+              i - row_number() OVER (PARTITION BY doc_id ORDER BY i)
+                  AS isl
+       FROM pos WHERE w NOT IN ('the', 'a')),
+ph AS (SELECT w,
+              CAST(count(*) OVER (PARTITION BY doc_id, isl) AS BIGINT)
+                  AS plen
+       FROM ns)
+SELECT w AS word, CAST(count(*) AS BIGINT) AS freq,
+       CAST(SUM(plen) AS BIGINT) AS deg,
+       CAST(SUM(plen) AS DOUBLE) / count(*) AS score
+FROM ph GROUP BY w HAVING count(*) >= 5
+"""
+
+QUERIES["rake_keywords_docs"] = rake_keywords_docs
+ORACLE["rake_keywords_docs"] = RAKE_SQL
+
+
+def markov_transitions_events(sf_dir: str):
+    """First-order Markov transition table over per-user event
+    sequences (userpath.transition_counts — lag_shift lead pairs, one
+    narrow |types|² count shuffle; prob = cnt / from-total is ONE
+    exact-int division). GENUINE oracle: lead() OVER (PARTITION BY
+    user ORDER BY ts, event_id) + two grouped folds."""
+    from prompture_ray.stages.userpath import transition_counts
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    return transition_counts(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        "user_id", "tsu", "event_id", "event_type")
+
+
+MARKOV_SQL = """
+WITH l AS (SELECT event_type AS a,
+                  lead(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS b
+           FROM events),
+c AS (SELECT a AS from_type, b AS to_type,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM l WHERE b IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT from_type, CAST(SUM(cnt) AS BIGINT) AS tot
+      FROM c GROUP BY 1)
+SELECT c.from_type, c.to_type, c.cnt,
+       CAST(c.cnt AS DOUBLE) / t.tot AS prob
+FROM c JOIN t USING (from_type)
+"""
+
+QUERIES["markov_transitions_events"] = markov_transitions_events
+ORACLE["markov_transitions_events"] = MARKOV_SQL
+
+
+def benford_digits_docs(sf_dir: str):
+    """Leading-digit (Benford) profile of document lengths per
+    language (stats.leading_digit_counts — decimal-string first digit,
+    no log10; prop = cnt/total is ONE exact-int division). GENUINE
+    oracle: substr(CAST(n_chars AS VARCHAR), 1, 1) + two grouped
+    folds."""
+    from prompture_ray.stages.stats import leading_digit_counts
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return leading_digit_counts(ds, "n_chars", "lang")
+
+
+BENFORD_SQL = """
+WITH d AS (SELECT lang AS grp,
+                  substr(CAST(n_chars AS VARCHAR), 1, 1) AS digit
+           FROM documents WHERE n_chars > 0),
+c AS (SELECT grp, digit, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY 1, 2),
+t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS tot FROM c GROUP BY 1)
+SELECT c.grp, c.digit, c.cnt, CAST(c.cnt AS DOUBLE) / t.tot AS prop
+FROM c JOIN t USING (grp)
+"""
+
+QUERIES["benford_digits_docs"] = benford_digits_docs
+ORACLE["benford_digits_docs"] = BENFORD_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -148,3 +148,68 @@ def retention_cohorts(ds, user_col: str, ts_col: str,
         .groupby("__pb").map_groups(fold, batch_format="pandas")
     return partials.groupby(["cohort_day", "day_offset"]) \
         .aggregate(Sum("users", alias_name="users"))
+
+
+def transition_counts(ds, user_col: str, ts_col: str, tie_col: str,
+                      type_col: str, n_parts: int = 64,
+                      shuffle_blocks: int = 128):
+    """First-order Markov transition table over per-user event
+    sequences: one row per (from_type, to_type) ordered-adjacent pair
+    (by ``ts_col``, ``tie_col`` within a user) with ``cnt`` and
+    ``prob = cnt / Σ cnt over from_type`` — the maximum-likelihood
+    transition probability. ``prob`` is ONE correctly-rounded double
+    division of exact int64 counts on both engine and SQL sides
+    (bit-identical, no rounding — the tf/df precedent).
+
+    Reference analogue: the ordered per-stream walk of
+    prompture/extraction/streaming.py diffs each record against its
+    predecessor; this is that adjacent-pair primitive folded into
+    corpus statistics.
+
+    Scale shape: the lag_shift pattern (ONE hash64(user) % n_parts row
+    shuffle, vectorized grouped shift per partition) emits only the
+    bounded (from, to) pair partials; the |types|²-sized count table
+    takes one narrow grouped shuffle, and the per-from totals are a
+    second grouped fold of that TINY table (never a re-scan of the
+    events)."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.stages.analytic import lag_shift
+
+    lead = lag_shift(ds, user_col, ts_col, tie_col, [type_col],
+                     shifts=(-1,), n_parts=n_parts,
+                     shuffle_blocks=shuffle_blocks)
+
+    def pairs(t: pa.Table) -> pa.Table:
+        nxt = t[f"{type_col}_lead1"]
+        if isinstance(nxt, pa.ChunkedArray):
+            nxt = nxt.combine_chunks()
+        ok = pc.is_valid(nxt).to_numpy(zero_copy_only=False)
+        a = np.asarray(t[type_col].to_pylist(), dtype=object)[ok]
+        b = np.asarray(nxt.to_pylist(), dtype=object)[ok]
+        if not len(a):
+            return pa.table({
+                "from_type": pa.array([], type=pa.string()),
+                "to_type": pa.array([], type=pa.string()),
+                "cnt": pa.array([], type=pa.int64())})
+        g = pd.DataFrame({"a": a, "b": b}) \
+            .groupby(["a", "b"], sort=False).size().reset_index()
+        return pa.table({
+            "from_type": pa.array(g["a"].to_numpy(), type=pa.string()),
+            "to_type": pa.array(g["b"].to_numpy(), type=pa.string()),
+            "cnt": pa.array(g[0].to_numpy().astype(np.int64))})
+
+    counts = lead.map_batches(pairs, batch_format="pyarrow") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("cnt", alias_name="cnt"))
+
+    def probs(g: pd.DataFrame) -> pd.DataFrame:
+        tot = int(g["cnt"].sum())
+        g = g.copy()
+        g["cnt"] = g["cnt"].astype("int64")
+        g["prob"] = g["cnt"].to_numpy(dtype=np.int64) / float(tot)
+        return g
+
+    # |types|² rows: the per-from normalization is a fold of the tiny
+    # count table itself (a grouped pass per from_type is bounded)
+    return counts.groupby("from_type") \
+        .map_groups(probs, batch_format="pandas")
