@@ -8941,6 +8941,58 @@ QUERIES["benford_digits_docs"] = benford_digits_docs
 ORACLE["benford_digits_docs"] = BENFORD_SQL
 
 
+def set_similarity_docs(sf_dir: str):
+    """EXACT all-pairs set-similarity join (stages/setjoin.py —
+    prefix + length filtering per PPJoin, distributed intersection
+    recount, pure-int threshold test; the deterministic complement to
+    the probabilistic MinHash path). PLANTED token sets: doc_id → 16
+    consecutive ints starting at (doc_id//4)·32 + (doc_id%4)·4, so
+    within a 4-doc group adjacent members overlap 12/20 (J = 0.6 ≥ ½)
+    and farther members 8/24, 4/28 (< ½) — the kept set is closed-form
+    AND the oracle recomputes it GENUINELY via a bounded SQL self-join
+    on the same planted sets (every token lives in ≤ 4 docs). jaccard
+    = inter/union is one exact-int division — bit-identical."""
+    from fractions import Fraction
+    from prompture_ray.stages.setjoin import set_similarity_join
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].cast(pa.int64())
+        base = pc.add(
+            pc.multiply(pc.divide(d, 4), 32),
+            pc.multiply(pc.subtract(d, pc.multiply(pc.divide(d, 4), 4)),
+                        4))
+        parts = [pc.cast(pc.add(base, j), pa.string())
+                 for j in range(16)]
+        text = pc.binary_join_element_wise(*parts, " ")
+        return pa.table({"doc_id": d, "text": text})
+
+    out = set_similarity_join(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "doc_id", "text", Fraction(1, 2))
+    return out
+
+
+SET_SIMILARITY_SQL = """
+WITH d AS (SELECT doc_id,
+                  (doc_id // 4) * 32 + (doc_id % 4) * 4 AS lo
+           FROM documents),
+s AS (SELECT doc_id, lo + unnest(generate_series(0, 15)) AS v
+      FROM d),
+i AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM s a JOIN s b ON a.v = b.v AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+SELECT a, b, inter, CAST(16 AS BIGINT) AS size_a,
+       CAST(16 AS BIGINT) AS size_b,
+       CAST(inter AS DOUBLE) / (32 - inter) AS jaccard
+FROM i WHERE inter * 2 >= 32 - inter
+"""
+
+QUERIES["set_similarity_docs"] = set_similarity_docs
+ORACLE["set_similarity_docs"] = SET_SIMILARITY_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -1,0 +1,283 @@
+"""Exact all-pairs set-similarity join (Jaccard ≥ τ) with prefix
+filtering — the PPJoin family (Xiao et al., "Efficient Similarity
+Joins for Near Duplicate Detection", WWW 2008 — public algorithm),
+re-expressed as Ray Data stages.
+
+Guarantee: EXACT results (every pair with token-set Jaccard ≥ τ, no
+misses, no extras) — unlike the MinHash path (stages/dedup.py), which
+is probabilistic. The pruning stack is the classic one:
+
+- **prefix filter**: order every doc's tokens by one global total
+  order (df-ascending → rarest first, falling back to plain token
+  order when the lexicon exceeds ``broadcast_max``; ANY total order is
+  correct, df-ascending just prunes best). If J(A,B) ≥ τ the two
+  prefixes of length ``|X| − ⌈τ·|X|⌉ + 1`` MUST share a token, so only
+  prefix postings enter candidate generation.
+- **length filter**: J(A,B) ≥ τ ⇒ τ·max(|A|,|B|) ≤ min(|A|,|B|) —
+  applied vectorized at pair-emission time.
+- **exact verify**: |A∩B| recomputed distributively for candidate ids
+  only (the MinHash stage-2 precedent), threshold test
+  ``inter·den ≥ num·(|A|+|B|−inter)`` in pure int64, and the reported
+  ``jaccard = inter/union`` is ONE correctly-rounded double division
+  of exact ints — bit-identical to a SQL replay.
+
+Scale shape: tokenization/prefix selection are per-batch vectorized
+passes (text never shuffles); df is one narrow lexicon-bounded
+shuffle; candidate generation and intersection counting are each ONE
+hash64(token) % P row shuffle with a single vectorized
+sort + run-boundary + arithmetic pair-expansion pass per partition
+(itemsets.pairs_within_sorted_groups — no Python loop, no frame per
+token). The verify stage broadcasts only the candidate-id and
+candidate-pair arrays (O(candidates), enforced by ``candidate_max``
+with an actionable error — at web scale raise τ or use
+dedup_shingle's MinHash path for recall-bounded discovery first).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from prompture_ray.functions.sketches import hash64
+from prompture_ray.stages.itemsets import pairs_within_sorted_groups
+
+_EMPTY_PAIRS = pd.DataFrame({
+    "a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"),
+    "na": pd.Series(dtype="int64"), "nb": pd.Series(dtype="int64")})
+
+
+def _tok_sets(t: pa.Table, id_col: str, text_col: str):
+    """Per-row DISTINCT whitespace tokens → (ids-per-token, flat
+    tokens, set size per token, row set sizes). Vectorized: one split,
+    one pandas drop_duplicates over (row, token)."""
+    arr = t[text_col]
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    arr = pc.fill_null(arr, "")
+    toks = pc.utf8_split_whitespace(arr)
+    lens = pc.list_value_length(toks).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    flat = np.asarray(pc.list_flatten(toks).to_pylist(), dtype=object)
+    ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    rid = np.repeat(ids, lens)
+    df = pd.DataFrame({"id": rid, "tok": flat}).drop_duplicates()
+    return df
+
+
+def set_similarity_join(ds, id_col: str, text_col: str,
+                        threshold: float | Fraction, *,
+                        broadcast_max: int = 20_000_000,
+                        candidate_max: int = 5_000_000,
+                        rows_per_part: int = 500_000):
+    """All pairs (a < b) of rows whose whitespace token SETS have
+    Jaccard ≥ ``threshold``; returns columns (a, b, inter, size_a,
+    size_b, jaccard). ``threshold`` is taken as an exact rational
+    (float inputs like 0.5 convert exactly; pass a Fraction for
+    non-dyadic rates) so the threshold test is pure int64.
+
+    Caller contract: ``id_col`` values are distinct, non-negative and
+    < 2^31 (the packed pair-key filter; ids beyond that → pre-map ids,
+    as dedup's namespacing queries do)."""
+    frac = Fraction(threshold).limit_denominator(10**9) \
+        if not isinstance(threshold, Fraction) else threshold
+    num, den = frac.numerator, frac.denominator
+    if not (0 < frac <= 1):
+        raise ValueError("set_similarity_join: threshold in (0, 1]")
+    from ray.data.aggregate import Count, Sum
+    import ray
+
+    # ---- postings: distinct (id, token) + per-id set size ----------
+    def postings(t: pa.Table) -> pa.Table:
+        df = _tok_sets(t, id_col, text_col)
+        n = df.groupby("id", sort=False)["tok"].transform("size") \
+            .to_numpy().astype(np.int64)
+        return pa.table({
+            "id": pa.array(df["id"].to_numpy()),
+            "tok": pa.array(df["tok"].to_numpy(), type=pa.string()),
+            "n": pa.array(n)})
+
+    posts = ds.map_batches(postings, batch_format="pyarrow") \
+        .materialize()
+
+    # ---- global token order: df-ascending when the lexicon fits ----
+    dft = posts.groupby("tok").aggregate(Count(alias_name="df")) \
+        .materialize()
+    lex_rows = dft.count()
+    if lex_rows <= broadcast_max:
+        lt = pa.concat_tables(
+            [b for b in dft.iter_batches(batch_format="pyarrow")],
+            promote_options="default")
+        toks = np.asarray(lt["tok"].to_pylist(), dtype=object)
+        dfs = lt["df"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.argsort(toks, kind="mergesort")
+        lex_ref = ray.put((toks[order], dfs[order]))
+    else:
+        lex_ref = None  # plain token order — still a total order
+
+    # ---- prefix postings -------------------------------------------
+    def prefix(t: pa.Table) -> pa.Table:
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        tok = np.asarray(t["tok"].to_pylist(), dtype=object)
+        n = t["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        if lex_ref is not None:
+            stoks, sdfs = ray.get(lex_ref)
+            pos = np.searchsorted(stoks, tok)
+            key = sdfs[pos]
+        else:
+            key = np.zeros(len(tok), dtype=np.int64)
+        d = pd.DataFrame({"id": ids, "tok": tok, "n": n, "k": key})
+        d = d.sort_values(["id", "k", "tok"], kind="mergesort",
+                          ignore_index=True)
+        # position within id run
+        idv = d["id"].to_numpy()
+        new = np.r_[True, idv[1:] != idv[:-1]]
+        starts = np.flatnonzero(new)
+        runlen = np.diff(np.r_[starts, len(d)])
+        posi = np.arange(len(d), dtype=np.int64) \
+            - np.repeat(starts, runlen)
+        nn = d["n"].to_numpy()
+        p = nn - (num * nn + den - 1) // den + 1
+        keep = posi < p
+        out = d[keep]
+        return pa.table({
+            "id": pa.array(out["id"].to_numpy()),
+            "tok": pa.array(out["tok"].to_numpy(), type=pa.string()),
+            "n": pa.array(out["n"].to_numpy())})
+
+    pref = posts.map_batches(prefix, batch_format="pyarrow")
+
+    # ---- candidate pairs: one token-hash shuffle --------------------
+    n_posts = posts.count()
+    n_parts = int(max(64, np.ceil(n_posts / rows_per_part)))
+
+    def tag(t: pa.Table) -> pa.Table:
+        tok = np.asarray(t["tok"].to_pylist(), dtype=object)
+        pb = (hash64(tok) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb))
+
+    def pair_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _EMPTY_PAIRS
+        g = g.sort_values(["tok", "id"], kind="mergesort",
+                          ignore_index=True)
+        tk = g["tok"].to_numpy()
+        diff = np.r_[True, tk[1:] != tk[:-1]]
+        starts = np.flatnonzero(diff)
+        sizes = np.diff(np.r_[starts, len(g)])
+        li, ri = pairs_within_sorted_groups(sizes)
+        if not len(li):
+            return _EMPTY_PAIRS
+        ids = g["id"].to_numpy()
+        ns = g["n"].to_numpy()
+        a, b = ids[li], ids[ri]
+        na, nb = ns[li], ns[ri]
+        # length filter: min·den ≥ max·num (ids sorted within run, but
+        # sizes arbitrary)
+        mn, mx = np.minimum(na, nb), np.maximum(na, nb)
+        ok = mn * den >= mx * num
+        return pd.DataFrame({"a": a[ok], "b": b[ok],
+                             "na": na[ok], "nb": nb[ok]})
+
+    cand = pref.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(pair_part, batch_format="pandas")
+    pairs = cand.groupby(["a", "b"]).aggregate(
+        Sum("na", alias_name="sna"), Sum("nb", alias_name="snb"),
+        Count(alias_name="dup")).materialize()
+    n_pairs = pairs.count()
+    if n_pairs > candidate_max:
+        raise ValueError(
+            f"set_similarity_join: {n_pairs} candidate pairs exceed "
+            f"candidate_max={candidate_max}; raise the threshold or "
+            "pre-bucket with dedup_shingle (MinHash) first")
+
+    # ---- broadcast candidate ids + packed pair keys ------------------
+    pt = pa.concat_tables(
+        [b for b in pairs.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    pa_ = pt["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+    pb_ = pt["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dup = pt["dup"].to_numpy(zero_copy_only=False).astype(np.int64)
+    na_ = pt["sna"].to_numpy(zero_copy_only=False) // np.maximum(dup, 1)
+    nb_ = pt["snb"].to_numpy(zero_copy_only=False) // np.maximum(dup, 1)
+    if len(pa_) and (pa_.max() >= 2**31 or pb_.max() >= 2**31
+                     or pa_.min() < 0):
+        raise ValueError("set_similarity_join: ids must be in "
+                         "[0, 2^31) — pre-map ids first")
+    pk = (pa_ << np.int64(32)) | pb_
+    order = np.argsort(pk, kind="mergesort")
+    pk = pk[order]
+    size_a, size_b = na_[order], nb_[order]
+    cids = np.unique(np.r_[pa_, pb_])
+    bc = ray.put((cids, pk))
+
+    # ---- intersection counts for candidate ids only ------------------
+    _empty_abc = pd.DataFrame({"a": pd.Series(dtype="int64"),
+                               "b": pd.Series(dtype="int64"),
+                               "c": pd.Series(dtype="int64")})
+
+    def cand_only(t: pa.Table) -> pa.Table:
+        cid, _ = ray.get(bc)
+        ids = t["id"].to_numpy(zero_copy_only=False)
+        hit = np.zeros(len(ids), dtype=bool)
+        if len(cid):
+            pos = np.searchsorted(cid, ids)
+            in_rng = pos < len(cid)
+            hit[in_rng] = cid[pos[in_rng]] == ids[in_rng]
+        return t.filter(pa.array(hit))
+
+    def inter_part(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return _empty_abc
+        _, pks = ray.get(bc)
+        g = g.sort_values(["tok", "id"], kind="mergesort",
+                          ignore_index=True)
+        tk = g["tok"].to_numpy()
+        diff = np.r_[True, tk[1:] != tk[:-1]]
+        starts = np.flatnonzero(diff)
+        sizes = np.diff(np.r_[starts, len(g)])
+        li, ri = pairs_within_sorted_groups(sizes)
+        if not len(li):
+            return _empty_abc
+        ids = g["id"].to_numpy().astype(np.int64)
+        a, b = ids[li], ids[ri]
+        key = (a << np.int64(32)) | b
+        pos = np.searchsorted(pks, key)
+        ok = np.zeros(len(key), dtype=bool)
+        in_rng = pos < len(pks)
+        ok[in_rng] = pks[pos[in_rng]] == key[in_rng]
+        d = pd.DataFrame({"a": a[ok], "b": b[ok]})
+        out = d.groupby(["a", "b"], sort=False).size().rename("c") \
+            .reset_index()
+        out["c"] = out["c"].astype("int64")
+        return out
+
+    inter = posts.map_batches(cand_only, batch_format="pyarrow") \
+        .map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(inter_part, batch_format="pandas") \
+        .groupby(["a", "b"]).aggregate(Sum("c", alias_name="inter"))
+
+    # ---- exact threshold + jaccard -----------------------------------
+    def finish(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["inter"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        key = (a << np.int64(32)) | b
+        pos = np.searchsorted(pk, key)
+        sa, sb = size_a[pos], size_b[pos]
+        union = sa + sb - c
+        keep = c * den >= num * union
+        return pa.table({
+            "a": pa.array(a[keep]), "b": pa.array(b[keep]),
+            "inter": pa.array(c[keep]),
+            "size_a": pa.array(sa[keep]),
+            "size_b": pa.array(sb[keep]),
+            "jaccard": pa.array(c[keep].astype(np.float64)
+                                / union[keep])})
+
+    return inter.map_batches(finish, batch_format="pyarrow")
