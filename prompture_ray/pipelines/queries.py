@@ -8993,6 +8993,37 @@ QUERIES["set_similarity_docs"] = set_similarity_docs
 ORACLE["set_similarity_docs"] = SET_SIMILARITY_SQL
 
 
+def gini_docs(sf_dir: str):
+    """Per-language Gini coefficient of document length
+    (groupstats.gini_by_key — corpus-concentration audit; Σ rank·x via
+    the distinct-cell fold, one narrow shuffle; numerator/denominator
+    exact int64 and the result ONE exact-int division, bit-identical).
+    GENUINE oracle over the REAL columns: row_number() replay (Σ rank·x
+    is tie-order invariant)."""
+    from prompture_ray.stages.groupstats import gini_by_key
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return gini_by_key(ds, "lang", "n_chars")
+
+
+GINI_SQL = """
+WITH o AS (SELECT lang, n_chars AS x,
+                  row_number() OVER (PARTITION BY lang
+                                     ORDER BY n_chars) AS rn,
+                  count(*) OVER (PARTITION BY lang) AS n,
+                  CAST(SUM(n_chars) OVER (PARTITION BY lang)
+                       AS BIGINT) AS t
+           FROM documents)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n, MAX(t) AS total,
+       CAST(CAST(2 * SUM(rn * x) AS BIGINT)
+            - (MAX(n) + 1) * MAX(t) AS DOUBLE)
+           / (MAX(n) * MAX(t)) AS gini
+FROM o GROUP BY lang
+"""
+
+QUERIES["gini_docs"] = gini_docs
+ORACLE["gini_docs"] = GINI_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -525,3 +525,79 @@ def grouped_weighted_quantiles(ds, key_col: str, val_col: str,
 
     return pairs.map_batches(tag, batch_format="pyarrow") \
         .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def gini_by_key(ds, key_col: str, val_col: str, n_parts: int = 64):
+    """Exact Gini coefficient of a NON-NEGATIVE integer column per key
+    — the inequality summary used to audit corpus concentration (are
+    90% of the bytes in 1% of the hosts?). Uses the sorted-multiset
+    identity
+
+        G = (2·Σ rank_i·x_i − (n+1)·Σx) / (n·Σx)
+
+    where rank runs 1..n over the key's values ascending; Σ rank·x is
+    TIE-ORDER INVARIANT (equal x swap positions freely), so a SQL
+    row_number() replay is deterministic. Numerator and denominator
+    are exact int64 (caller bound: n·Σx and Σ rank·x < 2^53) and the
+    result is ONE correctly-rounded double division — bit-identical to
+    the oracle, no rounding. Keys with n·Σx = 0 get null.
+
+    Scale shape: per-batch (key, value, count) partials fold into ONE
+    narrow grouped shuffle of the DISTINCT (key, value) cell table
+    (the percent_rank fold — |cells| is independent of row count);
+    cells then take one hash64(key) % n_parts partition pass where a
+    single vectorized sort + segmented cumsum computes every key's
+    Σ rank·x via Σ_cells x·(c·prev + c(c+1)/2). Rows never shuffle
+    twice; no driver state; output is |keys| rows."""
+    from ray.data.aggregate import Sum
+    from prompture_ray.functions.sketches import hash64
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby([key_col, val_col], sort=False) \
+            .size().rename("c").reset_index()
+        g["c"] = g["c"].astype("int64")
+        return g
+
+    cells = ds.map_batches(partial, batch_format="pandas") \
+        .groupby([key_col, val_col]) \
+        .aggregate(Sum("c", alias_name="c"))
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, val_col],
+                          kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        if keys.dtype.kind not in "iu":
+            keys = np.asarray(keys, dtype=object)
+        x = g[val_col].to_numpy().astype(np.int64)
+        c = g["c"].to_numpy().astype(np.int64)
+        new_key = np.ones(len(g), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        csum = np.cumsum(c)
+        seg_start = np.maximum.accumulate(
+            np.where(new_key, csum - c,
+                     np.int64(np.iinfo(np.int64).min)))
+        prev = (csum - c) - seg_start  # rows of same key before cell
+        s_cell = x * (c * prev + c * (c + 1) // 2)
+        key_idx = np.cumsum(new_key) - 1
+        n = np.bincount(key_idx, weights=c).astype(np.int64)
+        tot = np.bincount(key_idx, weights=c * x).astype(np.int64)
+        s = np.bincount(key_idx, weights=s_cell).astype(np.int64)
+        den = n * tot
+        num = 2 * s - (n + 1) * tot
+        gini = np.where(den > 0, num / np.where(den > 0, den, 1),
+                        np.nan)
+        out = pd.DataFrame({
+            key_col: keys[new_key], "n": n, "total": tot,
+            "gini": gini})
+        out.loc[den <= 0, "gini"] = np.nan
+        return out
+
+    return cells.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

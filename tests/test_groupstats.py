@@ -227,3 +227,37 @@ def test_grouped_outliers_even_count_median(ray_session):
         assert (got["mad4"] == mad4_want).all()
         dd = (2 * got["v"] - m2_want).abs()
         assert (got["is_outlier"] == (2 * dd > 2 * mad4_want)).all()
+
+
+def test_gini_by_key_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    from prompture_ray.stages.groupstats import gini_by_key
+    import ray.data as rd
+    rng = np.random.default_rng(21)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 12, n),
+        "x": rng.integers(0, 500, n).astype("int64"),
+    })
+    out = gini_by_key(rd.from_pandas(df).repartition(9), "k", "x") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for r in out.itertuples(index=False):
+        xs = np.sort(df[df["k"] == r.k]["x"].to_numpy())
+        nn, tt = len(xs), int(xs.sum())
+        s = int((np.arange(1, nn + 1, dtype=np.int64) * xs).sum())
+        exp = (2 * s - (nn + 1) * tt) / (nn * tt)
+        assert r.n == nn and r.total == tt
+        assert r.gini == exp, (r.k, r.gini, exp)
+
+
+def test_gini_zero_total_is_null(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.groupstats import gini_by_key
+    df = pd.DataFrame({"k": ["a", "a", "b"], "x": [0, 0, 7]})
+    out = gini_by_key(rd.from_pandas(df), "k", "x").to_pandas() \
+        .set_index("k")
+    assert np.isnan(out.loc["a", "gini"])
+    assert out.loc["b", "gini"] == 0.0
