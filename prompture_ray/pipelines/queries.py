@@ -9024,6 +9024,59 @@ QUERIES["gini_docs"] = gini_docs
 ORACLE["gini_docs"] = GINI_SQL
 
 
+def hits_docs(sf_dir: str):
+    """HITS hubs/authorities, k=2 unnormalized integer rounds
+    (graph.hits_scores — per half-round one bucketed join + one
+    grouped Sum, the pagerank shape; skipping L2 normalization keeps
+    every score exact int64 and the ranking unchanged). PLANTED
+    two-family edge set (doc→10^6+doc%97; doc%53→10^6+doc%89 —
+    multi-edges count multiply on both sides). GENUINE oracle: the
+    two rounds replayed as chained join-aggregate CTEs (the
+    connected-components 5-iteration precedent), no pasted
+    constants."""
+    from prompture_ray.stages.graph import hits_scores
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        src = np.r_[d, d % 53]
+        dst = np.r_[1_000_000 + d % 97, 1_000_000 + d % 89]
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    edges = ds.map_batches(plant, batch_format="pyarrow")
+    return hits_scores(edges, k=2)
+
+
+HITS_SQL = """
+WITH e AS (
+  SELECT doc_id AS src, 1000000 + doc_id % 97 AS dst FROM documents
+  UNION ALL
+  SELECT doc_id % 53 AS src, 1000000 + doc_id % 89 AS dst
+  FROM documents),
+nodes AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e
+           UNION ALL SELECT dst AS node FROM e)),
+a1 AS (SELECT dst AS node, CAST(count(*) AS BIGINT) AS s
+       FROM e GROUP BY 1),
+h1 AS (SELECT e.src AS node, CAST(SUM(a1.s) AS BIGINT) AS s
+       FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1),
+a2 AS (SELECT e.dst AS node,
+              CAST(SUM(COALESCE(h1.s, 0)) AS BIGINT) AS s
+       FROM e LEFT JOIN h1 ON h1.node = e.src GROUP BY 1),
+h2 AS (SELECT e.src AS node,
+              CAST(SUM(COALESCE(a2.s, 0)) AS BIGINT) AS s
+       FROM e LEFT JOIN a2 ON a2.node = e.dst GROUP BY 1)
+SELECT n.node, CAST(COALESCE(h2.s, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a2.s, 0) AS BIGINT) AS auth
+FROM nodes n LEFT JOIN h2 ON h2.node = n.node
+             LEFT JOIN a2 ON a2.node = n.node
+"""
+
+QUERIES["hits_docs"] = hits_docs
+ORACLE["hits_docs"] = HITS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

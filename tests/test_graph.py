@@ -197,3 +197,30 @@ def test_k_core_brute(ray_session):
         df = k_core(ds, k).to_pandas() \
             .sort_values("node", ignore_index=True)
         assert list(zip(df["node"], df["deg"])) == brute(k)
+
+
+def test_hits_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.graph import hits_scores
+    rng = np.random.default_rng(13)
+    m = 400
+    src = rng.integers(0, 60, m)
+    dst = rng.integers(0, 60, m) + 20  # overlap + pure-authority ids
+    edges = pd.DataFrame({"src": src, "dst": dst})
+    out = hits_scores(rd.from_pandas(edges).repartition(5),
+                      k=2).to_pandas().sort_values("node") \
+        .reset_index(drop=True)
+    nodes = np.unique(np.r_[src, dst])
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)), dtype=np.int64)
+    for s, d in zip(src, dst):
+        A[idx[s], idx[d]] += 1  # multi-edges count multiply
+    hub = np.ones(len(nodes), dtype=np.int64)
+    for _ in range(2):
+        auth = A.T @ hub
+        hub = A @ auth
+    assert out["node"].tolist() == nodes.tolist()
+    assert out["hub"].tolist() == hub.tolist()
+    assert out["auth"].tolist() == auth.tolist()
