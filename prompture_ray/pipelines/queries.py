@@ -9077,6 +9077,139 @@ QUERIES["hits_docs"] = hits_docs
 ORACLE["hits_docs"] = HITS_SQL
 
 
+def scd2_events(sf_dir: str):
+    """Slowly-changing-dimension (type 2) build from a change stream:
+    per user, keep only rows whose event_type DIFFERS from the
+    previous row (emit-on-change — the stream_snapshots semantics as
+    intervals), then attach ``valid_to`` = next kept row's ts (null
+    for the open row). Composition of TWO lag_shift passes (prev type
+    to filter; lead ts over the kept rows) — each ONE row shuffle.
+    GENUINE oracle: lag()/lead() window replay; all int64 µs."""
+    from prompture_ray.stages.analytic import lag_shift
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    lagged = lag_shift(ds.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", "tsu", "event_id", ["event_type"],
+                       shifts=(1,))
+
+    def changed(t: pa.Table) -> pa.Table:
+        prev = t["event_type_lag1"]
+        if isinstance(prev, pa.ChunkedArray):
+            prev = prev.combine_chunks()
+        cur = t["event_type"]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        first = pc.is_null(prev)
+        diff = pc.fill_null(pc.not_equal(cur, prev), True)
+        keep = pc.or_(first, diff)
+        out = t.filter(keep)
+        return out.select(["user_id", "tsu", "event_id",
+                           "event_type"])
+
+    kept = lagged.map_batches(changed, batch_format="pyarrow")
+    ends = lag_shift(kept, "user_id", "tsu", "event_id", ["tsu"],
+                     shifts=(-1,))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "valid_from": t["tsu"].combine_chunks().cast(pa.int64()),
+            "valid_to": t["tsu_lead1"].combine_chunks()
+            .cast(pa.int64())})
+
+    return ends.map_batches(finish, batch_format="pyarrow")
+
+
+SCD2_SQL = """
+WITH t AS (SELECT user_id, event_id, event_type,
+                  epoch_us(ts) AS tsu,
+                  lag(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY epoch_us(ts),
+                                                 event_id) AS prev
+           FROM events),
+k AS (SELECT user_id, event_id, event_type, tsu FROM t
+      WHERE prev IS NULL OR event_type <> prev)
+SELECT user_id, event_type, tsu AS valid_from,
+       lead(tsu) OVER (PARTITION BY user_id
+                       ORDER BY tsu, event_id) AS valid_to
+FROM k
+"""
+
+QUERIES["scd2_events"] = scd2_events
+ORACLE["scd2_events"] = SCD2_SQL
+
+
+def interevent_gap_events(sf_dir: str):
+    """Inter-event gap quantiles per event type: gap = ts − previous
+    event of the SAME USER (any type, lag_shift), then exact discrete
+    p50/p90 of the integer µs gaps per the CURRENT row's type
+    (groupstats.grouped_quantiles — integer rank selection, no float
+    q·n anywhere). First events (no predecessor) are excluded.
+    GENUINE oracle: lag() + the per-partition integer rank idiom."""
+    from prompture_ray.stages.analytic import lag_shift
+    from prompture_ray.stages.groupstats import grouped_quantiles
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    lagged = lag_shift(ds.map_batches(prep, batch_format="pyarrow"),
+                       "user_id", "tsu", "event_id", ["tsu"],
+                       shifts=(1,))
+
+    def gaps(t: pa.Table) -> pa.Table:
+        prev = t["tsu_lag1"]
+        if isinstance(prev, pa.ChunkedArray):
+            prev = prev.combine_chunks()
+        ok = pc.is_valid(prev)
+        t2 = t.filter(ok)
+        prev2 = prev.filter(ok).cast(pa.int64())
+        gap = pc.subtract(t2["tsu"].combine_chunks().cast(pa.int64()),
+                          prev2)
+        return pa.table({"event_type": t2["event_type"],
+                         "gap": gap})
+
+    g = lagged.map_batches(gaps, batch_format="pyarrow")
+    return grouped_quantiles(g, "event_type", "gap", qs=(0.5, 0.9))
+
+
+INTEREVENT_GAP_SQL = """
+WITH t AS (SELECT event_type, epoch_us(ts) AS tsu,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts),
+                                                   event_id) AS prev
+           FROM events),
+g AS (SELECT event_type, tsu - prev AS gap FROM t
+      WHERE prev IS NOT NULL),
+o AS (SELECT event_type, gap,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gap) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM g)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+  CAST(MIN(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+                THEN gap END) AS BIGINT) AS q_50,
+  CAST(MIN(CASE WHEN rn * 10 >= 9 * n AND (rn - 1) * 10 < 9 * n
+                THEN gap END) AS BIGINT) AS q_90
+FROM o GROUP BY event_type
+"""
+
+QUERIES["interevent_gap_events"] = interevent_gap_events
+ORACLE["interevent_gap_events"] = INTEREVENT_GAP_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
