@@ -9210,6 +9210,87 @@ QUERIES["interevent_gap_events"] = interevent_gap_events
 ORACLE["interevent_gap_events"] = INTEREVENT_GAP_SQL
 
 
+def drawdown_events(sf_dir: str):
+    """Maximum drawdown per event type over the planted signed series
+    v = event_id % 10007 − 5003 (analytic.max_drawdown_by_key —
+    cumsum + cummax + grouped max, pure int64, one row shuffle).
+    GENUINE oracle: cumulative SUM/MAX window replay."""
+    from prompture_ray.stages.analytic import max_drawdown_by_key
+    ds = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"]
+        v = pc.subtract(
+            pc.subtract(e, pc.multiply(pc.divide(e, 10007), 10007)),
+            5003)
+        return pa.table({"event_id": e, "event_type": t["event_type"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "v": v.cast(pa.int64())})
+
+    out = max_drawdown_by_key(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "event_type", "tsu", "event_id", "v")
+    return out.map_batches(
+        lambda t: t.select(["event_type", "max_drawdown", "n"]),
+        batch_format="pyarrow")
+
+
+DRAWDOWN_SQL = """
+WITH t AS (SELECT event_type, epoch_us(ts) AS tsu, event_id,
+                  event_id % 10007 - 5003 AS v
+           FROM events),
+w AS (SELECT event_type, tsu, event_id,
+             CAST(SUM(v) OVER (PARTITION BY event_type
+                               ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS p
+      FROM t),
+m AS (SELECT event_type,
+             CAST(MAX(p) OVER (PARTITION BY event_type
+                               ORDER BY tsu, event_id
+                               ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) - p AS dd
+      FROM w)
+SELECT event_type, CAST(MAX(dd) AS BIGINT) AS max_drawdown,
+       CAST(count(*) AS BIGINT) AS n
+FROM m GROUP BY event_type
+"""
+
+QUERIES["drawdown_events"] = drawdown_events
+ORACLE["drawdown_events"] = DRAWDOWN_SQL
+
+
+def unpivot_docs(sf_dir: str):
+    """Wide→long reshape (analytic.unpivot — zero-shuffle Arrow
+    rebuild, the UNPIVOT/melt primitive): documents' n_chars and a
+    planted doc_id % 97 column melt into (doc_id, variable, value)
+    rows. GENUINE oracle: two-branch UNION ALL."""
+    from prompture_ray.stages.analytic import unpivot
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].cast(pa.int64())
+        m = pc.subtract(d, pc.multiply(pc.divide(d, 97), 97))
+        return pa.table({"doc_id": d,
+                         "n_chars": t["n_chars"].cast(pa.int64()),
+                         "mod97": m.cast(pa.int64())})
+
+    return unpivot(ds.map_batches(plant, batch_format="pyarrow"),
+                   ["doc_id"], ["n_chars", "mod97"])
+
+
+UNPIVOT_SQL = """
+SELECT doc_id, 'n_chars' AS variable,
+       CAST(n_chars AS BIGINT) AS value FROM documents
+UNION ALL
+SELECT doc_id, 'mod97' AS variable,
+       CAST(doc_id % 97 AS BIGINT) AS value FROM documents
+"""
+
+QUERIES["unpivot_docs"] = unpivot_docs
+ORACLE["unpivot_docs"] = UNPIVOT_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

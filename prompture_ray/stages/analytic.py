@@ -854,3 +854,82 @@ def ntile_by_key(ds, key_col: str, order_col: str, n_tiles: int,
     return ds.map_batches(tag, batch_format="pyarrow") \
         .repartition(shuffle_blocks) \
         .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def max_drawdown_by_key(ds, key_col: str, ts_col: str, tie_col: str,
+                        val_col: str, n_parts: int = 64,
+                        shuffle_blocks: int = 128):
+    """Maximum drawdown per key over the cumulative series
+    ``P_t = Σ_{i≤t} v_i`` (ts, tie order): ``max_t (max_{j≤t} P_j −
+    P_t)`` — the largest peak-to-trough drop, the classic risk /
+    degradation summary for telemetry. Pure int64 (cumsum + cummax +
+    grouped max), SQL-replayable bit-identically via cumulative
+    SUM/MAX windows. Returns one row per key: (key, max_drawdown,
+    n). Keys with one row get 0.
+
+    Scale shape: the lag_shift pattern — ONE hash64(key) % n_parts
+    row shuffle, one vectorized sort + grouped cumsum/cummax pass per
+    partition; output is |keys| rows."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(key_col, sort=False)
+        p = grp[val_col].cumsum().to_numpy().astype(np.int64)
+        pk = g.assign(__p=p).groupby(key_col, sort=False)["__p"] \
+            .cummax().to_numpy().astype(np.int64)
+        dd = pk - p
+        out = g.assign(__dd=dd).groupby(key_col, sort=False)["__dd"] \
+            .max().rename("max_drawdown").reset_index()
+        out["n"] = grp.size().to_numpy().astype(np.int64)
+        out["max_drawdown"] = out["max_drawdown"].astype("int64")
+        return out.drop(columns=["__pb"], errors="ignore")
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")
+
+
+def unpivot(ds, id_cols: list, value_cols: list,
+            var_col: str = "variable", val_col: str = "value"):
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): one output row
+    per (input row × value column), carrying ``id_cols`` through,
+    with the source column name in ``var_col`` and its value cast to
+    a common type in ``val_col``. Pure per-batch Arrow rebuild —
+    ZERO shuffle, zero copy of the id columns beyond the k-fold
+    repeat; the inverse of rollup.pivot_counts' wide layout."""
+    def melt(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        k = len(value_cols)
+        cols = {}
+        for c in id_cols:
+            a = t[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            cols[c] = pa.concat_arrays([a] * k)
+        names = []
+        for c in value_cols:
+            names += [c] * n
+        cols[var_col] = pa.array(np.asarray(names, dtype=object),
+                                 type=pa.string())
+        vals = []
+        out_type = None
+        for c in value_cols:
+            a = t[c]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            if out_type is None:
+                out_type = a.type
+            vals.append(a.cast(out_type) if a.type != out_type else a)
+        cols[val_col] = pa.concat_arrays(vals)
+        return pa.table(cols)
+
+    return ds.map_batches(melt, batch_format="pyarrow")

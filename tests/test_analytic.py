@@ -314,3 +314,31 @@ def test_ntile_matches_standard_fill(ray_session):
     for k, n in [(1, 10), (2, 7), (3, 3), (4, 1), (5, 4)]:
         got = out[out["k"] == k]["tile"].tolist()
         assert got == std_ntile(n, 4), (k, got)
+
+
+def test_max_drawdown_bruteforce(ray_session):
+    from prompture_ray.stages.analytic import max_drawdown_by_key
+    rng = np.random.default_rng(23)
+    n = 2500
+    df = pd.DataFrame({
+        "k": rng.integers(0, 13, n),
+        "ts": rng.integers(0, 10**6, n),
+        "tie": np.arange(n),
+        "v": rng.integers(-50, 51, n).astype("int64"),
+    })
+    out = max_drawdown_by_key(_mk(df), "k", "ts", "tie", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for r in out.itertuples(index=False):
+        g = df[df["k"] == r.k].sort_values(["ts", "tie"])
+        p = g["v"].cumsum().to_numpy()
+        dd = int((np.maximum.accumulate(p) - p).max())
+        assert r.max_drawdown == dd and r.n == len(g)
+
+
+def test_unpivot_hand_values(ray_session):
+    from prompture_ray.stages.analytic import unpivot
+    df = pd.DataFrame({"id": [1, 2], "x": [10, 20], "y": [3, 4]})
+    out = unpivot(_mk(df), ["id"], ["x", "y"]).to_pandas() \
+        .sort_values(["id", "variable"]).reset_index(drop=True)
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, "x", 10), (1, "y", 3), (2, "x", 20), (2, "y", 4)]
