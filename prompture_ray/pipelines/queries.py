@@ -9291,6 +9291,53 @@ QUERIES["unpivot_docs"] = unpivot_docs
 ORACLE["unpivot_docs"] = UNPIVOT_SQL
 
 
+def sitemap_roundtrip_docs(sf_dir: str):
+    """Sitemap XML round trip (sources/sitemap.py): per doc_id a
+    one-URL <urlset> (gzipped for odd ids) is built with closed-form
+    loc/lastmod/priority strings, parsed back through the namespace-
+    tolerant ElementTree path, and the fields re-emitted — the oracle
+    reconstructs all three strings arithmetically (the WARC/TFRecord
+    round-trip precedent)."""
+    from prompture_ray.sources.sitemap import (build_sitemap,
+                                               parse_sitemap)
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        locs, mods, pris = [], [], []
+        for i in ids:
+            entry = {"loc": f"http://site{i}.example/page?id={i}&v=1",
+                     "lastmod": f"2024-01-{i % 28 + 1:02d}",
+                     "changefreq": "weekly",
+                     "priority": f"0.{i % 10}"}
+            blob = build_sitemap([entry], compress=i % 2 == 1)
+            e = parse_sitemap(blob)["entries"][0]
+            locs.append(e["loc"])
+            mods.append(e["lastmod"])
+            pris.append(e["priority"])
+        return pa.table({
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "loc": pa.array(locs, type=pa.string()),
+            "lastmod": pa.array(mods, type=pa.string()),
+            "priority": pa.array(pris, type=pa.string())})
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow")
+
+
+SITEMAP_ROUNDTRIP_SQL = """
+SELECT doc_id,
+       'http://site' || doc_id || '.example/page?id=' || doc_id
+           || '&v=1' AS loc,
+       '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+           AS lastmod,
+       '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+FROM documents
+"""
+
+QUERIES["sitemap_roundtrip_docs"] = sitemap_roundtrip_docs
+ORACLE["sitemap_roundtrip_docs"] = SITEMAP_ROUNDTRIP_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
