@@ -9338,6 +9338,44 @@ QUERIES["sitemap_roundtrip_docs"] = sitemap_roundtrip_docs
 ORACLE["sitemap_roundtrip_docs"] = SITEMAP_ROUNDTRIP_SQL
 
 
+def zorder_docs(sf_dir: str):
+    """Morton/Z-order layout key (stages/zorder.py — the ZORDER BY
+    data-layout primitive; bit interleave of two planted 8-bit
+    dimensions, then ONE range-partitioned sort). GENUINE oracle: the
+    per-bit ``>> & <<`` sum via the generate_series zip idiom — pure
+    integer both sides."""
+    from prompture_ray.stages.zorder import zorder_sort
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"doc_id": pa.array(d),
+                         "x": pa.array(d % 256),
+                         "y": pa.array((d // 256) % 256)})
+
+    z = zorder_sort(ds.map_batches(plant, batch_format="pyarrow"),
+                    "x", "y", bits=8)
+    return z.map_batches(lambda t: t.select(["doc_id", "zkey"]),
+                         batch_format="pyarrow")
+
+
+ZORDER_SQL = """
+WITH d AS (SELECT doc_id, doc_id % 256 AS x,
+                  (doc_id // 256) % 256 AS y
+           FROM documents),
+b AS (SELECT doc_id, x, y, unnest(generate_series(0, 7)) AS j
+      FROM d)
+SELECT doc_id,
+       CAST(SUM((((x >> j) & 1) << (2 * j))
+                + (((y >> j) & 1) << (2 * j + 1))) AS BIGINT) AS zkey
+FROM b GROUP BY doc_id
+"""
+
+QUERIES["zorder_docs"] = zorder_docs
+ORACLE["zorder_docs"] = ZORDER_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]
