@@ -506,7 +506,8 @@ def k_core(edges, k: int, a_col: str = "src", b_col: str = "dst", *,
 
 
 def hits_scores(edges, src_col: str = "src", dst_col: str = "dst",
-                k: int = 2, n_buckets: int = 32):
+                k: int = 2, n_buckets: int = 32,
+                broadcast_max: int = 20_000_000):
     """k rounds of UNNORMALIZED integer HITS (Kleinberg 1999 —
     "Authoritative Sources in a Hyperlinked Environment", public
     algorithm): starting from hub₀ ≡ 1,
@@ -523,10 +524,18 @@ def hits_scores(edges, src_col: str = "src", dst_col: str = "dst",
     like (max_in_deg · max_out_deg)^k — with k=2 anything below ~10^4
     degree is safely inside int64.
 
-    Scale shape: each half-round is one ``bucketed_equi_join``
-    (edges × score table) + one grouped Sum, exactly the pagerank
-    iteration shape; score-table block count is re-bounded every round
-    (the components-round lesson)."""
+    Scale shape: size-aware dispatch (the corpus_frequency /
+    group_prior precedent). Up to ``broadcast_max`` nodes the score
+    vector lives as ONE sorted broadcast array per half-round — each
+    half-round is a zero-join pass (per-batch searchsorted attach +
+    in-batch partial sums) plus ONE narrow grouped Sum bounded by
+    nodes × blocks, with an O(nodes) guarded driver fold. Beyond
+    that, each half-round is one ``bucketed_equi_join`` (edges ×
+    score table) + one grouped Sum, exactly the pagerank iteration
+    shape; score-table block count is re-bounded every round (the
+    components-round lesson). Both paths are equality-tested via
+    ``broadcast_max=0``."""
+    import ray
     from ray.data.aggregate import Sum, Count
     from prompture_ray.stages.joins import bucketed_equi_join
 
@@ -536,6 +545,12 @@ def hits_scores(edges, src_col: str = "src", dst_col: str = "dst",
             "dst": t[dst_col].combine_chunks().cast(pa.int64())})
 
     e = edges.map_batches(proj, batch_format="pyarrow").materialize()
+    m = e.count()
+    eblk = int(max(64, np.ceil(m / 500_000)))
+    if e.num_blocks() > 2 * eblk:
+        # groupby/join cost follows INPUT block count (round-5
+        # pathology) — coalesce the edge table once at birth
+        e = e.repartition(eblk).materialize()
 
     def both(t: pa.Table) -> pa.Table:
         ids = np.unique(np.concatenate([
@@ -549,6 +564,9 @@ def hits_scores(edges, src_col: str = "src", dst_col: str = "dst",
                      batch_format="pyarrow").materialize()
     n = nodes.count()
     target_blocks = int(max(64, np.ceil(n / 500_000)))
+
+    if n <= broadcast_max:
+        return _hits_broadcast(e, nodes, n, int(k), target_blocks)
 
     def bound_blocks(ds_):
         if ds_.num_blocks() > 2 * target_blocks:
@@ -605,3 +623,57 @@ def hits_scores(edges, src_col: str = "src", dst_col: str = "dst",
             "auth": t["auth"].combine_chunks().cast(pa.int64())})
 
     return out.map_batches(sel, batch_format="pyarrow")
+
+
+def _hits_broadcast(e, nodes, n: int, k: int, target_blocks: int):
+    """Broadcast HITS rounds (≤ broadcast_max nodes — guarded by the
+    caller): the per-round score vector ships once via ray.put as a
+    (sorted nodes, values) pair; each half-round is a zero-join
+    per-batch pass (searchsorted attach + in-batch partial groupby)
+    + ONE narrow grouped Sum of (node, v) partials + an O(nodes)
+    driver reindex (the same bound the broadcast itself already
+    holds)."""
+    import ray
+    import ray.data as rd
+
+    nt = pa.concat_tables(
+        [b for b in nodes.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    node_arr = np.sort(nt["node"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+
+    def half(score_vec: np.ndarray, join_col: str, group_col: str):
+        ref = ray.put((node_arr, score_vec))
+
+        def contrib(t: pa.Table) -> pd.DataFrame:
+            na, sv = ray.get(ref)
+            j = t[join_col].to_numpy(zero_copy_only=False)
+            g = t[group_col].to_numpy(zero_copy_only=False)
+            v = sv[np.searchsorted(na, j)]
+            # partial sums INDEXED into the node order — the final fold
+            # is then one bincount per batch on the driver; a grouped
+            # aggregate over ~|nodes| distinct keys measured ~100×
+            # slower than this shape (the round-5 pathology, extended:
+            # Ray grouped aggregates degrade with distinct-group count)
+            idx = np.searchsorted(na, g)
+            s = np.bincount(idx, weights=v, minlength=len(na))
+            keep = np.flatnonzero(s)
+            return pd.DataFrame({"i": keep,
+                                 "v": s[keep].astype(np.int64)})
+
+        out = np.zeros(n, dtype=np.int64)
+        for b in e.map_batches(contrib, batch_format="pyarrow") \
+                .iter_batches(batch_format="pandas"):
+            np.add.at(out, b["i"].to_numpy(),
+                      b["v"].to_numpy().astype(np.int64))
+        return out
+
+    hub = np.ones(n, dtype=np.int64)
+    auth = np.zeros(n, dtype=np.int64)
+    for _ in range(k):
+        auth = half(hub, "src", "dst")
+        hub = half(auth, "dst", "src")
+    res = pa.table({"node": pa.array(node_arr),
+                    "hub": pa.array(hub), "auth": pa.array(auth)})
+    return rd.from_arrow(res).repartition(
+        min(target_blocks, max(1, n // 10_000 + 1)))

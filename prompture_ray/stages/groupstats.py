@@ -542,34 +542,33 @@ def gini_by_key(ds, key_col: str, val_col: str, n_parts: int = 64):
     result is ONE correctly-rounded double division — bit-identical to
     the oracle, no rounding. Keys with n·Σx = 0 get null.
 
-    Scale shape: per-batch (key, value, count) partials fold into ONE
-    narrow grouped shuffle of the DISTINCT (key, value) cell table
-    (the percent_rank fold — |cells| is independent of row count);
-    cells then take one hash64(key) % n_parts partition pass where a
-    single vectorized sort + segmented cumsum computes every key's
-    Σ rank·x via Σ_cells x·(c·prev + c(c+1)/2). Rows never shuffle
-    twice; no driver state; output is |keys| rows."""
-    from ray.data.aggregate import Sum
+    Scale shape: each batch shrinks to (key, value, count) partial
+    cells, tagged hash64(key) % n_parts; ONE grouped partition pass
+    then (a) pandas-groupby-sums the partials into the global distinct
+    cell table (every key lands wholly in one partition) and (b) runs
+    a single vectorized sort + segmented cumsum computing every key's
+    Σ rank·x via Σ_cells x·(c·prev + c(c+1)/2). One narrow shuffle
+    total — NEVER a Ray grouped aggregate over the |cells| distinct
+    keys (measured ~100× slower beyond ~1M distinct groups); no driver
+    state; output is |keys| rows."""
     from prompture_ray.functions.sketches import hash64
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         g = b.groupby([key_col, val_col], sort=False) \
             .size().rename("c").reset_index()
         g["c"] = g["c"].astype("int64")
-        return g
-
-    cells = ds.map_batches(partial, batch_format="pandas") \
-        .groupby([key_col, val_col]) \
-        .aggregate(Sum("c", alias_name="c"))
-
-    def tag(t: pa.Table) -> pa.Table:
-        kv = t[key_col].to_numpy(zero_copy_only=False)
+        kv = g[key_col].to_numpy()
         if kv.dtype.kind not in "iu":
             kv = np.asarray(kv, dtype=object)
-        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
-        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+        g["__pb"] = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return g
+
+    cells = ds.map_batches(partial, batch_format="pandas")
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby([key_col, val_col], sort=False)["c"].sum() \
+            .reset_index()
+        g["c"] = g["c"].astype("int64")
         g = g.sort_values([key_col, val_col],
                           kind="mergesort").reset_index(drop=True)
         keys = g[key_col].to_numpy()
@@ -599,5 +598,5 @@ def gini_by_key(ds, key_col: str, val_col: str, n_parts: int = 64):
         out.loc[den <= 0, "gini"] = np.nan
         return out
 
-    return cells.map_batches(tag, batch_format="pyarrow") \
-        .groupby("__pb").map_groups(fold, batch_format="pandas")
+    return cells.groupby("__pb").map_groups(fold,
+                                            batch_format="pandas")

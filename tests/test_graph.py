@@ -224,3 +224,19 @@ def test_hits_matches_bruteforce(ray_session):
     assert out["node"].tolist() == nodes.tolist()
     assert out["hub"].tolist() == hub.tolist()
     assert out["auth"].tolist() == auth.tolist()
+
+
+def test_hits_broadcast_equals_bucketed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.graph import hits_scores
+    rng = np.random.default_rng(29)
+    edges = pd.DataFrame({"src": rng.integers(0, 40, 200),
+                          "dst": rng.integers(10, 50, 200)})
+    a = hits_scores(rd.from_pandas(edges).repartition(4), k=2) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    b = hits_scores(rd.from_pandas(edges).repartition(4), k=2,
+                    broadcast_max=0) \
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
