@@ -413,18 +413,42 @@ def _bucketed_group_pairs(sigs, key_cols, group_fn, empty: pd.DataFrame,
         .groupby("__pb").map_groups(part, batch_format="pandas")
 
 
-def _distinct_pairs(pairs_ds, extra_agg=None):
-    """Dedupe (id_a, id_b) pairs found in multiple buckets — one sorted
-    aggregate, no per-pair pandas frames. ``extra_agg`` optionally keeps
-    an aggregated payload column (e.g. Min of hamming)."""
-    from ray.data.aggregate import Count
-    aggs = [Count(alias_name="__n")]
-    drop = ["__n"]
-    if extra_agg is not None:
-        aggs.append(extra_agg)
-    return pairs_ds.groupby(["id_a", "id_b"]).aggregate(*aggs) \
-        .map_batches(lambda t: t.drop_columns(drop),
-                     batch_format="pyarrow")
+def _distinct_pairs(pairs_ds, min_col: str | None = None):
+    """Dedupe (id_a, id_b) pairs found in multiple buckets: ONE
+    hash(id_a, id_b) partition shuffle + one vectorized pandas pass per
+    partition (drop_duplicates, or a grouped min over ``min_col`` for
+    a payload like hamming — a function of the pair, so min == any
+    occurrence). A Ray grouped aggregate over the |pairs| DISTINCT
+    two-column groups measured ~100× slower at ~1M pairs (60.5 vs
+    0.6 s — the round-5 seventh-session finding); every pair lands
+    wholly in one partition so per-pair semantics are unchanged."""
+    from prompture_ray.functions.sketches import hash64
+
+    alias = min_col
+    pairs_ds = pairs_ds.materialize()
+    n_rows = pairs_ds.count()
+    n_parts = int(max(64, np.ceil(n_rows / 500_000)))
+    _GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def tag(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = (hash64(a).astype(np.uint64) * _GOLD) \
+            ^ hash64(b).astype(np.uint64)
+        pb = (h % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__pb")
+        if alias is None:
+            return g.drop_duplicates(["id_a", "id_b"])
+        out = g.groupby(["id_a", "id_b"], sort=False)[alias].min() \
+            .reset_index()
+        out[alias] = out[alias].astype(g[alias].dtype)
+        return out
+
+    return pairs_ds.map_batches(tag, batch_format="pyarrow") \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")
 
 
 def _bucket_counter_row(df: pd.DataFrame, dropped: int) -> pd.DataFrame:
@@ -956,10 +980,8 @@ def simhash_pairs(ds, text_col: str, id_col: str, max_hamming: int = 3,
     if stats_out is not None:
         stats_out.update(stats)
     # same pair may surface from several chunks (hamming is a function
-    # of the two simhashes, so Min == any occurrence's value)
-    from ray.data.aggregate import Min
-    return _distinct_pairs(pairs, extra_agg=Min("hamming",
-                                                alias_name="hamming"))
+    # of the two simhashes, so min == any occurrence's value)
+    return _distinct_pairs(pairs, min_col="hamming")
 
 
 # ---------------------------------------------------------------------------
