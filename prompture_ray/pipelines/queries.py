@@ -5458,7 +5458,7 @@ _WINDOW_PRIORITY = [
     "benford_digits_docs", "set_similarity_docs", "gini_docs",
     "hits_docs", "scd2_events", "interevent_gap_events",
     "drawdown_events", "unpivot_docs", "sitemap_roundtrip_docs",
-    "zorder_docs",
+    "zorder_docs", "containment_docs",
     # (b) code paths changed in round 5, re-check mandated:
     # joins.py arrow-union asof/interval (r4 verdict #1), entity_store
     # distributed k-hop (#3), dedup components jump="auto" (#4) + its
@@ -5469,12 +5469,11 @@ _WINDOW_PRIORITY = [
     "embedding_neardup_docs", "minhash_planted_docs",
     "bm25_index_topk_docs", "bm25_index_update_docs",
     "phrase_search_docs", "analytic_window_events",
-    # (c) long-stable canaries rotated back in (r4 verdict #6: nothing
-    # in the r4 head had been driver-checked more than twice).
-    # events_hourly rotated back OUT late in round 5 to make room for a
-    # never-checked new query — it is r1-green, unchanged, and its
-    # lineage still runs in every bench (events_hourly in bench.py).
-    "q1_lineitem", "doc_verdicts",
+    # (c) long-stable canary rotated back in (r4 verdict #6).
+    # doc_verdicts rotated back OUT in the seventh session to make
+    # room for containment_docs (never-checked new code beats a
+    # twice-green canary); q1_lineitem stays as the canary.
+    "q1_lineitem",
     # (d) new in round 5 — never driver-checked (registered below with
     # _window_append so they land inside the 50-slot head)
     # -- everything OUTSIDE the window was driver-green in r4 (50/50 in
@@ -9380,6 +9379,58 @@ FROM b GROUP BY doc_id
 
 QUERIES["zorder_docs"] = zorder_docs
 ORACLE["zorder_docs"] = ZORDER_SQL
+
+
+def containment_docs(sf_dir: str):
+    """DIRECTIONAL set-containment join (setjoin.containment_join —
+    A-prefix × B-full candidates per the asymmetric PPJoin theorem,
+    shared canonical intersection recount, τ = 3/5 pure-int test).
+    PLANTED nested interval token sets (sizes 8/12/16/20 per 4-doc
+    group) give a closed-form kept set AND a bounded GENUINE SQL
+    self-join oracle; containment = inter/size_a is one exact-int
+    division."""
+    from fractions import Fraction
+    from prompture_ray.stages.setjoin import containment_join
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lo = (d // 4) * 64 + (d % 4) * 4
+        sz = 8 + 4 * (d % 4)
+        texts = []
+        # sizes vary per row: build each row's token string from its
+        # own arithmetic range (bounded ≤ 20 tokens — the join below
+        # is the vectorized hot path, this plant is test plumbing)
+        for L, S in zip(lo.tolist(), sz.tolist()):
+            texts.append(" ".join(str(L + j) for j in range(S)))
+        return pa.table({"doc_id": pa.array(d),
+                         "text": pa.array(texts, type=pa.string())})
+
+    return containment_join(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "doc_id", "text", Fraction(3, 5))
+
+
+CONTAINMENT_SQL = """
+WITH d AS (SELECT doc_id, (doc_id // 4) * 64 + (doc_id % 4) * 4 AS lo,
+                  8 + 4 * (doc_id % 4) AS sz
+           FROM documents),
+s AS (SELECT doc_id, sz, lo + unnest(generate_series(0, sz - 1)) AS v
+      FROM d),
+i AS (SELECT a.doc_id AS a, b.doc_id AS b,
+             a.sz AS sa, b.sz AS sb,
+             CAST(count(*) AS BIGINT) AS inter
+      FROM s a JOIN s b ON a.v = b.v AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT a, b, inter, CAST(sa AS BIGINT) AS size_a,
+       CAST(sb AS BIGINT) AS size_b,
+       CAST(inter AS DOUBLE) / sa AS containment
+FROM i WHERE inter * 5 >= 3 * sa
+"""
+
+QUERIES["containment_docs"] = containment_docs
+ORACLE["containment_docs"] = CONTAINMENT_SQL
 
 
 def _reorder_registry():

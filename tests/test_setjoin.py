@@ -76,3 +76,48 @@ def test_candidate_cap_guard(ray_session):
     with pytest.raises(ValueError, match="candidate_max"):
         set_similarity_join(_mk(df), "i", "text", 0.5,
                             candidate_max=10).to_pandas()
+
+
+def _brute_containment(df, thr: Fraction):
+    sets = {r.i: set(r.text.split()) for r in df.itertuples()}
+    out = []
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            A, B = sets[a], sets[b]
+            inter = len(A & B)
+            if A and Fraction(inter, len(A)) >= thr:
+                out.append((a, b, inter, len(A), len(B),
+                            inter / len(A)))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("thr", [Fraction(3, 4), Fraction(1, 2)])
+def test_containment_matches_bruteforce(ray_session, thr):
+    from prompture_ray.stages.setjoin import containment_join
+    rng = np.random.default_rng(31)
+    rows = []
+    for i in range(180):
+        g = i // 6
+        base = g * 40
+        k = int(rng.integers(4, 12))
+        toks = {f"t{base + (i % 6) * 2 + j}" for j in range(k)}
+        rows.append((i, " ".join(sorted(toks))))
+    df = pd.DataFrame(rows, columns=["i", "text"])
+    out = containment_join(_mk(df), "i", "text", thr) \
+        .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+    got = sorted(map(tuple, out.itertuples(index=False)))
+    assert got == _brute_containment(df, thr)
+
+
+def test_containment_subset_is_found(ray_session):
+    from prompture_ray.stages.setjoin import containment_join
+    df = pd.DataFrame({
+        "i": [0, 1, 2],
+        "text": ["x y", "x y z w q r", "a b c"],
+    })
+    out = containment_join(_mk(df), "i", "text", 1.0).to_pandas()
+    assert list(map(tuple, out[["a", "b"]].itertuples(index=False))) \
+        == [(0, 1)]
+    assert out["containment"].tolist() == [1.0]
