@@ -5469,11 +5469,12 @@ _WINDOW_PRIORITY = [
     "embedding_neardup_docs", "minhash_planted_docs",
     "bm25_index_topk_docs", "bm25_index_update_docs",
     "phrase_search_docs", "analytic_window_events",
-    # (c) long-stable canary rotated back in (r4 verdict #6).
-    # doc_verdicts rotated back OUT in the seventh session to make
-    # room for containment_docs (never-checked new code beats a
-    # twice-green canary); q1_lineitem stays as the canary.
-    "q1_lineitem",
+    # (c) canaries: q1_lineitem and doc_verdicts both rotated back OUT
+    # in the seventh session — never-checked NEW code
+    # (containment_docs, bloom_semi_events) beats twice-green canaries,
+    # and q1's lineage still runs inside every bench (q1_lineitem in
+    # bench.py).
+    "bloom_semi_events",
     # (d) new in round 5 — never driver-checked (registered below with
     # _window_append so they land inside the 50-slot head)
     # -- everything OUTSIDE the window was driver-green in r4 (50/50 in
@@ -9431,6 +9432,42 @@ FROM i WHERE inter * 5 >= 3 * sa
 
 QUERIES["containment_docs"] = containment_docs
 ORACLE["containment_docs"] = CONTAINMENT_SQL
+
+
+def bloom_semi_events(sf_dir: str):
+    """Bloom semi-join (joins.bloom_semi_filter — constant-memory
+    bitmap pre-filter, no false negatives, exact verify tier): events
+    whose user_id appears among customers with c_custkey % 7 = 0.
+    The bitmap is deliberately small (1<<16 bits) so real false
+    positives flow into the exact stage and get removed — the oracle
+    checks the END-TO-END semi-join. GENUINE oracle: IN subquery."""
+    from prompture_ray.stages.joins import bloom_semi_filter
+    ev = _read(sf_dir, "events", ["event_id", "user_id"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+
+    def pick(t: pa.Table) -> pa.Table:
+        k = t["c_custkey"].cast(pa.int64())
+        m = pc.equal(pc.subtract(k, pc.multiply(pc.divide(k, 7), 7)),
+                     0)
+        return pa.table({"c_custkey": k}).filter(m)
+
+    out = bloom_semi_filter(ev, "user_id",
+                            cust.map_batches(pick,
+                                             batch_format="pyarrow"),
+                            "c_custkey", n_bits=1 << 16)
+    return out.map_batches(
+        lambda t: t.select(["event_id", "user_id"]),
+        batch_format="pyarrow")
+
+
+BLOOM_SEMI_SQL = """
+SELECT event_id, user_id FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer
+                  WHERE c_custkey % 7 = 0)
+"""
+
+QUERIES["bloom_semi_events"] = bloom_semi_events
+ORACLE["bloom_semi_events"] = BLOOM_SEMI_SQL
 
 
 def _reorder_registry():

@@ -523,3 +523,90 @@ def range_lookup(ds, value_col: str, bounds, labels,
         return t.append_column(out_col, pa.array(out.tolist()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def bloom_semi_filter(big, key_col: str, small, small_key: str, *,
+                      n_bits: int = 1 << 24, n_hashes: int = 5,
+                      exact: bool = True,
+                      broadcast_max: int = 20_000_000):
+    """Bloom semi-join: keep ``big`` rows whose key appears in
+    ``small`` — the classic shuffle-volume cut before an exact join
+    (a Bloom filter has NO false negatives, so the pre-filter never
+    drops a matching row; false positives ≈ (1−e^{−kn/m})^k survive
+    to the exact stage).
+
+    Build side: one Bloom bitmap PARTIAL per input block (pure numpy
+    bit-set over hash64 of the keys), OR-folded on the driver —
+    O(blocks · n_bits/8) bytes through the object store, NEVER the key
+    multiset itself; the folded bitmap ships once via ``ray.put`` and
+    every probe batch pays k vectorized bit tests. This is the path
+    for a build side whose distinct-key ARRAY would not broadcast but
+    whose bitmap does (n_bits is fixed).
+
+    ``exact=True`` additionally verifies survivors against the TRUE
+    distinct key set (collected sorted, guarded by ``broadcast_max``)
+    — the result is then the exact semi-join and oracle-checkable; use
+    ``exact=False`` when a downstream join/groupby re-verifies anyway.
+
+    Reference anchor: referential checks (validate_pipeline's
+    broadcast anti-join) are the same membership shape; this adds the
+    constant-memory probabilistic tier between "broadcast the keys"
+    and "shuffle both sides"."""
+    import ray
+    from prompture_ray.functions.sketches import Bloom, hash64
+
+    def build(t: pa.Table) -> pa.Table:
+        b = Bloom(n_bits, n_hashes)
+        kv = t[small_key].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        b.add_hashes(hash64(kv))
+        return pa.table({"bits": pa.array([b.bits.tobytes()],
+                                          type=pa.large_binary())})
+
+    folded = Bloom(n_bits, n_hashes)
+    for batch in small.map_batches(build, batch_format="pyarrow",
+                                   batch_size=None) \
+            .iter_batches(batch_format="pyarrow"):
+        for blob in batch["bits"].to_pylist():
+            folded.bits |= np.frombuffer(blob, dtype=np.uint8)
+    bits_ref = ray.put(folded.bits)
+
+    exact_ref = None
+    if exact:
+        uniq = []
+        for batch in small.map_batches(
+                lambda t: pa.table({
+                    "k": pa.array(
+                        np.unique(t[small_key].to_numpy(
+                            zero_copy_only=False)))}),
+                batch_format="pyarrow") \
+                .iter_batches(batch_format="pyarrow"):
+            uniq.append(batch["k"].to_numpy(zero_copy_only=False))
+        keys = np.unique(np.concatenate(uniq)) if uniq else \
+            np.empty(0, dtype=np.int64)
+        if len(keys) > broadcast_max:
+            raise ValueError(
+                f"bloom_semi_filter: {len(keys)} distinct build keys "
+                f"exceed broadcast_max={broadcast_max}; use "
+                "exact=False + a downstream bucketed join")
+        exact_ref = ray.put(keys)
+
+    def probe(t: pa.Table) -> pa.Table:
+        bl = Bloom(n_bits, n_hashes)
+        bl.bits = ray.get(bits_ref)
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        kvh = kv if kv.dtype.kind in "iu" else \
+            np.asarray(kv, dtype=object)
+        keep = bl.contains_hashes(hash64(kvh))
+        if exact_ref is not None and keep.any():
+            keys = ray.get(exact_ref)
+            sub = kv[keep]
+            pos = np.searchsorted(keys, sub)
+            ok = np.zeros(len(sub), dtype=bool)
+            in_rng = pos < len(keys)
+            ok[in_rng] = keys[pos[in_rng]] == sub[in_rng]
+            keep[np.flatnonzero(keep)] = ok
+        return t.filter(pa.array(keep))
+
+    return big.map_batches(probe, batch_format="pyarrow")

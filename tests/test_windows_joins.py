@@ -481,3 +481,53 @@ def test_range_lookup(ray_session):
         range_lookup(ds, "v", [0, 0, 1], ["a", "b"])
     with pytest.raises(ValueError):
         range_lookup(ds, "v", [0, 1], ["a", "b"])
+
+
+def test_bloom_semi_filter_exact_matches_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.joins import bloom_semi_filter
+    rng = np.random.default_rng(41)
+    big = pd.DataFrame({"k": rng.integers(0, 1000, 5000),
+                        "v": np.arange(5000)})
+    small = pd.DataFrame({"sk": rng.choice(1000, 120, replace=False)})
+    out = bloom_semi_filter(rd.from_pandas(big).repartition(7), "k",
+                            rd.from_pandas(small).repartition(3),
+                            "sk", n_bits=1 << 12).to_pandas() \
+        .sort_values("v").reset_index(drop=True)
+    exp = big[big["k"].isin(set(small["sk"]))].reset_index(drop=True)
+    assert out["v"].tolist() == exp["v"].tolist()
+
+
+def test_bloom_semi_filter_no_false_negatives_inexact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.joins import bloom_semi_filter
+    rng = np.random.default_rng(43)
+    big = pd.DataFrame({"k": rng.integers(0, 500, 3000),
+                        "v": np.arange(3000)})
+    small = pd.DataFrame({"sk": rng.choice(500, 60, replace=False)})
+    # tiny bitmap -> real false positives; exact=False keeps a SUPERSET
+    out = bloom_semi_filter(rd.from_pandas(big).repartition(5), "k",
+                            rd.from_pandas(small).repartition(2),
+                            "sk", n_bits=1 << 8, exact=False) \
+        .to_pandas()
+    kept = set(out["v"])
+    truth = set(big[big["k"].isin(set(small["sk"]))]["v"])
+    assert truth <= kept          # no false negatives, ever
+    assert len(kept) < len(big)   # but it did filter something
+
+
+def test_bloom_semi_filter_string_keys(ray_session):
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.joins import bloom_semi_filter
+    big = pd.DataFrame({"k": ["a", "b", "c", "d", "a"],
+                        "v": [1, 2, 3, 4, 5]})
+    small = pd.DataFrame({"sk": ["a", "d"]})
+    out = bloom_semi_filter(rd.from_pandas(big), "k",
+                            rd.from_pandas(small), "sk",
+                            n_bits=1 << 10).to_pandas()
+    assert sorted(out["v"].tolist()) == [1, 4, 5]
