@@ -9470,6 +9470,46 @@ QUERIES["bloom_semi_events"] = bloom_semi_events
 ORACLE["bloom_semi_events"] = BLOOM_SEMI_SQL
 
 
+def reference_rank_events(sf_dir: str):
+    """Cross-table percentile calibration (stats.reference_rank —
+    each event's planted v ranked against the documents' n_chars
+    distribution; ref collapses to cumulative distinct-value counts,
+    broadcast once; ONE exact-int division per row). GENUINE oracle:
+    cumulative-count CTE + DuckDB ASOF LEFT JOIN (greatest ref value
+    ≤ v)."""
+    from prompture_ray.stages.stats import reference_rank
+    ev = _read(sf_dir, "events", ["event_id"])
+    docs = _read(sf_dir, "documents", ["n_chars"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"].cast(pa.int64())
+        v = pc.subtract(e, pc.multiply(pc.divide(e, 3001), 3001))
+        return pa.table({"event_id": e, "v": v.cast(pa.int64())})
+
+    out = reference_rank(
+        ev.map_batches(plant, batch_format="pyarrow"), "v",
+        docs, "n_chars")
+    return out
+
+
+REFERENCE_RANK_SQL = """
+WITH r AS (SELECT n_chars AS rv, CAST(count(*) AS BIGINT) AS c
+           FROM documents GROUP BY 1),
+cum AS (SELECT rv, CAST(SUM(c) OVER (ORDER BY rv) AS BIGINT) AS cum
+        FROM r),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+e AS (SELECT event_id, event_id % 3001 AS v FROM events)
+SELECT e.event_id, e.v,
+       CAST(COALESCE(c.cum, 0) AS BIGINT) AS ref_rank_n,
+       CAST(COALESCE(c.cum, 0) AS DOUBLE) / tot.n AS ref_rank
+FROM e ASOF LEFT JOIN cum c ON e.v >= c.rv
+CROSS JOIN tot
+"""
+
+QUERIES["reference_rank_events"] = reference_rank_events
+ORACLE["reference_rank_events"] = REFERENCE_RANK_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

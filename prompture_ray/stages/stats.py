@@ -354,3 +354,54 @@ def _global_props(df):
     df["cnt"] = df["cnt"].astype("int64")
     df["prop"] = df["cnt"].to_numpy(dtype=np.int64) / float(tot)
     return df
+
+
+def reference_rank(ds, val_col: str, ref_ds, ref_col: str, *,
+                   out_col: str = "ref_rank",
+                   broadcast_max: int = 20_000_000):
+    """Percentile of each row's value within a REFERENCE distribution
+    (calibration against a baseline corpus — "this doc's length sits
+    at the 93rd percentile of last month's crawl"): appends
+    ``out_col`` = |{ref ≤ v}| / |ref| — ONE correctly-rounded double
+    division of exact int64 counts (bit-identical to SQL), plus
+    ``{out_col}_n`` = |{ref ≤ v}|.
+
+    Scale shape: the reference collapses to its distinct-value count
+    table (one narrow grouped shuffle — the percent_rank fold), whose
+    cumulative counts broadcast once as two sorted arrays (guarded by
+    ``broadcast_max`` distinct values; quantize first beyond that);
+    every probe batch pays one searchsorted. Probe rows never
+    shuffle."""
+    import ray
+    from ray.data.aggregate import Count
+
+    dist = ref_ds.groupby(ref_col).aggregate(Count(alias_name="c")) \
+        .materialize()
+    n_cells = dist.count()
+    if n_cells > broadcast_max:
+        raise ValueError(
+            f"reference_rank: {n_cells} distinct reference values "
+            f"exceed broadcast_max={broadcast_max}; quantize "
+            f"{ref_col} first")
+    dt = pa.concat_tables(
+        [b for b in dist.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    vals = dt[ref_col].to_numpy(zero_copy_only=False)
+    cnts = dt["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(vals, kind="mergesort")
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    ref = ray.put((vals, cum))
+
+    def attach(t: pa.Table) -> pa.Table:
+        sv, sc = ray.get(ref)
+        v = t[val_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(sv, v, side="right")
+        le = np.where(pos > 0, sc[np.maximum(pos - 1, 0)], 0) \
+            .astype(np.int64)
+        t = t.append_column(f"{out_col}_n", pa.array(le))
+        frac = le / float(total) if total else np.zeros(len(le))
+        return t.append_column(out_col, pa.array(frac))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

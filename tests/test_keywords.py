@@ -99,3 +99,20 @@ def test_leading_digit_counts(ray_session):
     x = byg[byg["grp"] == "x"].set_index("digit")
     assert x.loc["1", "cnt"] == 3 and x.loc["2", "cnt"] == 1
     assert x["prop"].tolist() == [c / 4 for c in x["cnt"].tolist()]
+
+
+def test_reference_rank_matches_bruteforce(ray_session):
+    import ray.data as rd
+    from prompture_ray.stages.stats import reference_rank
+    rng = np.random.default_rng(47)
+    probe = pd.DataFrame({"id": np.arange(500),
+                          "v": rng.integers(0, 120, 500)})
+    ref = pd.DataFrame({"r": rng.integers(10, 100, 800)})
+    out = reference_rank(rd.from_pandas(probe).repartition(5), "v",
+                         rd.from_pandas(ref).repartition(3), "r") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    rs = np.sort(ref["r"].to_numpy())
+    for row in out.itertuples(index=False):
+        le = int((rs <= row.v).sum())
+        assert row.ref_rank_n == le
+        assert row.ref_rank == le / len(rs)
