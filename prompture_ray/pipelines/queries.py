@@ -9510,6 +9510,46 @@ QUERIES["reference_rank_events"] = reference_rank_events
 ORACLE["reference_rank_events"] = REFERENCE_RANK_SQL
 
 
+def common_neighbors_docs(sf_dir: str):
+    """Common-neighbor link-prediction table (graph.common_neighbors
+    — symmetrized wedge expansion + ONE pair fold, pure integer;
+    is_edge is the training label). PLANTED bipartite edges
+    doc%211 → 10^6 + doc%193 (bounded Σ deg²). GENUINE oracle:
+    symmetrize + self-join on the center + grouped count + edge
+    LEFT JOIN."""
+    from prompture_ray.stages.graph import common_neighbors
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(d % 211),
+                         "dst": pa.array(1_000_000 + d % 193)})
+
+    return common_neighbors(
+        ds.map_batches(plant, batch_format="pyarrow"), min_common=2)
+
+
+COMMON_NEIGHBORS_SQL = """
+WITH e AS (SELECT DISTINCT doc_id % 211 AS u,
+                  1000000 + doc_id % 193 AS v
+           FROM documents),
+sym AS (SELECT u AS c, v AS n FROM e
+        UNION ALL SELECT v AS c, u AS n FROM e),
+w AS (SELECT LEAST(a.n, b.n) AS u, GREATEST(a.n, b.n) AS v
+      FROM sym a JOIN sym b ON a.c = b.c AND a.n < b.n),
+cnt AS (SELECT u, v, CAST(count(*) AS BIGINT) AS common
+        FROM w GROUP BY 1, 2)
+SELECT cnt.u, cnt.v, cnt.common,
+       CAST(e.u IS NOT NULL AS BIGINT) AS is_edge
+FROM cnt LEFT JOIN e ON e.u = cnt.u AND e.v = cnt.v
+WHERE cnt.common >= 2
+"""
+
+QUERIES["common_neighbors_docs"] = common_neighbors_docs
+ORACLE["common_neighbors_docs"] = COMMON_NEIGHBORS_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

@@ -240,3 +240,36 @@ def test_hits_broadcast_equals_bucketed(ray_session):
                     broadcast_max=0) \
         .to_pandas().sort_values("node").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_common_neighbors_bruteforce(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from itertools import combinations
+    from prompture_ray.stages.graph import common_neighbors
+    rng = np.random.default_rng(53)
+    m = 300
+    edges = pd.DataFrame({"src": rng.integers(0, 40, m),
+                          "dst": rng.integers(0, 40, m)})
+    out = common_neighbors(rd.from_pandas(edges).repartition(5),
+                           min_common=2).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    # brute force over the canonical simple graph
+    adj = {}
+    eset = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        eset.add((a, b))
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    exp = []
+    nodes = sorted(adj)
+    for a, b in combinations(nodes, 2):
+        c = len(adj[a] & adj[b])
+        if c >= 2:
+            exp.append((a, b, c, int((a, b) in eset)))
+    got = list(map(tuple, out.itertuples(index=False)))
+    assert got == exp
