@@ -9550,6 +9550,55 @@ QUERIES["common_neighbors_docs"] = common_neighbors_docs
 ORACLE["common_neighbors_docs"] = COMMON_NEIGHBORS_SQL
 
 
+def impute_events(sf_dir: str):
+    """Group-median imputation (groupstats.impute_group_median —
+    exact lower-median per key via the integer rank idiom, sorted
+    broadcast map-back; rows never shuffle). Planted v = event_id %
+    5003 nulled when event_id % 11 = 0. GENUINE oracle: per-partition
+    rank-selected median + COALESCE."""
+    from prompture_ray.stages.groupstats import impute_group_median
+    ds = _read(sf_dir, "events", ["event_id", "event_type"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        e = t["event_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v = e % 5003
+        isnull = e % 11 == 0
+        return pa.table({
+            "event_id": pa.array(e),
+            "event_type": t["event_type"],
+            "v": pa.array(v, type=pa.int64(), mask=isnull)})
+
+    out = impute_group_median(
+        ds.map_batches(plant, batch_format="pyarrow"),
+        "event_type", "v", out_col="v_imp")
+    return out.map_batches(
+        lambda t: t.select(["event_id", "v_imp"]),
+        batch_format="pyarrow")
+
+
+IMPUTE_SQL = """
+WITH t AS (SELECT event_id, event_type,
+                  CASE WHEN event_id % 11 = 0 THEN NULL
+                       ELSE event_id % 5003 END AS v
+           FROM events),
+o AS (SELECT event_type, v,
+             row_number() OVER (PARTITION BY event_type ORDER BY v)
+                 AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM t WHERE v IS NOT NULL),
+m AS (SELECT event_type,
+             CAST(MIN(CASE WHEN rn * 2 >= n AND (rn - 1) * 2 < n
+                           THEN v END) AS BIGINT) AS med
+      FROM o GROUP BY event_type)
+SELECT t.event_id, CAST(COALESCE(t.v, m.med) AS BIGINT) AS v_imp
+FROM t LEFT JOIN m USING (event_type)
+"""
+
+QUERIES["impute_events"] = impute_events
+ORACLE["impute_events"] = IMPUTE_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

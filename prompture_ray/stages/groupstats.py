@@ -600,3 +600,80 @@ def gini_by_key(ds, key_col: str, val_col: str, n_parts: int = 64):
 
     return cells.groupby("__pb").map_groups(fold,
                                             batch_format="pandas")
+
+
+def impute_group_median(ds, key_col: str, val_col: str,
+                        out_col: str | None = None,
+                        broadcast_max: int = 20_000_000):
+    """Median imputation per key: null values of ``val_col`` are
+    replaced by their key's EXACT lower discrete median (the value at
+    rank ⌈n/2⌉ over the key's NON-NULL values — integer rank
+    selection, no float q·n, the grouped_quantiles idiom), written to
+    ``out_col`` (default: in place). Keys whose values are ALL null
+    keep their nulls.
+
+    Scale shape: medians come from :func:`grouped_quantiles` (one
+    narrow key shuffle); the |keys|-row median table broadcasts
+    sorted via ray.put (guarded by ``broadcast_max``) and every batch
+    pays one searchsorted — rows never shuffle."""
+    import ray
+    from prompture_ray.functions.sketches import hash64
+
+    out_col = out_col or val_col
+    meds = grouped_quantiles(
+        ds.map_batches(
+            lambda t: t.filter(pc.is_valid(
+                t[val_col].combine_chunks()
+                if isinstance(t[val_col], pa.ChunkedArray)
+                else t[val_col])),
+            batch_format="pyarrow"),
+        key_col, val_col, qs=(0.5,)).materialize()
+    n_keys = meds.count()
+    if n_keys > broadcast_max:
+        raise ValueError(
+            f"impute_group_median: {n_keys} keys exceed "
+            f"broadcast_max={broadcast_max}")
+    mt = pa.concat_tables(
+        [b for b in meds.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    keys = mt[key_col].to_numpy(zero_copy_only=False)
+    if keys.dtype.kind not in "iu":
+        keys = np.asarray(keys, dtype=object)
+    kh = hash64(keys).astype(np.uint64).view(np.int64)
+    mv = mt["q_50"].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(kh, kind="mergesort")
+    ref = ray.put((kh[order], mv[order]))
+
+    def fill(t: pa.Table) -> pa.Table:
+        khs, mvs = ray.get(ref)
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        h = hash64(kv).astype(np.uint64).view(np.int64)
+        col = t[val_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        vals = col.to_numpy(zero_copy_only=False)
+        outv = np.zeros(len(t), dtype=np.int64)
+        outv[valid] = vals[valid].astype(np.int64)
+        still_null = np.zeros(len(t), dtype=bool)
+        miss = ~valid
+        if miss.any():
+            pos = np.searchsorted(khs, h[miss])
+            ok = np.zeros(miss.sum(), dtype=bool)
+            in_rng = pos < len(khs)
+            ok[in_rng] = khs[pos[in_rng]] == h[miss][in_rng]
+            fillv = np.zeros(miss.sum(), dtype=np.int64)
+            fillv[ok] = mvs[pos[ok]]
+            outv[miss] = fillv
+            sn = np.zeros(miss.sum(), dtype=bool)
+            sn[~ok] = True
+            still_null[miss] = sn
+        arr = pa.array(outv, type=pa.int64(),
+                       mask=still_null)
+        if out_col in t.column_names:
+            t = t.drop_columns([out_col])
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(fill, batch_format="pyarrow")

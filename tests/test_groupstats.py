@@ -261,3 +261,36 @@ def test_gini_zero_total_is_null(ray_session):
         .set_index("k")
     assert np.isnan(out.loc["a", "gini"])
     assert out.loc["b", "gini"] == 0.0
+
+
+def test_impute_group_median(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.groupstats import impute_group_median
+    rng = np.random.default_rng(61)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.integers(0, 9, n),
+        "v": rng.integers(0, 1000, n).astype("float"),
+    })
+    df.loc[df["id"] % 7 == 0, "v"] = np.nan
+    # one all-null key
+    df.loc[df["k"] == 8, "v"] = np.nan
+    ds = rd.from_pandas(df.assign(
+        v=df["v"].astype("Int64"))).repartition(7)
+    out = impute_group_median(ds, "k", "v", out_col="v_imp") \
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    for kk in range(8):
+        vals = df[(df["k"] == kk) & df["v"].notna()]["v"] \
+            .to_numpy(dtype=np.int64)
+        vs = np.sort(vals)
+        med = int(vs[int(np.ceil(len(vs) / 2)) - 1])
+        sel = out[out["k"] == kk]
+        orig = df[df["k"] == kk].sort_values("id")
+        missing = orig["v"].isna().to_numpy()
+        got = sel["v_imp"].to_numpy()
+        assert (got[missing] == med).all()
+        assert (got[~missing] == orig["v"].dropna().to_numpy()).all()
+    assert out[out["k"] == 8]["v_imp"].isna().all()
