@@ -9599,6 +9599,53 @@ QUERIES["impute_events"] = impute_events
 ORACLE["impute_events"] = IMPUTE_SQL
 
 
+def negative_edges_docs(sf_dir: str):
+    """Deterministic negative-edge sampling (graph.negative_edges —
+    Knuth-hash candidates over the sorted node list, edge/self
+    collisions dropped; zero-shuffle generation, broadcast edge-key
+    membership). Planted bipartite graph doc%211 → 10^6 + doc%193;
+    with ≥ 211 docs every residue appears, so the SQL oracle can
+    enumerate the sorted node list analytically (idx < 211 → idx,
+    else 10^6 + idx − 211) and replay the exact same hash formula —
+    GENUINE, no pasted results."""
+    from prompture_ray.stages.graph import negative_edges
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def plant(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"src": pa.array(d % 211),
+                         "dst": pa.array(1_000_000 + d % 193)})
+
+    return negative_edges(
+        ds.map_batches(plant, batch_format="pyarrow"), k=3)
+
+
+NEGATIVE_EDGES_SQL = """
+WITH nmap AS (SELECT idx,
+                     CASE WHEN idx < 211 THEN idx
+                          ELSE 1000000 + idx - 211 END AS node
+              FROM (SELECT unnest(generate_series(0, 403)) AS idx)),
+e AS (SELECT DISTINCT doc_id % 211 AS u, 1000000 + doc_id % 193 AS v
+      FROM documents),
+cand AS (SELECT a.node AS src, js.j,
+                ((a.node * 2654435761 + js.j * 40503) % 4294967296)
+                    % 404 AS idx
+         FROM nmap a,
+              (SELECT unnest(generate_series(0, 2)) AS j) js),
+c2 AS (SELECT cand.src, nmap.node AS dst, cand.j
+       FROM cand JOIN nmap USING (idx))
+SELECT src, dst, CAST(j AS BIGINT) AS j FROM c2
+WHERE src <> dst
+  AND NOT EXISTS (SELECT 1 FROM e
+                  WHERE e.u = LEAST(c2.src, c2.dst)
+                    AND e.v = GREATEST(c2.src, c2.dst))
+"""
+
+QUERIES["negative_edges_docs"] = negative_edges_docs
+ORACLE["negative_edges_docs"] = NEGATIVE_EDGES_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

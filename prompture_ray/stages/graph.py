@@ -759,3 +759,88 @@ def common_neighbors(edges, a_col: str = "src", b_col: str = "dst", *,
         .repartition(shuffle_blocks)
     return unioned.groupby("__pb2").map_groups(
         fold, batch_format="pandas")
+
+
+def negative_edges(edges, k: int, a_col: str = "src",
+                   b_col: str = "dst", *,
+                   broadcast_max: int = 20_000_000):
+    """Deterministic negative sampling for link-prediction /
+    embedding training: for every node u, ``k`` pseudo-random
+    candidate partners drawn by the Knuth multiplicative hash
+    (``idx = ((u·2654435761 + j·40503) mod 2^32) mod n_nodes`` over
+    the SORTED node list), keeping (u, cand, j) when cand ≠ u and
+    {u, cand} is NOT an edge — block-layout independent, re-runnable,
+    and SQL-replayable (the split_assignment precedent). Collisions
+    with real edges/self are DROPPED, not retried, so a node yields
+    ≤ k negatives (document the rate, don't hide it).
+
+    Scale shape: the node list and the packed canonical edge-key
+    array broadcast once (guarded by ``broadcast_max``; ids < 2^31 —
+    beyond the guard, swap the membership test for
+    ``joins.bloom_semi_filter(exact=False)`` + a bucketed anti-join
+    verify); generation is a zero-shuffle per-batch numpy pass over
+    the node Dataset."""
+    import ray
+    from ray.data.aggregate import Count
+
+    ded = canonical_edges(edges, a_col, b_col).materialize()
+
+    def both(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.concatenate([
+            t["u"].to_numpy(zero_copy_only=False),
+            t["v"].to_numpy(zero_copy_only=False)]))
+        return pa.table({"node": pa.array(ids, type=pa.int64())})
+
+    nodes = ded.map_batches(both, batch_format="pyarrow") \
+        .groupby("node").aggregate(Count(alias_name="__c")) \
+        .map_batches(lambda t: t.select(["node"]),
+                     batch_format="pyarrow").materialize()
+    n = nodes.count()
+    if n > broadcast_max:
+        raise ValueError(
+            f"negative_edges: {n} nodes exceed "
+            f"broadcast_max={broadcast_max}")
+    nt = pa.concat_tables(
+        [b for b in nodes.iter_batches(batch_format="pyarrow")],
+        promote_options="default")
+    node_arr = np.sort(nt["node"].to_numpy(zero_copy_only=False)
+                       .astype(np.int64))
+    ekeys = []
+    for b in ded.iter_batches(batch_format="pyarrow"):
+        u = b["u"].to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b["v"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ekeys.append((u << np.int64(32)) | v)
+    ek = np.sort(np.concatenate(ekeys)) if ekeys else \
+        np.empty(0, dtype=np.int64)
+    if len(node_arr) and (node_arr.max() >= 2**31
+                          or node_arr.min() < 0):
+        raise ValueError("negative_edges: ids must be in [0, 2^31)")
+    ref = ray.put((node_arr, ek))
+
+    K1 = np.uint64(2654435761)
+    K2 = np.uint64(40503)
+    M32 = np.uint64(4294967296)
+
+    def gen(t: pa.Table) -> pa.Table:
+        na, eks = ray.get(ref)
+        u = t["node"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        uu = np.repeat(u, k)
+        jj = np.tile(np.arange(k, dtype=np.int64), len(u))
+        with np.errstate(over="ignore"):
+            h = (uu.astype(np.uint64) * K1
+                 + jj.astype(np.uint64) * K2) % M32
+        cand = na[(h % np.uint64(len(na))).astype(np.int64)]
+        lo = np.minimum(uu, cand)
+        hi = np.maximum(uu, cand)
+        key = (lo << np.int64(32)) | hi
+        pos = np.searchsorted(eks, key)
+        is_edge = np.zeros(len(key), dtype=bool)
+        in_rng = pos < len(eks)
+        is_edge[in_rng] = eks[pos[in_rng]] == key[in_rng]
+        keep = (cand != uu) & ~is_edge
+        return pa.table({"src": pa.array(uu[keep]),
+                         "dst": pa.array(cand[keep]),
+                         "j": pa.array(jj[keep])})
+
+    return nodes.map_batches(gen, batch_format="pyarrow")

@@ -273,3 +273,34 @@ def test_common_neighbors_bruteforce(ray_session):
             exp.append((a, b, c, int((a, b) in eset)))
     got = list(map(tuple, out.itertuples(index=False)))
     assert got == exp
+
+
+def test_negative_edges_deterministic_and_valid(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+    from prompture_ray.stages.graph import negative_edges
+    rng = np.random.default_rng(59)
+    edges = pd.DataFrame({"src": rng.integers(0, 50, 200),
+                          "dst": rng.integers(0, 50, 200)})
+    a = negative_edges(rd.from_pandas(edges).repartition(4), k=3) \
+        .to_pandas().sort_values(["src", "j"]).reset_index(drop=True)
+    b = negative_edges(rd.from_pandas(edges).repartition(9), k=3) \
+        .to_pandas().sort_values(["src", "j"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)  # layout-independent
+    eset = set()
+    for s, d in zip(edges["src"], edges["dst"]):
+        if s != d:
+            eset.add((min(s, d), max(s, d)))
+    for r in a.itertuples(index=False):
+        assert r.src != r.dst
+        assert (min(r.src, r.dst), max(r.src, r.dst)) not in eset
+    # every node emits at most k rows, and the formula is exact
+    nodes = np.unique(np.r_[edges["src"], edges["dst"]])
+    per = a.groupby("src").size()
+    assert (per <= 3).all()
+    na = np.sort(nodes)
+    for r in a.head(20).itertuples(index=False):
+        h = (np.uint64(r.src) * np.uint64(2654435761)
+             + np.uint64(r.j) * np.uint64(40503)) % np.uint64(2**32)
+        assert na[int(h) % len(na)] == r.dst
