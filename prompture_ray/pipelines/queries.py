@@ -9646,6 +9646,53 @@ QUERIES["negative_edges_docs"] = negative_edges_docs
 ORACLE["negative_edges_docs"] = NEGATIVE_EDGES_SQL
 
 
+def streak_events(sf_dir: str):
+    """Longest same-event-type streak per user (analytic.
+    longest_streak — gaps-and-islands boundary cumsum, one row
+    shuffle; ties break toward the earliest run). GENUINE oracle:
+    the classic rn − rn2 islands idiom + earliest-start
+    row_number."""
+    from prompture_ray.stages.analytic import longest_streak
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "tsu": t["ts"].cast(pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    return longest_streak(ds.map_batches(prep,
+                                         batch_format="pyarrow"),
+                          "user_id", "tsu", "event_id", "event_type")
+
+
+STREAK_SQL = """
+WITH o AS (SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY epoch_us(ts), event_id)
+                      AS rn,
+                  row_number() OVER (PARTITION BY user_id, event_type
+                                     ORDER BY epoch_us(ts), event_id)
+                      AS rn2
+           FROM events),
+runs AS (SELECT user_id, event_type,
+                CAST(count(*) AS BIGINT) AS len,
+                CAST(MIN(rn) AS BIGINT) AS start
+         FROM (SELECT user_id, event_type, rn, rn - rn2 AS isl
+               FROM o)
+         GROUP BY user_id, event_type, isl),
+best AS (SELECT user_id, len AS streak, event_type AS streak_val,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY len DESC, start) AS rk
+         FROM runs)
+SELECT user_id, streak, streak_val FROM best WHERE rk = 1
+"""
+
+QUERIES["streak_events"] = streak_events
+ORACLE["streak_events"] = STREAK_SQL
+
+
 def _reorder_registry():
     global QUERIES
     missing = [k for k in _WINDOW_PRIORITY if k not in QUERIES]

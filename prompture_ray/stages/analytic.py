@@ -933,3 +933,59 @@ def unpivot(ds, id_cols: list, value_cols: list,
         return pa.table(cols)
 
     return ds.map_batches(melt, batch_format="pyarrow")
+
+
+def longest_streak(ds, key_col: str, ts_col: str, tie_col: str,
+                   val_col: str, n_parts: int = 64,
+                   shuffle_blocks: int = 128):
+    """Longest run of CONSECUTIVE EQUAL values per key in (ts, tie)
+    order (gaps-and-islands: the engagement-streak / repeated-status
+    audit). Returns one row per key: ``(key, streak, streak_val)`` —
+    the maximal run length and the value of that run; ties between
+    equal-length runs break toward the EARLIEST run (deterministic,
+    SQL-replayable via min-island-start ordering). Pure integer.
+
+    Scale shape: the lag_shift pattern — ONE hash64(key) % n_parts
+    row shuffle, one vectorized sort + boundary-cumsum pandas pass
+    per partition; output is |keys| rows."""
+    from prompture_ray.functions.sketches import hash64
+
+    def tag(t: pa.Table) -> pa.Table:
+        kv = t[key_col].to_numpy(zero_copy_only=False)
+        if kv.dtype.kind not in "iu":
+            kv = np.asarray(kv, dtype=object)
+        pb = (hash64(kv) % np.uint64(n_parts)).astype(np.int64)
+        return t.append_column("__pb", pa.array(pb, type=pa.int64()))
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col, tie_col],
+                          kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
+        if keys.dtype.kind not in "iu":
+            keys = np.asarray(keys, dtype=object)
+        vals = g[val_col].to_numpy()
+        if vals.dtype.kind not in "iu":
+            vals = np.asarray(vals, dtype=object)
+        new_key = np.ones(len(g), dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        new_run = new_key.copy()
+        new_run[1:] |= vals[1:] != vals[:-1]
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_start = np.flatnonzero(new_run)
+        run_key_idx = (np.cumsum(new_key) - 1)[run_start]
+        # per key: longest run, earliest on ties — lexsort by
+        # (key, -len, start) and take the first run of each key
+        order = np.lexsort((run_start, -run_len, run_key_idx))
+        rk = run_key_idx[order]
+        first = np.r_[True, rk[1:] != rk[:-1]]
+        best = order[first]
+        out = pd.DataFrame({
+            key_col: keys[run_start[best]],
+            "streak": run_len[best].astype(np.int64),
+            "streak_val": vals[run_start[best]]})
+        return out
+
+    return ds.map_batches(tag, batch_format="pyarrow") \
+        .repartition(shuffle_blocks) \
+        .groupby("__pb").map_groups(fold, batch_format="pandas")

@@ -342,3 +342,26 @@ def test_unpivot_hand_values(ray_session):
         .sort_values(["id", "variable"]).reset_index(drop=True)
     assert list(map(tuple, out.itertuples(index=False))) == [
         (1, "x", 10), (1, "y", 3), (2, "x", 20), (2, "y", 4)]
+
+
+def test_longest_streak_bruteforce(ray_session):
+    from prompture_ray.stages.analytic import longest_streak
+    rng = np.random.default_rng(67)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 15, n),
+        "ts": rng.integers(0, 10**6, n),
+        "tie": np.arange(n),
+        "v": rng.choice(list("abc"), n),
+    })
+    out = longest_streak(_mk(df), "k", "ts", "tie", "v") \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    for r in out.itertuples(index=False):
+        g = df[df["k"] == r.k].sort_values(["ts", "tie"])
+        vs = g["v"].tolist()
+        best_len, best_val, cur_len = 0, None, 0
+        for i, v in enumerate(vs):
+            cur_len = cur_len + 1 if i and vs[i - 1] == v else 1
+            if cur_len > best_len:
+                best_len, best_val = cur_len, v
+        assert r.streak == best_len and r.streak_val == best_val
